@@ -1,0 +1,17 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes. Multi-chip sharding tests use the
+8 virtual devices; kernel/numerics tests just use CPU. Real-TPU execution is
+covered by bench.py and the driver's compile checks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# NOTE: x64 stays off — the device canonicalizes ONNX i64/f64 to i32/f32
+# (TPU-first; documented in lele_tpu.ops). Tests assert values, not widths.
