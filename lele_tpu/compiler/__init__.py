@@ -1,0 +1,129 @@
+"""Compiler front door: ONNX model → CompiledModel.
+
+Builder-style API mirroring the reference's
+`Compiler::new().with_name().with_default_optimizations()` surface
+(/root/reference/src/compiler/mod.rs:297-373) with the extension points
+`with_override(op, fn)` (mod.rs:323) and `with_pattern(fn)` (mod.rs:332).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..onnx.loader import DTYPE_MAP, OnnxModel
+from ..runtime.engine import CompiledModel
+from .tracer import GraphTracer
+
+
+class Compiler:
+    def __init__(self):
+        self._overrides: dict[str, Callable] = {}
+        self._patterns: list | None = None
+        self._strict: bool | None = None
+        self._name = "Model"
+
+    def with_name(self, name: str) -> "Compiler":
+        self._name = name
+        return self
+
+    def with_override(self, op_type: str, fn: Callable) -> "Compiler":
+        self._overrides[op_type] = fn
+        return self
+
+    def with_pattern(self, fn: Callable) -> "Compiler":
+        from .patterns import DEFAULT_PATTERNS
+
+        if self._patterns is None:
+            self._patterns = list(DEFAULT_PATTERNS)
+        self._patterns.insert(0, fn)
+        return self
+
+    def with_strict(self, strict: bool = True) -> "Compiler":
+        self._strict = strict
+        return self
+
+    def compile(
+        self,
+        model: OnnxModel | str | Path,
+        input_shapes: dict[str, Sequence[int]] | None = None,
+        dim_values: dict[str, int] | None = None,
+        donate: Sequence[str] = (),
+    ) -> CompiledModel:
+        if not isinstance(model, OnnxModel):
+            model = OnnxModel.load(model)
+        specs = resolve_input_specs(model, input_shapes, dim_values)
+        tracer = GraphTracer(
+            model,
+            overrides=self._overrides,
+            patterns=self._patterns,
+            strict=self._strict,
+        )
+        walk_fn, params = tracer.build(specs)
+        return CompiledModel(
+            walk_fn,
+            params,
+            specs,
+            input_order=model.input_names(),
+            output_names=model.output_names(),
+            donate=donate,
+        )
+
+
+def resolve_input_specs(
+    model: OnnxModel,
+    input_shapes: dict[str, Sequence[int]] | None = None,
+    dim_values: dict[str, int] | None = None,
+) -> dict[str, tuple[tuple, Any]]:
+    """Static input signature from graph metadata + user overrides.
+
+    Dynamic dims (dim_param or 0/-1) must be pinned via input_shapes
+    (per input) or dim_values (per named dim) — the static-shape
+    specialization strategy from SURVEY.md §7 "Hard parts".
+    """
+    input_shapes = input_shapes or {}
+    dim_values = dim_values or {}
+    specs: dict[str, tuple[tuple, Any]] = {}
+    for name, onnx_dt, dims in model.input_info():
+        np_dt = DTYPE_MAP.get(onnx_dt, np.dtype(np.float32))
+        if name in input_shapes:
+            shape = tuple(int(d) for d in input_shapes[name])
+        else:
+            shape = []
+            for d in dims:
+                if isinstance(d, str):
+                    if d not in dim_values:
+                        raise ValueError(
+                            f"input {name!r} has dynamic dim {d!r}; pass "
+                            f"input_shapes={{{name!r}: (...)}} or "
+                            f"dim_values={{{d!r}: N}}"
+                        )
+                    shape.append(int(dim_values[d]))
+                elif d <= 0:
+                    raise ValueError(
+                        f"input {name!r} has unknown dim; pass input_shapes"
+                    )
+                else:
+                    shape.append(int(d))
+            shape = tuple(shape)
+        specs[name] = (shape, np_dt)
+    return specs
+
+
+def compile_model(
+    model: OnnxModel | str | Path,
+    input_shapes: dict[str, Sequence[int]] | None = None,
+    dim_values: dict[str, int] | None = None,
+    donate: Sequence[str] = (),
+    overrides: dict[str, Callable] | None = None,
+    strict: bool | None = None,
+) -> CompiledModel:
+    c = Compiler()
+    if overrides:
+        for k, v in overrides.items():
+            c.with_override(k, v)
+    if strict is not None:
+        c.with_strict(strict)
+    return c.compile(model, input_shapes, dim_values, donate)

@@ -1,0 +1,270 @@
+"""ONNX→JAX tracer: walk a GraphProto, emit one fused XLA program.
+
+This replaces the reference's ONNX→Rust code generator (/root/reference/src/
+compiler/mod.rs:766 `compile`, generate.rs:802 `generate_nodes`) with a
+trace-time interpreter:
+
+- **Constant folding** (mod.rs:375 `fold_constants`) falls out of the walk:
+  every value is either *static* (a numpy array, evaluated host-side with
+  full 64-bit precision) or *dynamic* (a JAX tracer). A node whose inputs are
+  all static evaluates immediately with numpy; shape-carrying chains
+  (Shape→Gather→Concat→Reshape) therefore resolve to Python ints before XLA
+  ever sees them.
+- **Weight collection** (mod.rs:1381 `collect_weights`) becomes *param
+  hoisting*: any static value larger than a threshold that feeds a dynamic op
+  is lifted to a runtime parameter instead of being burned into the program
+  as a literal. Because folding runs before hoisting, weight-only
+  computation (transposes, casts, zero-point pre-packs) happens once at
+  compile time — the TPU analog of the reference's "prepared weights"
+  (neon/quantization.rs:24).
+- **Buffer allocation** (mod.rs:148 `solve_allocation`) is XLA's job; the
+  streaming-state reuse story is `jax.jit` donation in the runtime engine.
+- Dispatch precedence matches generate.rs:802: pattern → override → builtin
+  → fallback (stderr warning + empty tensor, generate.rs:987; strict mode
+  raises instead).
+
+Two walks share one code path: a `jax.eval_shape` discovery walk records
+which params exist (no FLOPs), then the real walk runs under `jax.jit` with
+those params as arguments. Param keys are env value names, which are stable
+across walks.
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import ChainMap
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+from ..config import config
+from ..onnx.loader import DTYPE_MAP, OnnxModel, tensor_to_array
+from ..onnx.schema import Proto
+from ..ops import OPS, make_ctx
+from ..ops.tensor_ops import canonical_dtype
+
+# static values with at least this many elements become runtime params
+# (reference inlines ≤100-element constants; ops/tensor.rs:481)
+PARAM_THRESHOLD = 256
+
+
+def _canon_np(v: np.ndarray) -> np.ndarray:
+    """Canonicalize a host value for device use (i64→i32 etc.)."""
+    dt = canonical_dtype(v.dtype, device=True)
+    return v.astype(dt) if dt != v.dtype else v
+
+
+def _is_static(v) -> bool:
+    return v is None or isinstance(v, (np.ndarray, np.generic))
+
+
+@dataclass
+class TraceState:
+    mode: str  # "discover" | "final"
+    params: dict[str, np.ndarray] = field(default_factory=dict)
+    param_vals: dict[str, Any] = field(default_factory=dict)
+    warned: set = field(default_factory=set)
+
+    def to_device(self, name: str, v: np.ndarray):
+        import jax.numpy as jnp
+
+        cv = _canon_np(np.asarray(v))
+        if cv.size >= PARAM_THRESHOLD:
+            if self.mode == "discover":
+                self.params[name] = cv
+                # abstract stand-in: no host→device transfer during discovery
+                return jnp.zeros(cv.shape, cv.dtype)
+            return self.param_vals[name]
+        return jnp.asarray(cv)
+
+
+class GraphTracer:
+    def __init__(
+        self,
+        model: OnnxModel,
+        overrides: dict[str, Callable] | None = None,
+        patterns: Sequence | None = None,
+        strict: bool | None = None,
+    ):
+        self.model = model
+        self.opset = model.opset
+        self.overrides = overrides or {}
+        from .patterns import DEFAULT_PATTERNS
+
+        self.patterns = list(patterns) if patterns is not None else list(
+            DEFAULT_PATTERNS
+        )
+        self.strict = config.strict if strict is None else strict
+
+    # -- node execution ------------------------------------------------------
+
+    def _emit(self, state: TraceState, node: Proto, env, scope: str, tag: str = ""):
+        import jax.numpy as jnp
+
+        op_type = node.op_type
+        if op_type == "If":
+            return self._emit_if(state, node, env, scope, tag)
+
+        ins = [env[n] if n else None for n in node.input]
+        emitter = self.overrides.get(op_type)
+        opdef = OPS.get(op_type)
+        if emitter is None and opdef is not None:
+            emitter = opdef.fn
+        if emitter is None:
+            if self.strict:
+                raise NotImplementedError(f"unsupported op {op_type} ({node.name})")
+            if op_type not in state.warned:
+                state.warned.add(op_type)
+                print(
+                    f"Warning: unsupported op {op_type}; emitting empty tensor",
+                    file=sys.stderr,
+                )
+            outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
+            return outs if len(node.output) > 1 else outs[0]
+
+        all_static = all(_is_static(v) for v in ins)
+        foldable = opdef.foldable if opdef is not None else False
+        if all_static and foldable:
+            ctx = make_ctx(np, node, self.opset, tracer=self)
+            out = emitter(ctx, *ins)
+            return _np_ify(out)
+        if all_static and not foldable:
+            # eager jax evaluation of a constant subcomputation (e.g. Conv on
+            # consts). In discovery mode this would execute real FLOPs, so
+            # materialize via concrete eager call only once; results are
+            # host numpy afterwards.
+            ctx = make_ctx(jnp, node, self.opset, tracer=self)
+            conv_ins = [
+                jnp.asarray(_canon_np(np.asarray(v))) if v is not None else None
+                for v in ins
+            ]
+            out = emitter(ctx, *conv_ins)
+            return _np_ify(out, force=True)
+        # dynamic: convert static inputs, hoisting large ones to params;
+        # shape-position args (static_args) stay host-static for the emitter
+        static_pos = set(opdef.static_args) if opdef is not None else set()
+        ctx = make_ctx(jnp, node, self.opset, tracer=self)
+        dyn_ins = []
+        for i, v in enumerate(ins):
+            if v is None or not _is_static(v) or i in static_pos:
+                dyn_ins.append(v)
+            else:
+                name = node.input[i]
+                dyn_ins.append(state.to_device(scope + name, np.asarray(v)))
+        return emitter(ctx, *dyn_ins)
+
+    def _emit_if(self, state: TraceState, node: Proto, env, scope: str, tag: str):
+        import jax
+        import jax.numpy as jnp
+
+        cond = env[node.input[0]]
+        attrs = {a.name: a for a in node.attribute}
+        then_g = attrs["then_branch"].g
+        else_g = attrs["else_branch"].g
+        n_out = len(node.output)
+        if_scope = scope + (node.name or f"If_{tag}")
+        if _is_static(cond):
+            # trace-time resolution (covers Silero's sr checks — SURVEY §7.3)
+            branch = then_g if bool(np.asarray(cond).reshape(-1)[0]) else else_g
+            sub = self._walk_graph(state, branch, ChainMap({}, env), if_scope + "/")
+            return tuple(sub) if n_out > 1 else sub[0]
+
+        def make_branch(g: Proto, btag: str):
+            def fn(_):
+                outs = self._walk_graph(
+                    state, g, ChainMap({}, env), if_scope + f"/{btag}/"
+                )
+                return tuple(
+                    jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                    for o in outs
+                )
+
+            return fn
+
+        cond_b = jnp.reshape(jnp.asarray(cond).astype(bool), ())
+        outs = jax.lax.cond(cond_b, make_branch(then_g, "then"), make_branch(else_g, "else"), None)
+        return outs if n_out > 1 else outs[0]
+
+    # -- graph walk ----------------------------------------------------------
+
+    def _walk_graph(self, state: TraceState, graph: Proto, env, scope: str):
+        for t in graph.initializer:
+            env[t.name] = tensor_to_array(t)
+        nodes = list(graph.node)
+        i = 0
+        while i < len(nodes):
+            consumed = 0
+            for pattern in self.patterns:
+                res = pattern(self, state, nodes, i, env, scope)
+                if res is not None:
+                    consumed, results = res
+                    for out_name, val in results.items():
+                        env[out_name] = val
+                    break
+            if consumed:
+                i += consumed
+                continue
+            node = nodes[i]
+            out = self._emit(state, node, env, scope, tag=str(i))
+            outs = out if isinstance(out, tuple) else (out,)
+            for name, val in zip(node.output, outs):
+                if name:
+                    env[name] = val
+            i += 1
+        return [env[vi.name] for vi in graph.output]
+
+    # -- public API ----------------------------------------------------------
+
+    def build(self, input_specs: dict[str, tuple[tuple, np.dtype]]):
+        """Build (fn, params) for the model at the given input signature.
+
+        input_specs: name → (shape, np_dtype) with all dims static.
+        Returns (walk_fn(params_dict, inputs_dict) -> list[outputs], params).
+        """
+        import jax
+
+        graph = self.model.graph
+        in_names = self.model.input_names()
+        for n in in_names:
+            if n not in input_specs:
+                raise ValueError(f"missing input spec for {n!r}")
+
+        def run(state: TraceState, inputs: dict):
+            env: dict[str, Any] = {"": None}
+            for n in in_names:
+                env[n] = inputs[n]
+            outs = self._walk_graph(state, graph, env, "")
+            import jax.numpy as jnp
+
+            return [
+                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                for o in outs
+            ]
+
+        # discovery walk: abstract, records params
+        discover = TraceState(mode="discover")
+        specs = {
+            n: jax.ShapeDtypeStruct(
+                tuple(input_specs[n][0]),
+                canonical_dtype(np.dtype(input_specs[n][1]), device=True),
+            )
+            for n in in_names
+        }
+        jax.eval_shape(lambda ins: run(discover, ins), specs)
+        params = dict(discover.params)
+
+        def final_fn(params_dict, inputs: dict):
+            state = TraceState(mode="final", param_vals=params_dict)
+            return run(state, inputs)
+
+        return final_fn, params
+
+
+def _np_ify(out, force: bool = False):
+    def cvt(v):
+        return np.asarray(v)
+
+    if isinstance(out, tuple):
+        return tuple(cvt(v) for v in out)
+    return cvt(out)

@@ -1,0 +1,11 @@
+"""ONNX op semantics over jnp/numpy — the portable kernel layer.
+
+Importing this package registers every builtin emitter in ``registry.OPS``.
+The module split mirrors the reference's emitter files (SURVEY.md §2.1):
+math_ops ↔ ops/math.rs, nn_ops ↔ ops/nn.rs, tensor_ops ↔ ops/tensor.rs,
+activation_ops ↔ ops/activations.rs, quant_ops ↔ kernels/quantization.rs.
+Control flow (If) lives in the tracer, which owns subgraph scoping.
+"""
+
+from . import activation_ops, math_ops, nn_ops, quant_ops, tensor_ops  # noqa: F401
+from .registry import OPS, OpContext, make_ctx, op  # noqa: F401

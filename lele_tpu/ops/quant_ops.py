@@ -1,0 +1,147 @@
+"""Quantization op emitters: the int8 inference path.
+
+Covers the reference's quantization stack (/root/reference/src/kernels/
+quantization.rs: DynamicQuantizeLinear :1628, MatMulInteger fusions :8-77,
+PreparedWeights zero-point col-sum correction :206-232) — redesigned for the
+MXU: u8 operands shift to i8 (the reference's XOR-0x80 trick, expressed
+algebraically), the dot runs as an int8×int8→int32 `dot_general`, and the
+zero-point terms are rank-1 corrections added afterwards, which is exactly
+the reference's col_sums scheme but fused by XLA.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .registry import OpContext, op
+
+
+def _to_i8_domain(x, zp):
+    """Shift a u8 operand (and its zero point) into i8 so the MXU int8 path
+    applies; i8 operands pass through."""
+    import jax.numpy as jnp
+
+    if x.dtype == jnp.uint8:
+        xi = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+        zpi = (zp.astype(jnp.int32) - 128) if zp is not None else jnp.int32(-128)
+        return xi, zpi
+    return x.astype(jnp.int8), (
+        zp.astype(jnp.int32) if zp is not None else jnp.int32(0)
+    )
+
+
+def _round_half_even(xp, x):
+    return xp.round(x)  # numpy/jnp round = banker's rounding, per ONNX spec
+
+
+@op("DynamicQuantizeLinear")
+def dynamic_quantize_linear(ctx: OpContext, x):
+    """y_scale = (max(x,0)-min(x,0))/255; zp = round(clip(-min/scale,0,255))."""
+    xp = ctx.xp
+    x = xp.asarray(x, dtype=np.float32)
+    x_min = xp.minimum(xp.min(x), 0.0)
+    x_max = xp.maximum(xp.max(x), 0.0)
+    scale = (x_max - x_min) / 255.0
+    safe_scale = xp.where(scale == 0, xp.asarray(1.0, np.float32), scale)
+    zp_f = _round_half_even(xp, xp.clip(-x_min / safe_scale, 0.0, 255.0))
+    zp = zp_f.astype(np.uint8)
+    y = xp.clip(_round_half_even(xp, x / safe_scale) + zp_f, 0.0, 255.0).astype(
+        np.uint8
+    )
+    return y, scale.astype(np.float32), zp
+
+
+@op("QuantizeLinear")
+def quantize_linear(ctx: OpContext, x, scale, zp=None):
+    xp = ctx.xp
+    axis = ctx.attr("axis", 1)
+    qdt = np.uint8 if zp is None else (
+        np.asarray(zp).dtype if ctx.is_fold else zp.dtype
+    )
+    info = np.iinfo(np.dtype(str(qdt)))
+    s = xp.asarray(scale)
+    if np.ndim(scale) == 1 and np.ndim(x) > 1:
+        shape = [1] * np.ndim(x)
+        shape[axis] = -1
+        s = s.reshape(shape)
+    y = _round_half_even(xp, x / s)
+    if zp is not None:
+        z = xp.asarray(zp).astype(np.float32)
+        if np.ndim(zp) == 1 and np.ndim(x) > 1:
+            shape = [1] * np.ndim(x)
+            shape[axis] = -1
+            z = z.reshape(shape)
+        y = y + z
+    return xp.clip(y, info.min, info.max).astype(qdt)
+
+
+@op("DequantizeLinear")
+def dequantize_linear(ctx: OpContext, x, scale, zp=None):
+    xp = ctx.xp
+    axis = ctx.attr("axis", 1)
+    xf = xp.asarray(x).astype(np.float32)
+    if zp is not None:
+        z = xp.asarray(zp).astype(np.float32)
+        if np.ndim(zp) == 1 and np.ndim(x) > 1:
+            shape = [1] * np.ndim(x)
+            shape[axis] = -1
+            z = z.reshape(shape)
+        xf = xf - z
+    s = xp.asarray(scale)
+    if np.ndim(scale) == 1 and np.ndim(x) > 1:
+        shape = [1] * np.ndim(x)
+        shape[axis] = -1
+        s = s.reshape(shape)
+    return xf * s
+
+
+@op("MatMulInteger", foldable=False)
+def matmul_integer(ctx: OpContext, a, b, azp=None, bzp=None):
+    """(A - azp) @ (B - bzp) → int32 via int8 MXU dot + rank-1 corrections."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    ai, azp_i = _to_i8_domain(a, jnp.asarray(azp) if azp is not None else None)
+    bi, bzp_i = _to_i8_domain(b, jnp.asarray(bzp) if bzp is not None else None)
+    k = a.shape[-1]
+    c = jnp.matmul(ai, bi, preferred_element_type=jnp.int32)
+    # zero-point corrections (reference: col_sums in PreparedWeights,
+    # neon/quantization.rs:24); per-row azp [M] / per-col bzp [N] supported
+    rowsum_a = jnp.sum(ai.astype(jnp.int32), axis=-1, keepdims=True)  # [.., M, 1]
+    colsum_b = jnp.sum(bi.astype(jnp.int32), axis=-2, keepdims=True)  # [.., 1, N]
+    azp_t = azp_i if jnp.ndim(azp_i) == 0 else azp_i.reshape(-1, 1)
+    bzp_t = bzp_i if jnp.ndim(bzp_i) == 0 else bzp_i.reshape(1, -1)
+    c = c - azp_t * colsum_b - bzp_t * rowsum_a + k * azp_t * bzp_t
+    return c
+
+
+@op("ConvInteger", foldable=False)
+def conv_integer(ctx: OpContext, x, w, xzp=None, wzp=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .nn_ops import _conv_dims, _resolve_pads
+
+    rank = np.ndim(x) - 2
+    kshape = ctx.attr_ints("kernel_shape", list(np.shape(w)[2:]))
+    strides = ctx.attr_ints("strides", [1] * rank)
+    dilations = ctx.attr_ints("dilations", [1] * rank)
+    group = ctx.attr("group", 1)
+    pads = _resolve_pads(ctx, np.shape(x), kshape, strides, dilations)
+    xi = jnp.asarray(x).astype(jnp.int32)
+    wi = jnp.asarray(w).astype(jnp.int32)
+    if xzp is not None:
+        xi = xi - jnp.asarray(xzp).astype(jnp.int32)
+    if wzp is not None:
+        wi = wi - jnp.asarray(wzp).astype(jnp.int32)
+    return jax.lax.conv_general_dilated(
+        xi,
+        wi,
+        window_strides=strides,
+        padding=pads,
+        rhs_dilation=dilations,
+        dimension_numbers=_conv_dims(rank),
+        feature_group_count=group,
+        preferred_element_type=jnp.int32,
+    )  # int32 conv is exact; no precision knob needed

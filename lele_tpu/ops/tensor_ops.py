@@ -1,0 +1,401 @@
+"""Tensor-manipulation op emitters.
+
+Covers the reference's ops/tensor.rs emitter set (/root/reference/src/
+compiler/ops/tensor.rs:72-597) and kernels/manipulation.rs semantics. On TPU
+most of these are metadata/layout ops that XLA folds away (SURVEY.md §2.7:
+the reference's zero-copy alias map becomes a no-op here).
+
+Shape-carrying computations (Shape→Concat→Reshape chains) are resolved at
+trace time by the tracer's constant folding, so every reshape/expand/tile
+below sees static shape arguments.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import config
+from ..onnx.loader import DTYPE_MAP
+from .registry import OpContext, op, static_ints
+
+
+def canonical_dtype(dt: np.dtype, device: bool) -> np.dtype:
+    """Map ONNX dtypes to device dtypes per the TPU-first width policy."""
+    if not device:
+        return dt
+    dt = np.dtype(dt)
+    if dt == np.int64:
+        return np.dtype(config.index_dtype)
+    if dt == np.uint64:
+        return np.dtype(np.uint32)
+    if dt == np.float64:
+        return np.dtype(config.float64_as)
+    return dt
+
+
+@op("Identity")
+def identity(ctx: OpContext, x):
+    return x
+
+
+@op("Transpose")
+def transpose(ctx: OpContext, x):
+    perm = ctx.attr_ints("perm")
+    return ctx.xp.transpose(x, axes=perm)
+
+
+@op("Reshape", static_args=(1,))
+def reshape(ctx: OpContext, x, shape=None):
+    dims = static_ints(shape if shape is not None else ctx.attr("shape"), "reshape")
+    allowzero = bool(ctx.attr("allowzero", 0))
+    in_shape = list(np.shape(x))
+    out = []
+    for i, d in enumerate(dims):
+        if d == 0 and not allowzero:
+            out.append(in_shape[i])
+        else:
+            out.append(d)
+    if -1 in out:
+        known = int(np.prod([d for d in out if d != -1])) or 1
+        total = int(np.prod(in_shape)) if in_shape else 1
+        out[out.index(-1)] = total // known
+    return ctx.xp.reshape(x, tuple(out))
+
+
+@op("Flatten")
+def flatten(ctx: OpContext, x):
+    axis = ctx.attr("axis", 1)
+    shape = np.shape(x)
+    axis = axis if axis >= 0 else axis + len(shape)
+    lead = int(np.prod(shape[:axis])) if axis else 1
+    return ctx.xp.reshape(x, (lead, -1))
+
+
+@op("Unsqueeze", static_args=(1,))
+def unsqueeze(ctx: OpContext, x, axes=None):
+    ax = static_ints(axes if axes is not None else ctx.attr("axes"), "unsqueeze")
+    out_rank = np.ndim(x) + len(ax)
+    ax = sorted(a if a >= 0 else a + out_rank for a in ax)
+    out = x
+    for a in ax:
+        out = ctx.xp.expand_dims(out, a)
+    return out
+
+
+@op("Squeeze", static_args=(1,))
+def squeeze(ctx: OpContext, x, axes=None):
+    ax = axes if axes is not None else ctx.attr("axes")
+    if ax is None:
+        return ctx.xp.squeeze(x)
+    ax = static_ints(ax, "squeeze")
+    return ctx.xp.squeeze(x, axis=tuple(a if a >= 0 else a + np.ndim(x) for a in ax))
+
+
+@op("Concat")
+def concat(ctx: OpContext, *xs):
+    axis = ctx.attr("axis", 0)
+    xs = [x for x in xs if x is not None]
+    # promote to common dtype (mixed static/dynamic inputs may disagree)
+    return ctx.xp.concatenate([ctx.xp.asarray(x) for x in xs], axis=axis)
+
+
+@op("Where")
+def where(ctx: OpContext, cond, a, b):
+    return ctx.xp.where(cond.astype(bool) if hasattr(cond, "astype") else cond, a, b)
+
+
+@op("Gather")
+def gather(ctx: OpContext, x, indices):
+    axis = ctx.attr("axis", 0)
+    idx = indices
+    if not ctx.is_fold:
+        import jax.numpy as jnp
+
+        idx = jnp.asarray(idx)
+        # negative index wraparound (ONNX allows negatives; jnp take clamps)
+        dim = np.shape(x)[axis]
+        idx = jnp.where(idx < 0, idx + dim, idx)
+        return jnp.take(x, idx, axis=axis)
+    return np.take(x, np.asarray(idx, dtype=np.int64), axis=axis)
+
+
+@op("GatherElements")
+def gather_elements(ctx: OpContext, x, indices):
+    axis = ctx.attr("axis", 0)
+    if ctx.is_fold:
+        return np.take_along_axis(x, np.asarray(indices, np.int64), axis=axis)
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(indices)
+    dim = np.shape(x)[axis]
+    idx = jnp.where(idx < 0, idx + dim, idx)
+    return jnp.take_along_axis(x, idx, axis=axis)
+
+
+@op("GatherND", foldable=False)
+def gather_nd(ctx: OpContext, x, indices):
+    import jax.numpy as jnp
+
+    batch_dims = ctx.attr("batch_dims", 0)
+    if batch_dims != 0:
+        raise NotImplementedError("GatherND batch_dims != 0")
+    idx = jnp.asarray(indices)
+    k = idx.shape[-1]
+    flat_idx = tuple(idx[..., i] for i in range(k))
+    return jnp.asarray(x)[flat_idx]
+
+
+@op("Shape")
+def shape_(ctx: OpContext, x):
+    # always static: shapes are trace-time constants (tracer routes here
+    # even for dynamic tensors — SURVEY §2.7 "free metadata ops")
+    s = list(np.shape(x))
+    start = ctx.attr("start", 0) or 0
+    end = ctx.attr("end")
+    s = s[start:] if end is None else s[start:end]
+    return np.asarray(s, dtype=np.int64)
+
+
+@op("Size")
+def size_(ctx: OpContext, x):
+    return np.asarray(int(np.prod(np.shape(x)) if np.ndim(x) else 1), dtype=np.int64)
+
+
+@op("Cast")
+def cast(ctx: OpContext, x):
+    to = ctx.attr("to")
+    np_dt = DTYPE_MAP[int(to)]
+    dt = canonical_dtype(np_dt, device=not ctx.is_fold)
+    return ctx.xp.asarray(x).astype(dt)
+
+
+@op("CastLike")
+def cast_like(ctx: OpContext, x, like):
+    return ctx.xp.asarray(x).astype(np.asarray(like).dtype if ctx.is_fold else like.dtype)
+
+
+@op("Constant")
+def constant(ctx: OpContext):
+    for key in ("value", "value_float", "value_int", "value_ints", "value_floats"):
+        v = ctx.attr(key)
+        if v is not None:
+            if key == "value":
+                return v
+            if key == "value_float":
+                return np.asarray(v, np.float32)
+            if key == "value_int":
+                return np.asarray(v, np.int64)
+            if key == "value_ints":
+                return np.asarray(v, np.int64)
+            return np.asarray(v, np.float32)
+    raise ValueError("Constant node without a value attribute")
+
+
+@op("ConstantOfShape", static_args=(0,))
+def constant_of_shape(ctx: OpContext, shape):
+    dims = static_ints(shape, "ConstantOfShape")
+    v = ctx.attr("value")
+    if v is None:
+        return np.zeros(dims, dtype=np.float32)
+    v = np.asarray(v)
+    return np.full(dims, v.reshape(-1)[0], dtype=v.dtype)
+
+
+@op("Slice", static_args=(1, 2, 3, 4))
+def slice_(ctx: OpContext, x, starts=None, ends=None, axes=None, steps=None):
+    if starts is None:  # opset < 10: attributes
+        starts = ctx.attr_ints("starts")
+        ends = ctx.attr_ints("ends")
+        axes = ctx.attr_ints("axes")
+    starts = static_ints(starts, "slice starts")
+    ends = static_ints(ends, "slice ends")
+    axes_l = static_ints(axes, "slice axes") if axes is not None else list(
+        range(len(starts))
+    )
+    steps_l = static_ints(steps, "slice steps") if steps is not None else [1] * len(
+        starts
+    )
+    rank = np.ndim(x)
+    sl = [slice(None)] * rank
+    INT_MAX = 2**31 - 1
+    for st, en, ax, sp in zip(starts, ends, axes_l, steps_l):
+        ax = ax if ax >= 0 else ax + rank
+        # clamp huge sentinels (i64 max / INT_MAX used as "to the end")
+        if en >= INT_MAX:
+            en = None
+        elif en <= -INT_MAX:
+            en = None if sp < 0 else 0
+        sl[ax] = slice(st, en, sp)
+    return x[tuple(sl)]
+
+
+@op("Expand", static_args=(1,))
+def expand(ctx: OpContext, x, shape):
+    dims = static_ints(shape, "expand shape")
+    target = np.broadcast_shapes(np.shape(x), tuple(dims))
+    return ctx.xp.broadcast_to(x, target)
+
+
+@op("Tile", static_args=(1,))
+def tile(ctx: OpContext, x, repeats):
+    return ctx.xp.tile(x, tuple(static_ints(repeats, "tile repeats")))
+
+
+@op("Split", static_args=(1,))
+def split(ctx: OpContext, x, split_sizes=None):
+    axis = ctx.attr("axis", 0)
+    rank = np.ndim(x)
+    axis = axis if axis >= 0 else axis + rank
+    dim = np.shape(x)[axis]
+    sizes = None
+    if split_sizes is not None:
+        sizes = static_ints(split_sizes, "split sizes")
+    elif ctx.attr("split") is not None:
+        sizes = ctx.attr_ints("split")
+    if sizes is None:
+        n = ctx.attr("num_outputs")
+        if n is None:
+            n = len(ctx.node.output) if ctx.node is not None else 2
+        base = -(-dim // n)
+        sizes = [base] * (n - 1) + [dim - base * (n - 1)]
+    offsets = np.cumsum([0] + sizes)
+    outs = []
+    for i in range(len(sizes)):
+        sl = [slice(None)] * rank
+        sl[axis] = slice(int(offsets[i]), int(offsets[i + 1]))
+        outs.append(x[tuple(sl)])
+    return tuple(outs)
+
+
+@op("Pad", static_args=(1, 3))
+def pad(ctx: OpContext, x, pads=None, constant_value=None, axes=None):
+    mode = ctx.attr("mode", "constant")
+    if pads is None:
+        plist = ctx.attr_ints("pads")
+    else:
+        plist = static_ints(pads, "pads")
+    rank = np.ndim(x)
+    if axes is not None:
+        ax_l = static_ints(axes, "pad axes")
+        full = [0] * (2 * rank)
+        for i, a in enumerate(ax_l):
+            a = a if a >= 0 else a + rank
+            full[a] = plist[i]
+            full[rank + a] = plist[len(ax_l) + i]
+        plist = full
+    pairs = [(plist[i], plist[i + rank]) for i in range(rank)]
+    # negative pads crop first
+    if any(p < 0 for pair in pairs for p in pair):
+        sl = []
+        for i, (b, e) in enumerate(pairs):
+            start = -b if b < 0 else 0
+            stop = np.shape(x)[i] + e if e < 0 else None
+            sl.append(slice(start, stop))
+        x = x[tuple(sl)]
+        pairs = [(max(b, 0), max(e, 0)) for b, e in pairs]
+    if mode == "constant":
+        cv = 0 if constant_value is None else np.asarray(constant_value).item()
+        return ctx.xp.pad(x, pairs, mode="constant", constant_values=cv)
+    mode_map = {"reflect": "reflect", "edge": "edge", "wrap": "wrap"}
+    return ctx.xp.pad(x, pairs, mode=mode_map[mode])
+
+
+@op("TopK", foldable=False, static_args=(1,))
+def topk(ctx: OpContext, x, k):
+    import jax
+    import jax.numpy as jnp
+
+    kk = static_ints(k, "topk k")[0]
+    axis = ctx.attr("axis", -1)
+    largest = bool(ctx.attr("largest", 1))
+    rank = np.ndim(x)
+    axis = axis if axis >= 0 else axis + rank
+    moved = jnp.moveaxis(x, axis, -1)
+    vals, idx = jax.lax.top_k(moved if largest else -moved, kk)
+    if not largest:
+        vals = -vals
+    vals = jnp.moveaxis(vals, -1, axis)
+    idx = jnp.moveaxis(idx, -1, axis)
+    return vals, idx.astype(canonical_dtype(np.dtype(np.int64), True))
+
+
+@op("ArgMax")
+def argmax(ctx: OpContext, x):
+    axis = ctx.attr("axis", 0)
+    keepdims = bool(ctx.attr("keepdims", 1))
+    if ctx.attr("select_last_index", 0):
+        rev = ctx.xp.flip(x, axis=axis)
+        idx = ctx.xp.argmax(rev, axis=axis)
+        idx = np.shape(x)[axis] - 1 - idx
+    else:
+        idx = ctx.xp.argmax(x, axis=axis)
+    if keepdims:
+        idx = ctx.xp.expand_dims(idx, axis)
+    dt = np.int64 if ctx.is_fold else canonical_dtype(np.dtype(np.int64), True)
+    return idx.astype(dt)
+
+
+@op("ArgMin")
+def argmin(ctx: OpContext, x):
+    axis = ctx.attr("axis", 0)
+    keepdims = bool(ctx.attr("keepdims", 1))
+    idx = ctx.xp.argmin(x, axis=axis)
+    if keepdims:
+        idx = ctx.xp.expand_dims(idx, axis)
+    dt = np.int64 if ctx.is_fold else canonical_dtype(np.dtype(np.int64), True)
+    return idx.astype(dt)
+
+
+@op("OneHot", static_args=(1,))
+def onehot(ctx: OpContext, indices, depth, values):
+    d = static_ints(depth, "onehot depth")[0]
+    axis = ctx.attr("axis", -1)
+    vals = np.asarray(values) if ctx.is_fold else values
+    off, on = vals[0], vals[1]
+    idx = ctx.xp.asarray(indices)
+    idx = ctx.xp.where(idx < 0, idx + d, idx)
+    eye = ctx.xp.arange(d)
+    oh = ctx.xp.expand_dims(idx, -1) == eye
+    out = ctx.xp.where(oh, on, off)
+    if axis != -1:
+        out = ctx.xp.moveaxis(out, -1, axis if axis >= 0 else axis + out.ndim)
+    return out
+
+
+@op("DepthToSpace")
+def depth_to_space(ctx: OpContext, x):
+    b = ctx.attr("blocksize")
+    mode = ctx.attr("mode", "DCR")
+    n, c, h, w = np.shape(x)
+    if mode == "DCR":
+        t = ctx.xp.reshape(x, (n, b, b, c // (b * b), h, w))
+        t = ctx.xp.transpose(t, (0, 3, 4, 1, 5, 2))
+    else:  # CRD
+        t = ctx.xp.reshape(x, (n, c // (b * b), b, b, h, w))
+        t = ctx.xp.transpose(t, (0, 1, 4, 2, 5, 3))
+    return ctx.xp.reshape(t, (n, c // (b * b), h * b, w * b))
+
+
+@op("SpaceToDepth")
+def space_to_depth(ctx: OpContext, x):
+    b = ctx.attr("blocksize")
+    n, c, h, w = np.shape(x)
+    t = ctx.xp.reshape(x, (n, c, h // b, b, w // b, b))
+    t = ctx.xp.transpose(t, (0, 3, 5, 1, 2, 4))
+    return ctx.xp.reshape(t, (n, c * b * b, h // b, w // b))
+
+
+@op("ScatterND", foldable=False)
+def scatter_nd(ctx: OpContext, data, indices, updates):
+    import jax.numpy as jnp
+
+    reduction = ctx.attr("reduction", "none")
+    idx = jnp.asarray(indices)
+    k = idx.shape[-1]
+    flat_idx = tuple(idx[..., i] for i in range(k))
+    d = jnp.asarray(data)
+    if reduction == "add":
+        return d.at[flat_idx].add(updates)
+    if reduction == "mul":
+        return d.at[flat_idx].multiply(updates)
+    return d.at[flat_idx].set(updates)

@@ -1,0 +1,90 @@
+"""CompiledModel: the runtime wrapper around one traced XLA program.
+
+The analog of the reference's generated model struct (`Model::new(&weights)`
++ `forward`/`forward_with_workspace`, compiler/mod.rs:1042-1352):
+- the flat weights blob → a device-resident params dict (uploaded once)
+- the Vec<f32> workspace pool → XLA buffer assignment
+- `forward_with_workspace` steady-state reuse → `jax.jit` donation of
+  declared streaming-state inputs (SURVEY.md §3.3: Silero state recirculation)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+
+class CompiledModel:
+    def __init__(
+        self,
+        walk_fn,
+        params: dict[str, np.ndarray],
+        input_specs: dict[str, tuple[tuple, Any]],
+        input_order: Sequence[str],
+        output_names: Sequence[str],
+        donate: Sequence[str] = (),
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.tensor_ops import canonical_dtype
+
+        self.input_specs = input_specs
+        self.input_order = list(input_order)
+        self.output_names = list(output_names)
+        self.donate = [d for d in donate if d in input_order]
+        self._canon = {
+            n: canonical_dtype(np.dtype(input_specs[n][1]), device=True)
+            for n in input_order
+        }
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+
+        rest_names = [n for n in self.input_order if n not in self.donate]
+        donate_names = list(self.donate)
+
+        def fn(params_d, donated: tuple, rest: tuple):
+            inputs = dict(zip(donate_names, donated)) | dict(zip(rest_names, rest))
+            return walk_fn(params_d, inputs)
+
+        self._rest_names = rest_names
+        self._donate_names = donate_names
+        self._jit = jax.jit(fn, donate_argnums=(1,) if donate_names else ())
+
+    def _prep(self, name: str, v) -> Any:
+        import jax.numpy as jnp
+
+        arr = np.asarray(v) if isinstance(v, (np.ndarray, list, float, int)) else v
+        if isinstance(arr, np.ndarray):
+            dt = self._canon[name]
+            if arr.dtype != dt:
+                arr = arr.astype(dt)
+            return jnp.asarray(arr)
+        return arr  # already a device array; jit will cast/complain as needed
+
+    def __call__(self, *args, **kwargs) -> list:
+        if args:
+            kwargs.update(dict(zip(self.input_order, args)))
+        donated = tuple(self._prep(n, kwargs[n]) for n in self._donate_names)
+        rest = tuple(self._prep(n, kwargs[n]) for n in self._rest_names)
+        return self._jit(self.params, donated, rest)
+
+    def run_np(self, *args, **kwargs) -> list[np.ndarray]:
+        return [np.asarray(o) for o in self(*args, **kwargs)]
+
+    def lower(self):
+        """AOT-lower for cold-start caching / serialization."""
+        import jax
+
+        donated = tuple(
+            jax.ShapeDtypeStruct(tuple(self.input_specs[n][0]), self._canon[n])
+            for n in self._donate_names
+        )
+        rest = tuple(
+            jax.ShapeDtypeStruct(tuple(self.input_specs[n][0]), self._canon[n])
+            for n in self._rest_names
+        )
+        return self._jit.lower(self.params, donated, rest)
+
+    def compile(self):
+        return self.lower().compile()

@@ -7,7 +7,9 @@ covered by bench.py and the driver's compile checks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel), which must not serve unit tests
+os.environ["JAX_PLATFORMS"] = os.environ.get("LELE_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

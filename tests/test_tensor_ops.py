@@ -1,0 +1,296 @@
+"""Tensor-manipulation + control-flow + folding suite.
+
+Ports the manipulation coverage of the reference's kernel_accuracy.rs
+(concat/where/expand/split/transpose/gather) and exercises the tracer's
+constant folding on shape-carrying chains (the fold_constants behavior of
+compiler/mod.rs:375-518) and If resolution (control_flow.rs:18-152).
+"""
+
+import numpy as np
+import pytest
+
+from optest import assert_close, run_graph, run_op
+from lele_tpu.onnx import builder as ob
+
+rng = np.random.default_rng(3)
+
+
+def test_transpose_default_and_perm():
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    assert_close(run_op("Transpose", {"x": x})[0], x.T)
+    assert_close(
+        run_op("Transpose", {"x": x}, perm=[0, 2, 1])[0], x.transpose(0, 2, 1)
+    )
+
+
+def test_reshape_zero_and_minus_one():
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    (y,) = run_op(
+        "Reshape", {"x": x}, initializers={"s": np.array([0, -1], np.int64)}
+    )
+    assert y.shape == (2, 12)
+    (y,) = run_op(
+        "Reshape", {"x": x}, initializers={"s": np.array([-1, 4], np.int64)}
+    )
+    assert y.shape == (6, 4)
+
+
+def test_flatten_axis():
+    x = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+    assert run_op("Flatten", {"x": x}, axis=2)[0].shape == (6, 20)
+    assert run_op("Flatten", {"x": x}, axis=0)[0].shape == (1, 120)
+
+
+def test_squeeze_unsqueeze():
+    x = rng.standard_normal((2, 1, 3, 1)).astype(np.float32)
+    (y,) = run_op("Squeeze", {"x": x}, initializers={"ax": np.array([1, 3], np.int64)})
+    assert y.shape == (2, 3)
+    (y,) = run_op("Unsqueeze", {"x": y}, initializers={"ax": np.array([0, -1], np.int64)})
+    assert y.shape == (1, 2, 3, 1)
+
+
+def test_concat_negative_axis():
+    a = rng.standard_normal((2, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 5)).astype(np.float32)
+    (y,) = run_op("Concat", {"a": a, "b": b}, axis=-1)
+    assert_close(y, np.concatenate([a, b], axis=1))
+
+
+def test_slice_steps_and_sentinels():
+    x = np.arange(20, dtype=np.float32).reshape(4, 5)
+    (y,) = run_op(
+        "Slice",
+        {"x": x},
+        initializers={
+            "starts": np.array([1], np.int64),
+            "ends": np.array([9223372036854775807], np.int64),
+            "axes": np.array([0], np.int64),
+        },
+    )
+    assert_close(y, x[1:])
+    (y,) = run_op(
+        "Slice",
+        {"x": x},
+        initializers={
+            "starts": np.array([3, 4], np.int64),
+            "ends": np.array([-10, 0], np.int64),
+            "axes": np.array([0, 1], np.int64),
+            "steps": np.array([-1, -2], np.int64),
+        },
+    )
+    assert_close(y, x[3::-1, 4:0:-2])
+
+
+def test_pad_modes():
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    (y,) = run_op(
+        "Pad", {"x": x}, initializers={"p": np.array([0, 1, 0, 1], np.int64)}
+    )
+    assert_close(y, np.pad(x, ((0, 0), (1, 1))))
+    (y,) = run_op(
+        "Pad", {"x": x},
+        initializers={"p": np.array([1, 1, 1, 1], np.int64)},
+        mode="reflect",
+    )
+    assert_close(y, np.pad(x, 1, mode="reflect"))
+    (y,) = run_op(
+        "Pad", {"x": x},
+        initializers={"p": np.array([1, 0, 1, 0], np.int64)},
+        mode="edge",
+    )
+    assert_close(y, np.pad(x, ((1, 1), (0, 0)), mode="edge"))
+
+
+def test_pad_negative_crops():
+    x = np.arange(16, dtype=np.float32).reshape(4, 4)
+    (y,) = run_op(
+        "Pad", {"x": x}, initializers={"p": np.array([-1, 0, -1, 0], np.int64)}
+    )
+    assert_close(y, x[1:3])
+
+
+def test_split_even_and_sizes():
+    x = rng.standard_normal((6, 4)).astype(np.float32)
+    outs = run_op("Split", {"x": x}, n_outputs=3, axis=0)
+    for i, o in enumerate(outs):
+        assert_close(o, x[2 * i : 2 * i + 2])
+    outs = run_op(
+        "Split", {"x": x}, n_outputs=2, axis=1,
+        initializers={"sp": np.array([1, 3], np.int64)},
+    )
+    assert_close(outs[0], x[:, :1])
+    assert_close(outs[1], x[:, 1:])
+
+
+def test_tile_expand():
+    x = rng.standard_normal((2, 1, 3)).astype(np.float32)
+    (y,) = run_op("Tile", {"x": x}, initializers={"r": np.array([1, 4, 2], np.int64)})
+    assert_close(y, np.tile(x, (1, 4, 2)))
+    (y,) = run_op(
+        "Expand", {"x": x}, initializers={"s": np.array([2, 5, 3], np.int64)}
+    )
+    assert_close(y, np.broadcast_to(x, (2, 5, 3)))
+
+
+def test_gather_negative_indices():
+    x = rng.standard_normal((5, 3)).astype(np.float32)
+    idx = np.array([0, -1, 2], np.int64)
+    (y,) = run_op("Gather", {"x": x, "i": idx})
+    assert_close(y, x[[0, 4, 2]])
+    (y,) = run_op("Gather", {"x": x}, initializers={"i": np.array(1, np.int64)}, axis=1)
+    assert_close(y, x[:, 1])
+
+
+def test_gather_elements():
+    x = np.array([[1, 2], [3, 4]], dtype=np.float32)
+    idx = np.array([[0, 0], [1, 0]], np.int64)
+    (y,) = run_op("GatherElements", {"x": x, "i": idx}, axis=1)
+    assert_close(y, np.take_along_axis(x, idx, axis=1))
+
+
+def test_topk_largest_smallest():
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    vals, idx = run_op(
+        "TopK", {"x": x}, n_outputs=2, initializers={"k": np.array([3], np.int64)}
+    )
+    want = np.sort(x, axis=1)[:, ::-1][:, :3]
+    assert_close(vals, want)
+    np.testing.assert_array_equal(np.take_along_axis(x, idx.astype(np.int64), 1), vals)
+    vals, idx = run_op(
+        "TopK", {"x": x}, n_outputs=2,
+        initializers={"k": np.array([2], np.int64)}, largest=0,
+    )
+    assert_close(vals, np.sort(x, axis=1)[:, :2])
+
+
+def test_cast_and_castlike():
+    x = np.array([1.7, -2.3, 0.5], np.float32)
+    (y,) = run_op("Cast", {"x": x}, to=7)  # int64 → canonical i32 on device
+    np.testing.assert_array_equal(y, [1, -2, 0])
+    assert y.dtype in (np.int32, np.int64)
+
+
+def test_constant_of_shape_and_range():
+    nodes = [
+        ob.node("ConstantOfShape", ["s"], ["c"], value=np.array([2.5], np.float32)),
+        ob.node("Add", ["c", "x"], ["y"]),
+    ]
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    (y,) = run_graph(
+        nodes, {"x": x}, ["y"], initializers={"s": np.array([2, 3], np.int64)}
+    )
+    assert_close(y, x + 2.5)
+    nodes = [
+        ob.node("Range", ["s", "l", "d"], ["r"]),
+        ob.node("Mul", ["r", "x"], ["y"]),
+    ]
+    x2 = rng.standard_normal((5,)).astype(np.float32)
+    (y,) = run_graph(
+        nodes, {"x": x2}, ["y"],
+        initializers={"s": np.array(0.0, np.float32), "l": np.array(5.0, np.float32),
+                      "d": np.array(1.0, np.float32)},
+    )
+    assert_close(y, np.arange(5, dtype=np.float32) * x2)
+
+
+def test_shape_chain_folds_into_reshape():
+    """Shape→Gather→Concat→Reshape resolves statically (fold_constants
+    analog, mod.rs:401-429)."""
+    x = rng.standard_normal((3, 4, 5)).astype(np.float32)
+    nodes = [
+        ob.node("Shape", ["x"], ["shp"]),
+        ob.node("Gather", ["shp", "i0"], ["d0"], axis=0),
+        ob.node("Concat", ["d0u", "m1"], ["target"], axis=0),
+        ob.node("Unsqueeze", ["d0", "z"], ["d0u"]),
+        ob.node("Reshape", ["x", "target"], ["y"]),
+    ]
+    # note: deliberately out-of-order Concat/Unsqueeze to check we follow
+    # graph topology order as given (ONNX requires topo order; builder keeps
+    # declaration order, so reorder to be valid):
+    nodes = [nodes[0], nodes[1], nodes[3], nodes[2], nodes[4]]
+    (y,) = run_graph(
+        nodes, {"x": x}, ["y"],
+        initializers={
+            "i0": np.array(0, np.int64),
+            "z": np.array([0], np.int64),
+            "m1": np.array([-1], np.int64),
+        },
+    )
+    assert y.shape == (3, 20)
+    assert_close(y, x.reshape(3, 20))
+
+
+def test_if_static_cond_resolves_at_trace_time():
+    then_g = ob.graph(
+        [ob.node("Mul", ["x", "two"], ["tb_out"])],
+        name="then", outputs=[ob.value_info("tb_out", 1, [])],
+    )
+    else_g = ob.graph(
+        [ob.node("Neg", ["x"], ["eb_out"])],
+        name="else", outputs=[ob.value_info("eb_out", 1, [])],
+    )
+    x = rng.standard_normal((4,)).astype(np.float32)
+    nodes = [ob.node("If", ["cond"], ["y"], then_branch=then_g, else_branch=else_g)]
+    (y,) = run_graph(
+        nodes, {"x": x}, ["y"],
+        initializers={"cond": np.array(True), "two": np.float32(2.0)},
+    )
+    assert_close(y, x * 2)
+    (y,) = run_graph(
+        nodes, {"x": x}, ["y"],
+        initializers={"cond": np.array(False), "two": np.float32(2.0)},
+    )
+    assert_close(y, -x)
+
+
+def test_if_dynamic_cond_uses_lax_cond():
+    then_g = ob.graph(
+        [ob.node("Add", ["x", "x"], ["o"])],
+        name="then", outputs=[ob.value_info("o", 1, [])],
+    )
+    else_g = ob.graph(
+        [ob.node("Sub", ["x", "x"], ["o2"])],
+        name="else", outputs=[ob.value_info("o2", 1, [])],
+    )
+    x = rng.standard_normal((3,)).astype(np.float32)
+    nodes = [
+        ob.node("ReduceSum", ["x"], ["s"], keepdims=0),
+        ob.node("Greater", ["s", "zero"], ["cond"]),
+        ob.node("If", ["cond"], ["y"], then_branch=then_g, else_branch=else_g),
+    ]
+    (y,) = run_graph(
+        nodes, {"x": x}, ["y"], initializers={"zero": np.float32(0.0)}
+    )
+    want = x + x if x.sum() > 0 else x - x
+    assert_close(y, want)
+
+
+def test_unknown_op_warns_and_emits_empty():
+    """Fallback parity with generate.rs:987-997 (non-strict mode)."""
+    x = rng.standard_normal((2,)).astype(np.float32)
+    nodes = [ob.node("TotallyMadeUpOp", ["x"], ["z"]), ob.node("Identity", ["z"], ["y"])]
+    (y,) = run_graph(nodes, {"x": x}, ["y"], strict=False)
+    assert y.size == 0
+
+
+def test_unknown_op_strict_raises():
+    x = rng.standard_normal((2,)).astype(np.float32)
+    nodes = [ob.node("TotallyMadeUpOp", ["x"], ["y"])]
+    with pytest.raises(NotImplementedError):
+        run_graph(nodes, {"x": x}, ["y"], strict=True)
+
+
+def test_onehot_depth_to_space():
+    idx = np.array([0, 2, -1], np.int64)
+    (y,) = run_op(
+        "OneHot", {"i": idx},
+        initializers={"d": np.array(3, np.int64),
+                      "v": np.array([0.0, 1.0], np.float32)},
+    )
+    want = np.eye(3, dtype=np.float32)[[0, 2, 2]]
+    assert_close(y, want)
+    x = np.arange(16, dtype=np.float32).reshape(1, 4, 2, 2)
+    (y,) = run_op("DepthToSpace", {"x": x}, blocksize=2)
+    assert y.shape == (1, 1, 4, 4)
+    (z,) = run_op("SpaceToDepth", {"y": y}, blocksize=2)
+    assert_close(z.reshape(x.shape), x)
