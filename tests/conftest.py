@@ -8,8 +8,14 @@ covered by bench.py and the driver's compile checks.
 import os
 
 # force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
-# tunnel), which must not serve unit tests
+# tunnel), which must not serve unit tests. The axon sitecustomize shim
+# overrides the env var via jax.config at interpreter start, so we must
+# override the config again before any backend initializes.
 os.environ["JAX_PLATFORMS"] = os.environ.get("LELE_TEST_PLATFORM", "cpu")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
