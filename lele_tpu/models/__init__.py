@@ -1,0 +1,37 @@
+"""Native JAX model families (SURVEY.md §2.5 product surface).
+
+Silero-style VAD, SenseVoice-style ASR, Supertonic-style TTS, YOLO26-style
+detection/segmentation. ONNX checkpoints of the real models compile through
+``lele_tpu.compiler``; these native architectures run the same pipelines
+without downloads (bench, tests, sharding, fine-tuning).
+"""
+
+from .sensevoice import (  # noqa: F401
+    SenseVoiceConfig,
+    SenseVoiceModel,
+    greedy_ctc_decode,
+    init_sensevoice,
+    sensevoice_encode,
+)
+from .silero import (  # noqa: F401
+    SileroConfig,
+    SileroVad,
+    VadSegmentConfig,
+    collect_segments,
+    silero_step,
+    zero_state,
+)
+from .supertonic import (  # noqa: F401
+    SupertonicConfig,
+    SupertonicTts,
+    UnicodeIndexer,
+    chunk_text,
+    load_voice_style,
+    normalize_text,
+)
+from .yolo26 import (  # noqa: F401
+    Yolo26Config,
+    Yolo26Model,
+    compose_masks,
+    decode_detections,
+)

@@ -1,0 +1,231 @@
+"""SenseVoice-style ASR encoder (the flagship model family).
+
+Product parity: the reference runs SenseVoiceSmall as an int8-quantized ONNX
+encoder + greedy CTC decode (/root/reference/examples/sensevoice/src/
+main.rs:56-246, SURVEY.md §2.5). This module is a native JAX implementation
+of the same architecture class — a SAN-M encoder (self-attention + FSMN
+memory convolution, FunASR lineage): 560-dim LFR fbank features → 4 prefix
+query frames (language, event, emotion, text-norm) → N SAN-M blocks →
+CTC vocab head. ONNX checkpoints compile through lele_tpu.compiler instead;
+this native path is used for benches, tests, sharding, and fine-tuning.
+
+TPU design notes:
+- feature-last layouts throughout; all matmuls MXU-shaped
+- compute dtype bf16 with f32 accumulation (`preferred_element_type`)
+- optional dynamic-int8 linears via kernels.quant_matmul to mirror the
+  reference's quantized encoder numerics
+- whole forward (frontend included) jits into ONE program
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..features import FbankConfig, FbankFrontend
+from .common import (
+    Params,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    sinusoidal_positions,
+)
+
+
+@dataclass
+class SenseVoiceConfig:
+    input_dim: int = 560  # 80 mel × LFR m=7
+    d_model: int = 512
+    n_heads: int = 4
+    ffn_dim: int = 2048
+    n_layers: int = 50
+    fsmn_kernel: int = 11
+    vocab_size: int = 25055
+    n_prefix: int = 4  # language / event / emotion / textnorm query frames
+    dropout: float = 0.0  # inference
+    dtype: str = "bfloat16"
+    quantized: bool = False  # dynamic-int8 linears (reference parity mode)
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def init_sensevoice(key, cfg: SenseVoiceConfig) -> Params:
+    keys = jax.random.split(key, cfg.n_layers + 8)
+    p: Params = {
+        "embed": init_linear(keys[0], cfg.input_dim, cfg.d_model),
+        "prefix": jax.random.normal(keys[1], (cfg.n_prefix, cfg.input_dim)) * 0.02,
+        "after_norm": init_layer_norm(keys[2], cfg.d_model),
+        "ctc": init_linear(keys[3], cfg.d_model, cfg.vocab_size),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        k = jax.random.split(keys[4 + i], 8)
+        d, h = cfg.d_model, cfg.n_heads
+        p["layers"].append(
+            {
+                "norm1": init_layer_norm(k[0], d),
+                "qkv": init_linear(k[1], d, 3 * d),
+                "fsmn": {
+                    "w": jax.random.normal(k[2], (cfg.fsmn_kernel, d))
+                    * (1.0 / np.sqrt(cfg.fsmn_kernel))
+                },
+                "out": init_linear(k[3], d, d),
+                "norm2": init_layer_norm(k[4], d),
+                "ffn1": init_linear(k[5], d, cfg.ffn_dim),
+                "ffn2": init_linear(k[6], cfg.ffn_dim, d),
+            }
+        )
+    return p
+
+
+def _quant_linear(p: Params, x):
+    """Dynamic-int8 linear mirroring the reference's quantized encoder path
+    (fused DQL → int8 dot → dequant; kernels/quant_matmul.py)."""
+    from ..kernels.quant_matmul import dynamic_quantize_u8, _to_i8
+
+    w = p["w"]
+    q, a_scale, a_zp_f = dynamic_quantize_u8(x.astype(jnp.float32))
+    ai = _to_i8(q)
+    a_zp_i = (a_zp_f - 128.0).astype(jnp.int32)
+    # weight quantization: symmetric int8 per-tensor, folded at trace time
+    w_absmax = jnp.max(jnp.abs(w))
+    w_scale = w_absmax / 127.0
+    wi = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+    c = jnp.matmul(ai, wi, preferred_element_type=jnp.int32)
+    colsum = jnp.sum(wi.astype(jnp.int32), axis=0, keepdims=True)
+    c = c - a_zp_i[..., None, None] * colsum
+    y = c.astype(jnp.float32) * (a_scale * w_scale)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
+    """SAN-M: multi-head self-attention + FSMN memory conv on values.
+
+    x: [B, T, D]; mask: [B, T] (1 = valid). Pre-norm residual wiring.
+    """
+    dt = cfg.compute_dtype
+    lin = _quant_linear if cfg.quantized else (lambda pp, v: linear(pp, v, dtype=dt))
+    B, T, D = x.shape
+    H = cfg.n_heads
+    hd = D // H
+
+    h = layer_norm(p["norm1"], x)
+    qkv = lin(p["qkv"], h)
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+
+    # FSMN memory branch: depthwise causal-centered conv over values
+    pad = (cfg.fsmn_kernel - 1) // 2
+    vm = v * mask[..., None]
+    fsmn = jax.lax.conv_general_dilated(
+        vm.astype(dt),
+        p["fsmn"]["w"][:, None, :].astype(dt),  # [k, 1, D] depthwise
+        window_strides=(1,),
+        padding=[(pad, cfg.fsmn_kernel - 1 - pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=D,
+        preferred_element_type=jnp.float32,
+    )
+
+    qh = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh.astype(dt), kh.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) / np.sqrt(hd)
+    neg = jnp.asarray(-1e9, jnp.float32)
+    scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx_ = jnp.einsum(
+        "bhqk,bhkd->bhqd", attn.astype(dt), vh.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    ctx_ = ctx_.transpose(0, 2, 1, 3).reshape(B, T, D)
+    att_out = lin(p["out"], ctx_ + fsmn)
+    x = x + att_out.astype(x.dtype)
+
+    h2 = layer_norm(p["norm2"], x)
+    ff = lin(p["ffn2"], jax.nn.relu(lin(p["ffn1"], h2)))
+    return x + ff.astype(x.dtype)
+
+
+def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
+    """feats: [B, T, 560]; mask: [B, T] → logits [B, T+4, vocab]."""
+    B, T, _ = feats.shape
+    prefix = jnp.broadcast_to(p["prefix"], (B, cfg.n_prefix, cfg.input_dim))
+    x = jnp.concatenate([prefix, feats], axis=1)
+    mask = jnp.concatenate([jnp.ones((B, cfg.n_prefix), mask.dtype), mask], axis=1)
+    Tt = T + cfg.n_prefix
+    x = x * (cfg.d_model**0.5) / (cfg.input_dim**0.5)
+    x = linear(p["embed"], x, dtype=cfg.compute_dtype).astype(jnp.float32)
+    x = x + sinusoidal_positions(Tt, cfg.d_model)
+    for lp in p["layers"]:
+        x = sanm_block(lp, x, mask, cfg)
+    x = layer_norm(p["after_norm"], x)
+    logits = linear(p["ctc"], x, dtype=cfg.compute_dtype)
+    return logits.astype(jnp.float32)
+
+
+@dataclass
+class SenseVoiceModel:
+    """Bundles frontend + encoder; `forward(pcm)` is one jittable program
+    (waveform → logits, no host round-trips — the BASELINE.json north star)."""
+
+    cfg: SenseVoiceConfig = field(default_factory=SenseVoiceConfig)
+    params: Params | None = None
+    fbank: FbankFrontend | None = None
+
+    def __post_init__(self):
+        if self.fbank is None:
+            self.fbank = FbankFrontend(FbankConfig())
+
+    def init(self, seed: int = 0):
+        # one compiled program instead of hundreds of eager RNG dispatches
+        self.params = jax.jit(lambda k: init_sensevoice(k, self.cfg))(
+            jax.random.PRNGKey(seed)
+        )
+        return self.params
+
+    def features(self, pcm):
+        return self.fbank(pcm)
+
+    def forward_fn(self):
+        cfg = self.cfg
+        fbank = self.fbank
+
+        def fn(params, pcm):
+            feats = fbank(pcm)[None]  # [1, T, 560]
+            mask = jnp.ones(feats.shape[:2], jnp.float32)
+            return sensevoice_encode(params, feats, mask, cfg)
+
+        return fn
+
+    def encode_fn(self):
+        cfg = self.cfg
+
+        def fn(params, feats, mask):
+            return sensevoice_encode(params, feats, mask, cfg)
+
+        return fn
+
+
+def greedy_ctc_decode(logits: np.ndarray, blank_id: int = 0) -> list[int]:
+    """Greedy CTC: argmax per frame, collapse repeats, drop blanks
+    (tokenizer semantics of examples/sensevoice/src/tokenizer.rs:38-86)."""
+    ids = np.asarray(logits).argmax(-1)
+    out = []
+    prev = -1
+    for t in ids:
+        t = int(t)
+        if t != prev and t != blank_id:
+            out.append(t)
+        prev = t
+    return out

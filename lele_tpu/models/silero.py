@@ -1,0 +1,221 @@
+"""Silero-style streaming VAD (smallest model family; the e2e milestone
+model of SURVEY.md §7 step 3).
+
+Product parity: the reference compiles Silero VAD to a stateful forward
+(input [1,512] @16k, state [2,1,128], sr scalar) and drives it in 512-sample
+chunks with a hysteresis segment collector
+(/root/reference/examples/silero/src/main.rs:9-131, SURVEY.md §3.3).
+
+Native architecture (Silero lineage): STFT magnitude front-end → small conv
+encoder (SiLU) with stride-2 time reduction → LSTM cell carrying (h, c)
+state across chunks → sigmoid speech probability. The sample-rate branch
+(16 kHz vs 8 kHz) resolves at trace time — the analog of the reference
+compiling Silero's `If` nodes on a static sr (compiler/mod.rs:120).
+
+Streaming on TPU: the jitted step donates its state buffers (XLA buffer
+donation ≙ the reference's reused Workspace, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import Params, init_conv1d, init_linear, init_lstm_cell, conv1d, linear, lstm_cell
+
+
+@dataclass
+class SileroConfig:
+    chunk: int = 512
+    context: int = 64  # leading context samples carried between chunks
+    n_fft: int = 256
+    hop: int = 64
+    d_hidden: int = 128
+    channels: tuple = (128, 64, 64, 128)
+    sample_rate: int = 16000
+    dtype: str = "float32"
+
+
+def init_silero(key, cfg: SileroConfig) -> Params:
+    ks = jax.random.split(key, len(cfg.channels) + 3)
+    n_bins = cfg.n_fft // 2 + 1
+    p: Params = {"convs": []}
+    c_in = n_bins
+    for i, c_out in enumerate(cfg.channels):
+        p["convs"].append(init_conv1d(ks[i], c_in, c_out, 3))
+        c_in = c_out
+    p["lstm"] = init_lstm_cell(ks[-3], c_in, cfg.d_hidden)
+    p["head"] = init_linear(ks[-2], cfg.d_hidden, 1)
+    return p
+
+
+def silero_features(params: Params, chunks, cfg: SileroConfig, sr: int = 16000):
+    """Batched front-end: chunks [B, chunk+context] → features [B, C].
+
+    No sequential dependency, so offline processing batches ALL chunks
+    through this in one shot (STFT + convs stay MXU/VPU-wide) and only the
+    LSTM recurrence below runs as a scan."""
+    if sr not in (16000, 8000):
+        raise ValueError("sr must be 16000 or 8000")
+    x = chunks.astype(jnp.float32)
+    if sr == 8000:
+        # upsample 2× (repeat) so the 16k front-end applies — trace-time
+        # resolution of the sr branch
+        x = jnp.repeat(x, 2, axis=-1)
+    frame, hop = cfg.n_fft, cfg.hop
+    n_frames = (x.shape[-1] - frame) // hop + 1
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
+    frames = x[:, idx]
+    win = jnp.asarray(np.hanning(frame + 1)[:-1].astype(np.float32))
+    spec = jnp.fft.rfft(frames * win, axis=-1)
+    mag = jnp.sqrt(jnp.square(spec.real) + jnp.square(spec.imag) + 1e-12)
+    h = mag  # [B, T, bins]
+    for i, cp in enumerate(params["convs"]):
+        h = conv1d(cp, h, stride=2 if i > 0 else 1, padding="SAME")
+        h = jax.nn.silu(h)
+    return jnp.mean(h, axis=1)  # [B, C] pooled over reduced time
+
+
+def silero_step(params: Params, chunk, state, cfg: SileroConfig, sr: int = 16000):
+    """chunk: [B, chunk+context] samples; state: [2, B, d_hidden] (h;c).
+    Returns (prob [B, 1], new_state). sr is static (trace-time branch)."""
+    feat = silero_features(params, chunk, cfg, sr)
+    h_prev, c_prev = state[0], state[1]
+    h_new, c_new = lstm_cell(params["lstm"], feat, h_prev, c_prev)
+    prob = jax.nn.sigmoid(linear(params["head"], h_new))
+    return prob, jnp.stack([h_new, c_new])
+
+
+def zero_state(cfg: SileroConfig, batch: int = 1):
+    return jnp.zeros((2, batch, cfg.d_hidden), jnp.float32)
+
+
+@dataclass
+class SileroVad:
+    """Streaming wrapper with donated state (workspace-reuse analog)."""
+
+    cfg: SileroConfig = field(default_factory=SileroConfig)
+    params: Params | None = None
+    _fn_cache: dict = field(default_factory=dict)
+
+    def init(self, seed: int = 0):
+        self.params = jax.jit(lambda k: init_silero(k, self.cfg))(
+            jax.random.PRNGKey(seed)
+        )
+        return self.params
+
+    def step_fn(self, sr: int = 16000):
+        if ("step", sr) in self._fn_cache:
+            return self._fn_cache[("step", sr)]
+        cfg = self.cfg
+
+        def fn(params, chunk, state):
+            return silero_step(params, chunk, state, cfg, sr)
+
+        jitted = jax.jit(fn, donate_argnums=(2,))
+        self._fn_cache[("step", sr)] = jitted
+        return jitted
+
+    def scan_fn(self, n_chunks: int, sr: int = 16000):
+        """Whole-utterance program: all chunks through one lax.scan, state
+        recirculating on device — one dispatch instead of n (the TPU answer
+        to SURVEY §7's per-chunk dispatch-overhead hard part). Jitted fns
+        are cached so repeat calls hit the compile cache."""
+        if ("scan", sr) in self._fn_cache:
+            return self._fn_cache[("scan", sr)]
+        cfg = self.cfg
+
+        def fn(params, chunks, state):  # chunks: [N, chunk+context]
+            feats = silero_features(params, chunks, cfg, sr)  # batched [N, C]
+
+            def body(st, feat):
+                h_prev, c_prev = st[0], st[1]
+                h_new, c_new = lstm_cell(params["lstm"], feat[None], h_prev, c_prev)
+                prob = jax.nn.sigmoid(linear(params["head"], h_new))
+                return jnp.stack([h_new, c_new]), prob[0, 0]
+
+            final, probs = jax.lax.scan(body, state, feats)
+            return probs, final
+
+        jitted = jax.jit(fn, donate_argnums=(2,))
+        self._fn_cache[("scan", sr)] = jitted
+        return jitted
+
+    def speech_probs(self, pcm: np.ndarray, sr: int = 16000) -> np.ndarray:
+        """Per-chunk speech probabilities over a full waveform (offline:
+        one fused scan program)."""
+        cfg = self.cfg
+        n = (len(pcm) - cfg.context) // cfg.chunk
+        if n <= 0:
+            return np.zeros(0, np.float32)
+        idx = (
+            np.arange(n)[:, None] * cfg.chunk
+            + np.arange(cfg.chunk + cfg.context)[None, :]
+        )
+        # frame on host (numpy strided gather), ship one [N, win] f32 buffer
+        chunks = jnp.asarray(np.ascontiguousarray(np.asarray(pcm)[idx]))
+        fn = self.scan_fn(n, sr)
+        probs, _ = fn(self.params, chunks, zero_state(cfg))
+        return np.asarray(probs)
+
+
+@dataclass
+class VadSegmentConfig:
+    """Hysteresis segmenter parameters (reference defaults,
+    examples/silero/src/main.rs:9-28)."""
+
+    threshold: float = 0.3
+    neg_threshold: float = 0.15
+    min_silence_ms: float = 200.0
+    min_speech_ms: float = 400.0
+    pad_ms: float = 120.0
+    merge_ms: float = 200.0
+    chunk: int = 512
+    sample_rate: int = 16000
+
+
+def collect_segments(probs: np.ndarray, cfg: VadSegmentConfig) -> list[tuple[float, float]]:
+    """Threshold/hysteresis collection → merged (start_s, end_s) segments."""
+    sr = cfg.sample_rate
+    chunk_s = cfg.chunk / sr
+    min_sil = cfg.min_silence_ms / 1000.0
+    min_speech = cfg.min_speech_ms / 1000.0
+    pad = cfg.pad_ms / 1000.0
+    raw: list[list[float]] = []
+    in_speech = False
+    start = 0.0
+    silence_run = 0.0
+    for i, p in enumerate(probs):
+        t = i * chunk_s
+        if not in_speech:
+            if p >= cfg.threshold:
+                in_speech = True
+                start = t
+                silence_run = 0.0
+        else:
+            if p < cfg.neg_threshold:
+                silence_run += chunk_s
+                if silence_run >= min_sil:
+                    end = t + chunk_s - silence_run
+                    if end - start >= min_speech:
+                        raw.append([start, end])
+                    in_speech = False
+            else:
+                silence_run = 0.0
+    if in_speech:
+        end = len(probs) * chunk_s
+        if end - start >= min_speech:
+            raw.append([start, end])
+    # pad + merge
+    merged: list[list[float]] = []
+    merge_gap = cfg.merge_ms / 1000.0
+    for seg in raw:
+        s, e = max(0.0, seg[0] - pad), seg[1] + pad
+        if merged and s - merged[-1][1] <= merge_gap:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    return [(round(s, 3), round(e, 3)) for s, e in merged]

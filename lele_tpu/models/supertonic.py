@@ -1,0 +1,436 @@
+"""Supertonic-style multi-model TTS (text → acoustic latent → waveform).
+
+Product parity (/root/reference/examples/supertonic/src/main.rs:124-285,
+SURVEY.md §3.4): four sub-models chained — DurationPredictor, TextEncoder,
+VectorEstimator (flow matching, 5 Euler steps), Vocoder — plus the
+UnicodeProcessor text pipeline (processor.rs:27-139), per-voice style
+vectors from JSON (main.rs:69-122), noisy-latent sampling (processor.rs:141)
+and latent mask + normalizer-scale denorm (main.rs:247-262). Supertonic 3 is
+the same pipeline minus the mask/denorm block, speed 1.05 (SURVEY §2.5).
+
+TPU redesign: the reference chains the 4 programs through host Vec copies
+each step; here text→waveform jits as ONE program with the 5-step flow loop
+as `lax.fori_loop`, the latent staying in HBM. Host RNG becomes
+jax.random with a fixed-seed parity mode (SURVEY §7 hard parts). The latent
+length is bucketed so every bucket is one static-shape program.
+"""
+
+from __future__ import annotations
+
+import json
+import unicodedata
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import (
+    Params,
+    conv1d,
+    init_conv1d,
+    init_layer_norm,
+    init_linear,
+    layer_norm,
+    linear,
+    sinusoidal_positions,
+)
+
+
+# ---------------------------------------------------------------------------
+# Config (tts.json schema: tolerates nested {ae:{...}, ttl:{...}} and flat
+# layouts with defaulting back-fill — supertonic/src/config.rs:4-40)
+
+
+@dataclass
+class SupertonicConfig:
+    vocab_size: int = 512
+    d_text: int = 256
+    d_latent: int = 64
+    d_style: int = 128
+    n_text_layers: int = 4
+    n_est_layers: int = 4
+    n_heads: int = 4
+    ffn_mult: int = 4
+    flow_steps: int = 5
+    frames_per_second: float = 93.75  # 24000 / 256
+    sample_rate: int = 24000
+    hop: int = 256  # vocoder upsampling factor
+    normalizer_scale: float = 1.0
+    speed: float = 1.0
+    latent_buckets: tuple = (64, 128, 256, 512, 1024)
+    apply_latent_denorm: bool = True  # Supertonic 2; v3 skips (SURVEY §2.5)
+    dtype: str = "float32"
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "SupertonicConfig":
+        raw = json.loads(Path(path).read_text())
+        flat: dict = {}
+        for section in ("ae", "ttl", "dp"):
+            if isinstance(raw.get(section), dict):
+                flat.update(raw[section])
+        flat.update({k: v for k, v in raw.items() if not isinstance(v, dict)})
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in flat.items() if k in known})
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Text pipeline (UnicodeProcessor analog, processor.rs:27-139,:193-217)
+
+_LANG_TAGS = {"en", "ko", "es", "pt", "fr", "de", "ja", "zh"}
+
+
+def normalize_text(text: str, lang: str = "en") -> str:
+    """NFKD normalize, strip emoji/symbols, collapse whitespace, ensure
+    terminal punctuation, wrap with <lang> tags."""
+    t = unicodedata.normalize("NFKD", text)
+    out = []
+    for ch in t:
+        cat = unicodedata.category(ch)
+        if cat in ("So", "Sk", "Cs", "Co", "Cn"):  # emoji/symbols/surrogates
+            continue
+        if cat.startswith("M"):  # combining marks from NFKD
+            continue
+        out.append(ch)
+    s = "".join(out)
+    s = " ".join(s.split())
+    if s and s[-1] not in ".!?;:,":
+        s = s + "."
+    return f"<{lang}>{s}</{lang}>"
+
+
+def chunk_text(text: str, max_len: int = 300) -> list[str]:
+    """Sentence-boundary chunking at ~max_len chars (processor.rs:193-217)."""
+    if len(text) <= max_len:
+        return [text]
+    chunks, cur = [], ""
+    for part in text.replace("!", ".").replace("?", ".").split("."):
+        part = part.strip()
+        if not part:
+            continue
+        if len(cur) + len(part) + 1 > max_len and cur:
+            chunks.append(cur)
+            cur = part + "."
+        else:
+            cur += part + "."
+    if cur:
+        chunks.append(cur)
+    return chunks
+
+
+class UnicodeIndexer:
+    """Codepoint → id tokenizer (unicode_indexer.json analog). Unknown
+    codepoints hash into the reserved tail of the vocab."""
+
+    def __init__(self, mapping: dict[str, int] | None = None, vocab_size: int = 512):
+        self.vocab_size = vocab_size
+        if mapping is None:
+            printable = [chr(c) for c in range(32, 127)]
+            mapping = {ch: i + 2 for i, ch in enumerate(printable)}
+        self.mapping = mapping
+
+    @classmethod
+    def from_json(cls, path: str | Path, vocab_size: int = 512) -> "UnicodeIndexer":
+        return cls(json.loads(Path(path).read_text()), vocab_size)
+
+    def __call__(self, text: str) -> np.ndarray:
+        ids = [
+            self.mapping.get(ch, 2 + (ord(ch) % (self.vocab_size - 2)))
+            for ch in text
+        ]
+        return np.asarray(ids, np.int32)
+
+
+def load_voice_style(path: str | Path) -> dict[str, np.ndarray]:
+    """voice_styles/*.json: {"ttl": [...], "dp": [...]} vectors."""
+    raw = json.loads(Path(path).read_text())
+    return {k: np.asarray(v, np.float32).reshape(-1) for k, v in raw.items()}
+
+
+# ---------------------------------------------------------------------------
+# Sub-models
+
+
+def _init_attn_block(key, d, ffn):
+    k = jax.random.split(key, 6)
+    return {
+        "norm1": init_layer_norm(k[0], d),
+        "qkv": init_linear(k[1], d, 3 * d),
+        "out": init_linear(k[2], d, d),
+        "norm2": init_layer_norm(k[3], d),
+        "ffn1": init_linear(k[4], d, ffn),
+        "ffn2": init_linear(k[5], ffn, d),
+    }
+
+
+def _attn_block(p, x, mask, n_heads, kv=None, kv_mask=None):
+    B, T, D = x.shape
+    h = layer_norm(p["norm1"], x)
+    if kv is None:
+        qkv = linear(p["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        att_mask = mask
+    else:
+        q = linear({"w": p["qkv"]["w"][:, :D], "b": p["qkv"]["b"][:D]}, h)
+        kvp = linear(
+            {"w": p["qkv"]["w"][:, D:], "b": p["qkv"]["b"][D:]}, layer_norm(p["norm1"], kv)
+        )
+        k, v = jnp.split(kvp, 2, axis=-1)
+        att_mask = kv_mask
+    hd = D // n_heads
+    Tk = k.shape[1]
+    qh = q.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    s = s / np.sqrt(hd)
+    s = jnp.where(att_mask[:, None, None, :] > 0, s, -1e9)
+    a = jax.nn.softmax(s, axis=-1)
+    ctx_ = jnp.einsum("bhqk,bhkd->bhqd", a, vh, preferred_element_type=jnp.float32)
+    x = x + linear(p["out"], ctx_.transpose(0, 2, 1, 3).reshape(B, T, D))
+    h2 = layer_norm(p["norm2"], x)
+    return x + linear(p["ffn2"], jax.nn.gelu(linear(p["ffn1"], h2)))
+
+
+def init_text_encoder(key, cfg: SupertonicConfig) -> Params:
+    ks = jax.random.split(key, cfg.n_text_layers + 3)
+    return {
+        "embed": jax.random.normal(ks[0], (cfg.vocab_size, cfg.d_text)) * 0.02,
+        "style_proj": init_linear(ks[1], cfg.d_style, cfg.d_text),
+        "blocks": [
+            _init_attn_block(ks[2 + i], cfg.d_text, cfg.d_text * cfg.ffn_mult)
+            for i in range(cfg.n_text_layers)
+        ],
+        "norm": init_layer_norm(ks[-1], cfg.d_text),
+    }
+
+
+def text_encoder_forward(p: Params, ids, style, mask, cfg: SupertonicConfig):
+    x = p["embed"][ids] + linear(p["style_proj"], style)[:, None, :]
+    x = x + sinusoidal_positions(ids.shape[1], cfg.d_text)
+    for b in p["blocks"]:
+        x = _attn_block(b, x, mask, cfg.n_heads)
+    return layer_norm(p["norm"], x)
+
+
+def init_duration_predictor(key, cfg: SupertonicConfig) -> Params:
+    ks = jax.random.split(key, 6)
+    d = cfg.d_text
+    return {
+        "embed": jax.random.normal(ks[0], (cfg.vocab_size, d)) * 0.02,
+        "style_proj": init_linear(ks[1], cfg.d_style, d),
+        "conv1": init_conv1d(ks[2], d, d, 3),
+        "conv2": init_conv1d(ks[3], d, d, 3),
+        "norm": init_layer_norm(ks[4], d),
+        "out": init_linear(ks[5], d, 1),
+    }
+
+
+def duration_predictor_forward(p: Params, ids, style, mask, cfg: SupertonicConfig):
+    """→ per-token durations in frames (softplus, masked)."""
+    x = p["embed"][ids] + linear(p["style_proj"], style)[:, None, :]
+    x = jax.nn.relu(conv1d(p["conv1"], x))
+    x = jax.nn.relu(conv1d(p["conv2"], x))
+    x = layer_norm(p["norm"], x)
+    d = jax.nn.softplus(linear(p["out"], x))[..., 0]
+    return d * mask
+
+
+def init_vector_estimator(key, cfg: SupertonicConfig) -> Params:
+    ks = jax.random.split(key, cfg.n_est_layers + 5)
+    d = cfg.d_text
+    return {
+        "in_proj": init_linear(ks[0], cfg.d_latent, d),
+        "style_proj": init_linear(ks[1], cfg.d_style, d),
+        "t_proj": init_linear(ks[2], d, d),
+        "blocks": [
+            {
+                "self": _init_attn_block(ks[3 + i], d, d * cfg.ffn_mult),
+                "cross": _init_attn_block(
+                    jax.random.fold_in(ks[3 + i], 1), d, d * cfg.ffn_mult
+                ),
+            }
+            for i in range(cfg.n_est_layers)
+        ],
+        "out": init_linear(ks[-1], d, cfg.d_latent),
+    }
+
+
+def vector_estimator_forward(
+    p: Params, xt, text_emb, style, latent_mask, text_mask, t_step, cfg: SupertonicConfig
+):
+    """Velocity field v(x_t, t): [B, T_latent, d_latent]."""
+    B, T, _ = xt.shape
+    d = cfg.d_text
+    # timestep embedding (sinusoidal over a scalar t in [0,1])
+    half = d // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    ang = t_step * 1000.0 * freqs
+    temb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)])[None]
+    x = linear(p["in_proj"], xt)
+    x = x + linear(p["style_proj"], style)[:, None, :]
+    x = x + linear(p["t_proj"], temb)[:, None, :]
+    x = x + sinusoidal_positions(T, d)
+    for b in p["blocks"]:
+        x = _attn_block(b["self"], x, latent_mask, cfg.n_heads)
+        x = _attn_block(b["cross"], x, latent_mask, cfg.n_heads, kv=text_emb,
+                        kv_mask=text_mask)
+    return linear(p["out"], x) * latent_mask[..., None]
+
+
+def init_vocoder(key, cfg: SupertonicConfig) -> Params:
+    # 256× upsampling: 4 × ConvTranspose(×4) — latent rate → 24 kHz
+    ks = jax.random.split(key, 6)
+    chans = [cfg.d_latent, 128, 64, 32, 16]
+    p: Params = {"ups": [], "pre": init_conv1d(ks[0], cfg.d_latent, chans[0], 7)}
+    for i in range(4):
+        scale = 1.0 / np.sqrt(chans[i] * 8)
+        p["ups"].append(
+            {
+                "w": jax.random.uniform(
+                    ks[1 + i], (8, chans[i], chans[i + 1]), jnp.float32, -scale, scale
+                ),
+                "b": jnp.zeros((chans[i + 1],), jnp.float32),
+                "res": init_conv1d(jax.random.fold_in(ks[1 + i], 7), chans[i + 1],
+                                   chans[i + 1], 7),
+            }
+        )
+    p["out"] = init_conv1d(ks[5], chans[-1], 1, 7)
+    return p
+
+
+def vocoder_forward(p: Params, latent, cfg: SupertonicConfig):
+    """latent [B, T, d_latent] → waveform [B, T*hop]."""
+    x = jax.nn.leaky_relu(conv1d(p["pre"], latent), 0.1)
+    for up in p["ups"]:
+        x = jax.lax.conv_transpose(
+            x, up["w"], strides=(4,), padding=[(2, 2)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        ) + up["b"]
+        x = jax.nn.leaky_relu(x, 0.1)
+        x = x + jnp.tanh(conv1d(up["res"], x))
+    return jnp.tanh(conv1d(p["out"], x))[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+
+
+def sample_noisy_latent(key, shape, latent_mask):
+    """jax.random standard-normal latent (host-RNG → device-RNG redesign;
+    fixed seed gives the parity mode from SURVEY §7)."""
+    z = jax.random.normal(key, shape, jnp.float32)
+    return z * latent_mask[..., None]
+
+
+@dataclass
+class SupertonicTts:
+    cfg: SupertonicConfig = field(default_factory=SupertonicConfig)
+    params: Params | None = None
+    indexer: UnicodeIndexer | None = None
+    _fn_cache: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.indexer is None:
+            self.indexer = UnicodeIndexer(vocab_size=self.cfg.vocab_size)
+
+    def init(self, seed: int = 0):
+        def build(key):
+            k = jax.random.split(key, 4)
+            return {
+                "duration": init_duration_predictor(k[0], self.cfg),
+                "text": init_text_encoder(k[1], self.cfg),
+                "estimator": init_vector_estimator(k[2], self.cfg),
+                "vocoder": init_vocoder(k[3], self.cfg),
+            }
+
+        self.params = jax.jit(build)(jax.random.PRNGKey(seed))
+        return self.params
+
+    def synth_fn(self, t_latent: int):
+        """One fused program per latent bucket: ids → waveform.
+
+        The 5-step flow-matching loop is a lax.fori_loop; nothing leaves the
+        device between sub-models (contrast: main.rs:240 host .to_vec()
+        between each of the 4 programs)."""
+        cfg = self.cfg
+
+        def fn(params, ids, text_mask, style_ttl, style_dp, latent_mask, seed):
+            style_ttl = style_ttl[None]
+            style_dp = style_dp[None]
+            durations = duration_predictor_forward(
+                params["duration"], ids, style_dp, text_mask, cfg
+            )
+            text_emb = text_encoder_forward(
+                params["text"], ids, style_ttl, text_mask, cfg
+            )
+            key = jax.random.PRNGKey(seed)
+            xt = sample_noisy_latent(
+                key, (ids.shape[0], t_latent, cfg.d_latent), latent_mask
+            )
+            dt = 1.0 / cfg.flow_steps
+
+            def flow_step(i, x):
+                t = i.astype(jnp.float32) * dt
+                v = vector_estimator_forward(
+                    params["estimator"], x, text_emb, style_ttl, latent_mask,
+                    text_mask, t, cfg,
+                )
+                return x + dt * v
+
+            xt = jax.lax.fori_loop(0, cfg.flow_steps, flow_step, xt)
+            if cfg.apply_latent_denorm:
+                xt = xt * latent_mask[..., None] / cfg.normalizer_scale
+            wave = vocoder_forward(params["vocoder"], xt, cfg)
+            return wave, durations
+
+        return fn
+
+    def _bucket(self, t: int) -> int:
+        for b in self.cfg.latent_buckets:
+            if t <= b:
+                return b
+        return self.cfg.latent_buckets[-1]
+
+    def synthesize(
+        self, text: str, style: dict[str, np.ndarray], lang: str = "en",
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Host orchestration: normalize → chunk → per-chunk fused synth."""
+        import jax
+
+        waves = []
+        for chunk in chunk_text(normalize_text(text, lang)):
+            ids = self.indexer(chunk)[None]
+            text_mask = np.ones(ids.shape, np.float32)
+            # latent length from predicted durations (host rounding, then
+            # bucketed static shape); jitted fns cached per bucket
+            if "dur" not in self._fn_cache:
+                self._fn_cache["dur"] = jax.jit(
+                    lambda p, i, s, m: duration_predictor_forward(
+                        p["duration"], i, s, m, self.cfg
+                    )
+                )
+            durations = np.asarray(
+                self._fn_cache["dur"](
+                    self.params, ids, np.asarray(style["dp"])[None], text_mask
+                )
+            )
+            t_real = max(8, int(durations.sum() / self.cfg.speed))
+            t_buck = self._bucket(t_real)
+            latent_mask = np.zeros((1, t_buck), np.float32)
+            latent_mask[:, :t_real] = 1.0
+            if ("synth", t_buck) not in self._fn_cache:
+                self._fn_cache[("synth", t_buck)] = jax.jit(self.synth_fn(t_buck))
+            fn = self._fn_cache[("synth", t_buck)]
+            wave, _ = fn(
+                self.params, ids, text_mask, np.asarray(style["ttl"]),
+                np.asarray(style["dp"]), latent_mask, seed,
+            )
+            waves.append(np.asarray(wave[0, : t_real * self.cfg.hop]))
+        return np.clip(np.concatenate(waves), -1.0, 1.0)

@@ -1,1 +1,2 @@
+from .cache import enable_cache  # noqa: F401
 from .engine import CompiledModel  # noqa: F401

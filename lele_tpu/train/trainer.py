@@ -1,0 +1,76 @@
+"""Fine-tuning support: sharded CTC training step for the ASR family.
+
+Beyond the reference (lele is inference-only — SURVEY.md intro); included
+because a TPU-native stack should fine-tune the models it serves. The step
+jits over a ("data", "model") mesh with Megatron-style param shardings from
+lele_tpu.parallel; XLA inserts the gradient psums.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.sensevoice import SenseVoiceConfig, sensevoice_encode
+from ..parallel.sharding import param_spec_tree, sensevoice_param_rules
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def ctc_loss_fn(params, batch, cfg: SenseVoiceConfig):
+    logits = sensevoice_encode(params, batch["feats"], batch["feat_mask"], cfg)
+    # drop the 4 prefix query frames for CTC alignment
+    logits = logits[:, cfg.n_prefix :, :]
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logit_pad = 1.0 - batch["feat_mask"]
+    label_pad = 1.0 - batch["label_mask"]
+    loss = optax.ctc_loss(logprobs, logit_pad, batch["labels"], label_pad)
+    denom = jnp.maximum(jnp.sum(batch["label_mask"]), 1.0)
+    return jnp.sum(loss) / denom
+
+
+def ctc_train_step(state: TrainState, batch, cfg: SenseVoiceConfig, tx):
+    loss, grads = jax.value_and_grad(ctc_loss_fn)(state.params, batch, cfg)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), loss
+
+
+def make_train_step(cfg: SenseVoiceConfig, lr: float = 1e-4):
+    """Returns (tx, jitted_step).
+
+    Sharded use: place params with `parallel.shard_params(params, mesh)`
+    BEFORE `tx.init` — the optimizer moments then inherit the tensor-parallel
+    shardings, the batch is device_put with P("data", ...) placement, and
+    plain jit + GSPMD propagates everything (collectives inserted by XLA).
+    """
+    tx = optax.adamw(lr)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(ctc_loss_fn)(params, batch, cfg)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, loss
+
+    return tx, jax.jit(step, donate_argnums=(0, 1))
+
+
+def shard_batch(batch, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(name, arr):
+        rank = arr.ndim
+        return jax.device_put(
+            arr, NamedSharding(mesh, P("data", *([None] * (rank - 1))))
+        )
+
+    return {k: put(k, v) for k, v in batch.items()}
