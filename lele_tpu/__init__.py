@@ -19,3 +19,17 @@ Layers (mirrors SURVEY.md §1, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor the standard JAX_PLATFORMS env var even when a sitecustomize
+    # shim has overridden it via jax.config (restores the documented JAX
+    # contract; no-op when the backend is already initialized).
+    try:
+        import jax as _jax
+
+        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
+            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass

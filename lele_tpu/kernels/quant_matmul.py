@@ -81,14 +81,26 @@ def fused_dynamic_quant_matmul(a, b, b_zp, b_scale):
 # quantized linears; jnp path remains the oracle)
 
 
-def pallas_int8_matmul(ai, bi, tm: int = 256, tn: int = 256, tk: int = 512):
-    """i8[M,K] @ i8[K,N] → i32[M,N] as a tiled Pallas kernel."""
+def pallas_int8_matmul(
+    ai, bi, tm: int = 256, tn: int = 256, tk: int = 512, interpret: bool = False
+):
+    """i8[M,K] @ i8[K,N] → i32[M,N] as a tiled Pallas kernel.
+
+    interpret=True runs the Pallas interpreter (CPU parity tests — the
+    backend-equivalence pattern of tests/verify_neon_accuracy.rs)."""
     from jax.experimental import pallas as pl
 
     m, k = ai.shape
     _, n = bi.shape
     tm, tn, tk = min(tm, m), min(tn, n), min(tk, k)
-    grid = (pl.cdiv(m, tm), pl.cdiv(n, tn), pl.cdiv(k, tk))
+    # zero-pad to tile multiples: out-of-bounds block reads are unspecified,
+    # and zeros are absorbing for the int dot
+    mp, kp, np_ = -(-m // tm) * tm, -(-k // tk) * tk, -(-n // tn) * tn
+    if (mp, kp) != (m, k):
+        ai = jnp.pad(ai, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        bi = jnp.pad(bi, ((0, kp - k), (0, np_ - n)))
+    grid = (pl.cdiv(mp, tm), pl.cdiv(np_, tn), pl.cdiv(kp, tk))
 
     def kernel(a_ref, b_ref, out_ref, acc_ref):
         k_idx = pl.program_id(2)
@@ -109,7 +121,7 @@ def pallas_int8_matmul(ai, bi, tm: int = 256, tn: int = 256, tk: int = 512):
 
     from jax.experimental.pallas import tpu as pltpu
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -117,7 +129,7 @@ def pallas_int8_matmul(ai, bi, tm: int = 256, tn: int = 256, tk: int = 512):
             pl.BlockSpec((tk, tn), lambda i, j, kk: (kk, j)),
         ],
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, kk: (i, j)),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -126,4 +138,6 @@ def pallas_int8_matmul(ai, bi, tm: int = 256, tn: int = 256, tk: int = 512):
             flops=2 * m * n * k, bytes_accessed=m * k + k * n + 4 * m * n,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(ai, bi)
+    return out[:m, :n]

@@ -1,0 +1,174 @@
+"""CLI + build-tool + weights-blob suite.
+
+Covers: lele_gen-style compile-to-dir (bin/lele_gen.rs surface), weights
+blob round-trip with 16B alignment + content dedup (mod.rs:1381-1505),
+model.toml build driver with stub-on-failure + env flags (lele-build
+lib.rs:193-322).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lele_tpu.compiler.weights import load_weights, pack_weights, save_weights
+from lele_tpu.onnx import builder as ob
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _write_toy_onnx(path: Path):
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 300)).astype(np.float32)
+    nodes = [
+        ob.node("MatMul", ["x", "w"], ["mm"]),
+        ob.node("Relu", ["mm"], ["y"]),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [2, 8])],
+        outputs=[ob.value_info("y", 1, [2, 300])],
+        initializers=[ob.tensor_from_array(w, "w")],
+    )
+    path.write_bytes(bs)
+    return w
+
+
+# -- weights blob ------------------------------------------------------------
+
+
+def test_weights_blob_roundtrip_and_alignment(tmp_path):
+    rng = np.random.default_rng(1)
+    params = {
+        "a": rng.standard_normal((17, 3)).astype(np.float32),
+        "b": rng.integers(0, 255, (33,)).astype(np.uint8),
+        "c": rng.standard_normal((4,)).astype(np.float16),
+    }
+    blob, manifest = pack_weights(params)
+    for e in manifest["tensors"].values():
+        assert e["offset"] % 16 == 0
+    save_weights(tmp_path / "w", params)
+    loaded = load_weights(tmp_path / "w")
+    for k in params:
+        np.testing.assert_array_equal(loaded[k], params[k])
+        assert loaded[k].dtype == params[k].dtype
+
+
+def test_weights_blob_content_dedup():
+    a = np.arange(100, dtype=np.float32)
+    blob, manifest = pack_weights({"x": a, "y": a.copy(), "z": a + 1})
+    t = manifest["tensors"]
+    assert t["x"]["offset"] == t["y"]["offset"]  # deduped
+    assert t["z"]["offset"] != t["x"]["offset"]
+    assert len(blob) < 3 * a.nbytes
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def test_cli_compile_and_generated_wrapper(tmp_path):
+    onnx_path = tmp_path / "toy_model.onnx"
+    w = _write_toy_onnx(onnx_path)
+    out = tmp_path / "gen"
+    from lele_tpu.cli import compile_to_dir
+
+    wrapper = compile_to_dir(str(onnx_path), str(out), "ToyModel")
+    assert wrapper.name == "ToyModel.py"
+    assert (out / "ToyModel_weights.bin").exists()
+    assert (out / "ToyModel_weights.json").exists()
+    # import and run the generated wrapper
+    sys.path.insert(0, str(out))
+    try:
+        import importlib
+
+        mod = importlib.import_module("ToyModel")
+        importlib.reload(mod)
+        model = mod.ToyModel()
+        x = np.random.default_rng(2).standard_normal((2, 8)).astype(np.float32)
+        (y,) = model.forward(x)
+        np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=1e-4)
+    finally:
+        sys.path.remove(str(out))
+
+
+def test_cli_main_errors(tmp_path):
+    from lele_tpu.cli import main
+
+    assert main(["/nonexistent/model.onnx", str(tmp_path)]) != 0
+
+
+def test_cli_sanitize_name():
+    from lele_tpu.cli import sanitize_name
+
+    assert sanitize_name("yolo26n-seg") == "yolo26n_seg"
+    assert sanitize_name("2fast") == "M_2fast"
+
+
+# -- build tool --------------------------------------------------------------
+
+
+def test_build_tool_local_source(tmp_path):
+    onnx_path = tmp_path / "m.onnx"
+    _write_toy_onnx(onnx_path)
+    (tmp_path / "model.toml").write_text(
+        f'[model]\nsource = "local"\npath = "m.onnx"\n'
+        f'[codegen]\nclass_name = "LocalToy"\n'
+    )
+    from lele_tpu.build_tool import build_model
+
+    out = build_model(tmp_path / "model.toml", tmp_path / "gen")
+    assert out.name == "LocalToy.py"
+    assert "STUB" not in out.read_text()
+    # second build: staleness check skips regeneration (same mtime)
+    m1 = out.stat().st_mtime
+    out2 = build_model(tmp_path / "model.toml", tmp_path / "gen")
+    assert out2.stat().st_mtime == m1
+
+
+def test_build_tool_stub_on_download_failure(tmp_path, monkeypatch):
+    (tmp_path / "model.toml").write_text(
+        '[model]\nsource = "hf-hub"\nrepo = "nobody/nonexistent"\n'
+        'files = ["model.onnx"]\n[codegen]\nclass_name = "Ghost"\n'
+    )
+    monkeypatch.setenv("LELE_MODEL_CACHE", str(tmp_path / "cache"))
+    monkeypatch.setenv("HF_ENDPOINT", "http://127.0.0.1:1")  # unroutable fast
+    from lele_tpu.build_tool import build_model
+
+    out = build_model(tmp_path / "model.toml", tmp_path / "gen")
+    assert out.exists()
+    text = out.read_text()
+    assert "STUB" in text
+    sys.path.insert(0, str(tmp_path / "gen"))
+    try:
+        import importlib
+
+        mod = importlib.import_module("Ghost")
+        importlib.reload(mod)
+        with pytest.raises(RuntimeError):
+            mod.Ghost()
+    finally:
+        sys.path.remove(str(tmp_path / "gen"))
+
+
+def test_build_tool_skip_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("LELE_SKIP_MODEL_GEN", "1")
+    (tmp_path / "model.toml").write_text(
+        '[model]\nsource = "local"\npath = "nope.onnx"\n'
+        '[codegen]\nclass_name = "Skipped"\n'
+    )
+    from lele_tpu.build_tool import build_model
+
+    out = build_model(tmp_path / "model.toml", tmp_path / "gen")
+    assert not out.exists()  # nothing generated, build not broken
+
+
+def test_force_regen_env(tmp_path, monkeypatch):
+    from lele_tpu.build_tool import force_regenerate, need_regenerate
+
+    assert not force_regenerate()
+    monkeypatch.setenv("LELE_FORCE_REGEN", "1")
+    assert force_regenerate()
+    assert need_regenerate(tmp_path / "x", tmp_path / "y")

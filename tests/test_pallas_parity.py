@@ -1,0 +1,71 @@
+"""Pallas-vs-jnp backend parity (the TPU analog of the reference's
+NEON-vs-portable equivalence suite, tests/verify_neon_accuracy.rs:7-77).
+
+On CPU the Pallas kernels run in interpreter mode; the numerics contract is
+bit-exactness for integer kernels."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lele_tpu.kernels.quant_matmul import (
+    dynamic_quantize_u8,
+    fused_dynamic_quant_matmul,
+    pallas_int8_matmul,
+)
+
+rng = np.random.default_rng(5)
+
+
+def test_pallas_int8_matmul_exact():
+    m, k, n = 64, 128, 96
+    a = rng.integers(-128, 127, (m, k)).astype(np.int8)
+    b = rng.integers(-128, 127, (k, n)).astype(np.int8)
+    got = np.asarray(
+        pallas_int8_matmul(jnp.asarray(a), jnp.asarray(b), tm=32, tn=32, tk=64,
+                           interpret=True)
+    )
+    want = a.astype(np.int32) @ b.astype(np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_int8_matmul_ragged_tiles():
+    # shapes not divisible by the tile sizes exercise the cdiv grid
+    m, k, n = 50, 70, 30
+    a = rng.integers(-100, 100, (m, k)).astype(np.int8)
+    b = rng.integers(-100, 100, (k, n)).astype(np.int8)
+    got = np.asarray(
+        pallas_int8_matmul(jnp.asarray(a), jnp.asarray(b), tm=32, tn=16, tk=32,
+                           interpret=True)
+    )
+    np.testing.assert_array_equal(got, a.astype(np.int32) @ b.astype(np.int32))
+
+
+def test_fused_dq_matmul_matches_unfused_ops():
+    """The fused path must match composing the individual ONNX ops
+    (DynamicQuantizeLinear → MatMulInteger → dequant)."""
+    m, k, n = 16, 64, 32
+    a = rng.standard_normal((m, k)).astype(np.float32)
+    b = rng.integers(0, 255, (k, n)).astype(np.uint8)
+    bzp = jnp.asarray(np.uint8(117))
+    bscale = jnp.asarray(np.float32(0.031))
+    out, a_scale, a_zp = fused_dynamic_quant_matmul(
+        jnp.asarray(a), jnp.asarray(b), bzp, bscale
+    )
+    # oracle via the op emitters' semantics
+    q, scale, zp = (np.asarray(v) for v in dynamic_quantize_u8(jnp.asarray(a)))
+    mm = (q.astype(np.int64) - int(zp)) @ (b.astype(np.int64) - 117)
+    want = mm.astype(np.float32) * (scale * 0.031)
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-3)
+    assert abs(float(a_scale) - scale) < 1e-9
+
+
+def test_dynamic_quantize_u8_range():
+    x = rng.standard_normal(1000).astype(np.float32) * 4
+    q, scale, zp = dynamic_quantize_u8(jnp.asarray(x))
+    qn = np.asarray(q)
+    assert qn.min() >= 0 and qn.max() <= 255
+    # reconstruct within one quantization step
+    rec = (qn - float(zp)) * float(scale)
+    assert np.abs(rec - x).max() <= float(scale) * 0.51 + 1e-6
