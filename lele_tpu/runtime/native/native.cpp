@@ -1,0 +1,270 @@
+// _lele_native — native runtime components (CPython C API, no pybind11).
+//
+// The reference's native layer is Rust (prost ONNX decode, model.rs:26;
+// WavReader, examples/sensevoice/src/audio.rs; content-hash weight dedup,
+// compiler/mod.rs:1372). TPU equivalents here:
+//   scan_initializers(bytes) -> list[(name, dtype, dims, offset, nbytes)]
+//       one pass over the protobuf wire format, returning absolute offsets
+//       of every initializer's raw_data so Python builds zero-copy numpy
+//       views over the mmap'd file without decoding tensor bodies.
+//   decode_wav(bytes) -> (float32_mono_bytes, sample_rate)
+//       RIFF PCM 8/16/24/32 + IEEE float, channel-averaged.
+//   content_hash(bytes) -> int   (FNV-1a 64, for blob dedup prepass)
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <string>
+
+namespace {
+
+struct Reader {
+  const uint8_t* p;
+  size_t len;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint64_t varint() {
+    uint64_t v = 0;
+    int shift = 0;
+    while (pos < len) {
+      uint8_t b = p[pos++];
+      v |= (uint64_t)(b & 0x7F) << shift;
+      if (!(b & 0x80)) return v;
+      shift += 7;
+      if (shift > 70) break;
+    }
+    ok = false;
+    return 0;
+  }
+
+  void skip(uint32_t wt) {
+    switch (wt) {
+      case 0: varint(); break;
+      case 1: pos += 8; break;
+      case 2: { uint64_t n = varint(); pos += n; break; }
+      case 5: pos += 4; break;
+      default: ok = false;
+    }
+    if (pos > len) ok = false;
+  }
+};
+
+struct TensorMeta {
+  std::string name;
+  int32_t dtype = 0;
+  std::vector<int64_t> dims;
+  size_t data_off = 0;   // absolute offset of raw_data payload
+  size_t data_len = 0;
+  bool has_raw = false;
+};
+
+// Parse one TensorProto body at [base, base+n); offsets absolute into file.
+TensorMeta parse_tensor(const uint8_t* file, size_t base, size_t n) {
+  TensorMeta t;
+  Reader r{file + base, n};
+  while (r.ok && r.pos < r.len) {
+    uint64_t tag = r.varint();
+    uint32_t fnum = (uint32_t)(tag >> 3), wt = (uint32_t)(tag & 7);
+    if (fnum == 1 && wt == 0) {            // dims (unpacked)
+      t.dims.push_back((int64_t)r.varint());
+    } else if (fnum == 1 && wt == 2) {     // dims (packed)
+      uint64_t ln = r.varint();
+      size_t end = r.pos + ln;
+      while (r.ok && r.pos < end) t.dims.push_back((int64_t)r.varint());
+    } else if (fnum == 2 && wt == 0) {     // data_type
+      t.dtype = (int32_t)r.varint();
+    } else if (fnum == 8 && wt == 2) {     // name
+      uint64_t ln = r.varint();
+      t.name.assign((const char*)r.p + r.pos, ln);
+      r.pos += ln;
+    } else if (fnum == 9 && wt == 2) {     // raw_data
+      uint64_t ln = r.varint();
+      t.data_off = base + r.pos;
+      t.data_len = ln;
+      t.has_raw = true;
+      r.pos += ln;
+    } else {
+      r.skip(wt);
+    }
+    if (r.pos > r.len) break;
+  }
+  return t;
+}
+
+// Walk ModelProto → graph(7) → initializer(5); nested subgraphs skipped
+// (subgraph initializers are rare; Python path covers them).
+void scan_graph(const uint8_t* file, size_t base, size_t n,
+                std::vector<TensorMeta>* out) {
+  Reader r{file + base, n};
+  while (r.ok && r.pos < r.len) {
+    uint64_t tag = r.varint();
+    uint32_t fnum = (uint32_t)(tag >> 3), wt = (uint32_t)(tag & 7);
+    if (fnum == 5 && wt == 2) {  // initializer: TensorProto
+      uint64_t ln = r.varint();
+      out->push_back(parse_tensor(file, base + r.pos, ln));
+      r.pos += ln;
+    } else {
+      r.skip(wt);
+    }
+  }
+}
+
+PyObject* py_scan_initializers(PyObject*, PyObject* args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
+  const uint8_t* file = (const uint8_t*)view.buf;
+  size_t len = (size_t)view.len;
+
+  std::vector<TensorMeta> metas;
+  Reader r{file, len};
+  while (r.ok && r.pos < r.len) {
+    uint64_t tag = r.varint();
+    uint32_t fnum = (uint32_t)(tag >> 3), wt = (uint32_t)(tag & 7);
+    if (fnum == 7 && wt == 2) {  // ModelProto.graph
+      uint64_t ln = r.varint();
+      scan_graph(file, r.pos, ln, &metas);
+      r.pos += ln;
+    } else {
+      r.skip(wt);
+    }
+  }
+  PyBuffer_Release(&view);
+  if (!r.ok) {
+    PyErr_SetString(PyExc_ValueError, "malformed protobuf");
+    return nullptr;
+  }
+
+  PyObject* list = PyList_New((Py_ssize_t)metas.size());
+  if (!list) return nullptr;
+  for (size_t i = 0; i < metas.size(); ++i) {
+    const TensorMeta& t = metas[i];
+    PyObject* dims = PyTuple_New((Py_ssize_t)t.dims.size());
+    for (size_t d = 0; d < t.dims.size(); ++d)
+      PyTuple_SET_ITEM(dims, d, PyLong_FromLongLong(t.dims[d]));
+    PyObject* item = Py_BuildValue(
+        "s#iNnn", t.name.data(), (Py_ssize_t)t.name.size(), t.dtype, dims,
+        (Py_ssize_t)(t.has_raw ? t.data_off : (size_t)-1),
+        (Py_ssize_t)t.data_len);
+    PyList_SET_ITEM(list, (Py_ssize_t)i, item);
+  }
+  return list;
+}
+
+// ---------------------------------------------------------------------------
+
+PyObject* py_decode_wav(PyObject*, PyObject* args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
+  const uint8_t* d = (const uint8_t*)view.buf;
+  size_t n = (size_t)view.len;
+  auto fail = [&](const char* msg) -> PyObject* {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, msg);
+    return nullptr;
+  };
+  if (n < 44 || memcmp(d, "RIFF", 4) || memcmp(d + 8, "WAVE", 4))
+    return fail("not a RIFF/WAVE file");
+
+  uint16_t fmt = 0, n_ch = 0, bits = 0;
+  uint32_t sr = 0;
+  const uint8_t* pcm = nullptr;
+  size_t pcm_len = 0;
+  size_t pos = 12;
+  while (pos + 8 <= n) {
+    uint32_t size;
+    memcpy(&size, d + pos + 4, 4);
+    const uint8_t* body = d + pos + 8;
+    if (!memcmp(d + pos, "fmt ", 4) && size >= 16) {
+      memcpy(&fmt, body, 2);
+      memcpy(&n_ch, body + 2, 2);
+      memcpy(&sr, body + 4, 4);
+      memcpy(&bits, body + 14, 2);
+      if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM
+    } else if (!memcmp(d + pos, "data", 4)) {
+      pcm = body;
+      pcm_len = size;
+      if (pcm + pcm_len > d + n) pcm_len = (size_t)(d + n - pcm);
+    }
+    pos += 8 + size + (size & 1);
+  }
+  if (!pcm || !n_ch || !sr) return fail("missing fmt/data chunk");
+
+  size_t bytes_per = bits / 8;
+  if (!bytes_per) return fail("bad bit depth");
+  size_t frames = pcm_len / (bytes_per * n_ch);
+  PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, frames * 4);
+  if (!out_bytes) { PyBuffer_Release(&view); return nullptr; }
+  float* out = (float*)PyBytes_AS_STRING(out_bytes);
+
+  for (size_t i = 0; i < frames; ++i) {
+    double acc = 0.0;
+    for (uint16_t c = 0; c < n_ch; ++c) {
+      const uint8_t* s = pcm + (i * n_ch + c) * bytes_per;
+      double v = 0.0;
+      if (fmt == 3 && bits == 32) {
+        float f;
+        memcpy(&f, s, 4);
+        v = f;
+      } else if (fmt == 3 && bits == 64) {
+        double f;
+        memcpy(&f, s, 8);
+        v = f;
+      } else if (bits == 16) {
+        int16_t x;
+        memcpy(&x, s, 2);
+        v = x / 32768.0;
+      } else if (bits == 32) {
+        int32_t x;
+        memcpy(&x, s, 4);
+        v = x / 2147483648.0;
+      } else if (bits == 24) {
+        int32_t x = s[0] | (s[1] << 8) | (s[2] << 16);
+        if (x >= (1 << 23)) x -= (1 << 24);
+        v = x / 8388608.0;
+      } else if (bits == 8) {
+        v = ((int)s[0] - 128) / 128.0;
+      }
+      acc += v;
+    }
+    out[i] = (float)(acc / n_ch);
+  }
+  PyBuffer_Release(&view);
+  return Py_BuildValue("(Ni)", out_bytes, (int)sr);
+}
+
+// ---------------------------------------------------------------------------
+
+PyObject* py_content_hash(PyObject*, PyObject* args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
+  const uint8_t* d = (const uint8_t*)view.buf;
+  uint64_t h = 1469598103934665603ULL;  // FNV-1a 64
+  for (Py_ssize_t i = 0; i < view.len; ++i) {
+    h ^= d[i];
+    h *= 1099511628211ULL;
+  }
+  PyBuffer_Release(&view);
+  return PyLong_FromUnsignedLongLong(h);
+}
+
+PyMethodDef methods[] = {
+    {"scan_initializers", py_scan_initializers, METH_VARARGS,
+     "scan ONNX bytes -> [(name, dtype, dims, raw_offset, nbytes)]"},
+    {"decode_wav", py_decode_wav, METH_VARARGS,
+     "decode RIFF/WAVE -> (float32 mono bytes, sample_rate)"},
+    {"content_hash", py_content_hash, METH_VARARGS, "FNV-1a 64 content hash"},
+    {nullptr, nullptr, 0, nullptr},
+};
+
+PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_lele_native",
+    "native runtime components for lele_tpu", -1, methods,
+};
+
+}  // namespace
+
+PyMODINIT_FUNC PyInit__lele_native(void) { return PyModule_Create(&moduledef); }

@@ -14,8 +14,20 @@ import numpy as np
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Returns (mono float32 samples in [-1, 1], sample_rate)."""
+    """Returns (mono float32 samples in [-1, 1], sample_rate).
+
+    Uses the native C++ decoder when available (runtime/native), falling
+    back to the pure-Python path below."""
     data = Path(path).read_bytes()
+    try:
+        from ..runtime.native import get_native
+
+        nat = get_native()
+        if nat is not None:
+            raw, sr = nat.decode_wav(data)
+            return np.frombuffer(raw, np.float32).copy(), sr
+    except Exception:
+        pass  # fall back to the Python decoder
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12

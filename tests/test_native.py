@@ -1,0 +1,100 @@
+"""Native C++ extension suite: build, ONNX scan parity, WAV decode parity.
+
+The backend-equivalence pattern (tests/verify_neon_accuracy.rs) applied to
+the native layer: every native function must match its Python reference
+bit-for-bit. Skips cleanly when no toolchain is present (stub-on-failure
+spirit, lele-build lib.rs:193)."""
+
+import numpy as np
+import pytest
+
+from lele_tpu.runtime.native import get_native
+
+nat = get_native()
+pytestmark = pytest.mark.skipif(nat is None, reason="native toolchain unavailable")
+
+
+def test_scan_initializers_matches_python_loader():
+    from lele_tpu.onnx import OnnxModel, builder as ob
+    from lele_tpu.onnx.loader import DTYPE_MAP
+
+    rng = np.random.default_rng(0)
+    arrays = {
+        "wf": rng.standard_normal((17, 5)).astype(np.float32),
+        "wi": rng.integers(0, 100, (9,)).astype(np.int64),
+        "wb": rng.integers(0, 255, (33,)).astype(np.uint8),
+    }
+    bs = ob.build_model_bytes(
+        [ob.node("Identity", ["x"], ["y"])],
+        inputs=[ob.value_info("x", 1, [1])],
+        outputs=[ob.value_info("y", 1, [1])],
+        initializers=[ob.tensor_from_array(v, k) for k, v in arrays.items()],
+    )
+    metas = nat.scan_initializers(bs)
+    assert {m[0] for m in metas} == set(arrays)
+    for name, dtype, dims, off, ln in metas:
+        view = np.frombuffer(bs[off : off + ln], dtype=DTYPE_MAP[dtype]).reshape(dims)
+        np.testing.assert_array_equal(view, arrays[name])
+    # python loader agrees
+    m = OnnxModel.from_bytes(bs)
+    for name in arrays:
+        np.testing.assert_array_equal(m.initializer_array(name), arrays[name])
+
+
+def test_scan_rejects_garbage():
+    with pytest.raises(ValueError):
+        nat.scan_initializers(b"\xff\xff\xff\xff not a proto")
+
+
+def test_wav_decode_parity_16bit_stereo():
+    import struct
+
+    sr = 16000
+    n = 500
+    left = (np.sin(np.arange(n) / 5) * 0.5 * 32767).astype("<i2")
+    right = (np.cos(np.arange(n) / 5) * 0.5 * 32767).astype("<i2")
+    inter = np.empty(n * 2, "<i2")
+    inter[0::2], inter[1::2] = left, right
+    pcm = inter.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+    dat = b"data" + struct.pack("<I", len(pcm))
+    raw, got_sr = nat.decode_wav(hdr + fmt + dat + pcm)
+    y = np.frombuffer(raw, np.float32)
+    assert got_sr == sr and len(y) == n
+    want = (left.astype(np.float64) + right) / 2 / 32768.0
+    np.testing.assert_allclose(y, want, atol=1e-6)
+
+
+def test_wav_decode_float32():
+    import struct
+
+    x = np.linspace(-1, 1, 256).astype(np.float32)
+    pcm = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+    dat = b"data" + struct.pack("<I", len(pcm))
+    raw, sr = nat.decode_wav(hdr + fmt + dat + pcm)
+    np.testing.assert_allclose(np.frombuffer(raw, np.float32), x)
+
+
+def test_wav_decode_garbage_raises():
+    with pytest.raises(ValueError):
+        nat.decode_wav(b"definitely not a wav file" * 10)
+
+
+def test_read_wav_uses_native_and_matches_python(tmp_path):
+    from lele_tpu.utils import wav as wav_mod
+
+    x = (np.sin(np.arange(2000) / 9) * 0.7).astype(np.float32)
+    wav_mod.write_wav(tmp_path / "t.wav", x, 22050)
+    y, sr = wav_mod.read_wav(tmp_path / "t.wav")
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_content_hash_stable():
+    h1 = nat.content_hash(b"abc")
+    h2 = nat.content_hash(b"abc")
+    h3 = nat.content_hash(b"abd")
+    assert h1 == h2 != h3
