@@ -55,12 +55,26 @@ def main():
     t0 = time.perf_counter()
     probs = vad.speech_probs(pcm, sr=16000)
     steady = time.perf_counter() - t0
+    # device-compute-only steady state (excludes the fixed host-readback RTT,
+    # which on a tunneled TPU dominates tiny outputs)
+    import jax
+
+    cfgv = vad.cfg
+    n = (len(pcm) - cfgv.context) // cfgv.chunk
+    idx = (np.arange(n)[:, None] * cfgv.chunk
+           + np.arange(cfgv.chunk + cfgv.context)[None, :])
+    chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
+    fn = vad.scan_fn(n)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(vad.params, chunks))
+    device_steady = time.perf_counter() - t0
     audio_s = len(pcm) / sr
     print(f"chunks: {len(probs)}  prob range [{probs.min():.3f}, {probs.max():.3f}]")
     segs = collect_segments(probs, VadSegmentConfig(threshold=args.threshold))
     for s, e in segs:
         print(f"  speech {s:.2f}s – {e:.2f}s")
-    print(f"RTF: {steady / audio_s:.6f} (cold {elapsed / audio_s:.6f})")
+    print(f"RTF: {steady / audio_s:.6f} (cold {elapsed / audio_s:.6f}, "
+          f"device-compute {device_steady / audio_s:.6f})")
 
 
 if __name__ == "__main__":

@@ -45,8 +45,9 @@ def main():
     timer = ScopeTimer()
     with timer.scope("init"):
         tts.init(0)
-    if args.voice and Path(args.voice).exists():
-        style = load_voice_style(args.voice)
+    voice = args.voice or str(Path(__file__).parent / "voice_styles" / "M1.json")
+    if Path(voice).exists():
+        style = load_voice_style(voice)
     else:
         rng = np.random.default_rng(7)
         style = {

@@ -71,9 +71,15 @@ class FbankFrontend:
         return fbank_features(pcm, self.config, self.window, self.mel_t)
 
 
-def fbank_features(pcm, config: FbankConfig, window: np.ndarray, mel_t: np.ndarray):
+def fbank_features(
+    pcm, config: FbankConfig, window: np.ndarray, mel_t: np.ndarray, n_valid=None
+):
     """pcm: [n_samples] f32 in [-1,1] → [T_lfr, n_mels*lfr_m] (or [T, n_mels]
-    with LFR/CMVN disabled)."""
+    with LFR/CMVN disabled).
+
+    With `n_valid` (a traced scalar ≤ n_samples — the length-bucketing path,
+    runtime/bucketing.py), statistics (CMVN) cover only the valid frames and
+    the function returns (features, frame_mask)."""
     import jax.numpy as jnp
 
     c = config
@@ -81,7 +87,8 @@ def fbank_features(pcm, config: FbankConfig, window: np.ndarray, mel_t: np.ndarr
     frame_len, hop = c.frame_len, c.hop_len
     if n < frame_len:
         d = c.n_mels * (c.lfr_m if c.apply_lfr else 1)
-        return jnp.zeros((0, d), jnp.float32)
+        empty = jnp.zeros((0, d), jnp.float32)
+        return (empty, jnp.zeros((0,), jnp.float32)) if n_valid is not None else empty
     n_frames = c.num_frames(n)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
     frames = jnp.asarray(pcm)[idx] * c.scale  # [T, frame_len]
@@ -96,8 +103,31 @@ def fbank_features(pcm, config: FbankConfig, window: np.ndarray, mel_t: np.ndarr
     mel = power @ jnp.asarray(mel_t)  # MXU: [T, n_mels]
     logmel = jnp.log(jnp.maximum(mel, c.log_floor))
     out = logmel
+    mask = None
+    if n_valid is not None:
+        valid_frames = jnp.maximum((n_valid - frame_len) // hop + 1, 0)
+        mask = (jnp.arange(n_frames) < valid_frames).astype(jnp.float32)
     if c.apply_lfr:
-        out = lfr_stack(out, c.lfr_m, c.lfr_n)
+        valid_frames = None
+        if mask is not None:
+            valid_frames = jnp.maximum((n_valid - frame_len) // hop + 1, 0)
+        out = lfr_stack(out, c.lfr_m, c.lfr_n, n_valid=valid_frames)
+        if mask is not None:
+            t_lfr = out.shape[0]
+            valid_lfr = -(-valid_frames // c.lfr_n)
+            mask = (jnp.arange(t_lfr) < valid_lfr).astype(jnp.float32)
     if c.apply_cmvn:
-        out = cmvn(out)
-    return out.astype(jnp.float32)
+        if mask is not None:
+            denom = jnp.maximum(jnp.sum(mask), 1.0)
+            mean = jnp.sum(out * mask[:, None], axis=0, keepdims=True) / denom
+            var = jnp.maximum(
+                jnp.sum(jnp.square(out) * mask[:, None], axis=0, keepdims=True)
+                / denom
+                - mean**2,
+                0.0,
+            )
+            out = (out - mean) / jnp.sqrt(var + 1e-5)
+        else:
+            out = cmvn(out)
+    out = out.astype(jnp.float32)
+    return (out, mask) if n_valid is not None else out

@@ -9,7 +9,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def lfr_stack(x, m: int = 7, n: int = 6):
+def lfr_stack(x, m: int = 7, n: int = 6, n_valid=None):
+    """n_valid (traced scalar): clamp stacking at the last VALID frame, so a
+    padded buffer produces identical rows to an exact-length one
+    (runtime/bucketing.py path)."""
     import jax.numpy as jnp
 
     t, d = x.shape
@@ -19,4 +22,6 @@ def lfr_stack(x, m: int = 7, n: int = 6):
     pad = (m - 1) // 2
     idx = np.arange(t_lfr)[:, None] * n + np.arange(m)[None, :] - pad
     idx = np.clip(idx, 0, t - 1)  # static: shapes known at trace time
+    if n_valid is not None:
+        idx = jnp.minimum(jnp.asarray(idx), jnp.maximum(n_valid - 1, 0))
     return jnp.reshape(jnp.asarray(x)[idx], (t_lfr, d * m))

@@ -208,6 +208,44 @@ class SenseVoiceModel:
 
         return fn
 
+    def forward_bucketed_fn(self):
+        """(params, pcm_padded, n_valid) → (logits, frame_mask).
+
+        Variable-length audio pads to a small set of buckets
+        (runtime/bucketing.py): one compiled program per bucket, masked
+        CMVN/attention so padding never leaks into the statistics."""
+        from ..features.fbank import fbank_features
+
+        cfg = self.cfg
+        fb = self.fbank
+
+        def fn(params, pcm, n_valid):
+            feats, fmask = fbank_features(pcm, fb.config, fb.window, fb.mel_t,
+                                          n_valid=n_valid)
+            logits = sensevoice_encode(params, feats[None], fmask[None], cfg)
+            return logits, fmask
+
+        return fn
+
+    def transcribe_ids(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
+        """Bucketed waveform → token ids (compile count bounded by buckets)."""
+        import jax
+
+        from ..runtime.bucketing import pad_pcm
+
+        if self.params is None:
+            self.init()
+        padded, true_len = pad_pcm(np.asarray(pcm, np.float32))
+        key = ("bucketed", len(padded))
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self.forward_bucketed_fn())
+        logits, fmask = self._fn_cache[key](self.params, padded, true_len)
+        logits = np.asarray(logits[0, self.cfg.n_prefix :])
+        valid = int(np.asarray(fmask).sum())
+        return greedy_ctc_decode(logits[:valid], blank_id)
+
     def encode_fn(self):
         cfg = self.cfg
 

@@ -128,8 +128,9 @@ class SileroVad:
             return self._fn_cache[("scan", sr)]
         cfg = self.cfg
 
-        def fn(params, chunks, state):  # chunks: [N, chunk+context]
+        def fn(params, chunks):  # chunks: [N, chunk+context]; state inside
             feats = silero_features(params, chunks, cfg, sr)  # batched [N, C]
+            state = jnp.zeros((2, 1, cfg.d_hidden), jnp.float32)
 
             def body(st, feat):
                 h_prev, c_prev = st[0], st[1]
@@ -140,7 +141,7 @@ class SileroVad:
             final, probs = jax.lax.scan(body, state, feats)
             return probs, final
 
-        jitted = jax.jit(fn, donate_argnums=(2,))
+        jitted = jax.jit(fn)
         self._fn_cache[("scan", sr)] = jitted
         return jitted
 
@@ -156,9 +157,9 @@ class SileroVad:
             + np.arange(cfg.chunk + cfg.context)[None, :]
         )
         # frame on host (numpy strided gather), ship one [N, win] f32 buffer
-        chunks = jnp.asarray(np.ascontiguousarray(np.asarray(pcm)[idx]))
+        chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
         fn = self.scan_fn(n, sr)
-        probs, _ = fn(self.params, chunks, zero_state(cfg))
+        probs, _ = fn(self.params, chunks)
         return np.asarray(probs)
 
 

@@ -1,0 +1,80 @@
+"""Length-bucketing suite: padding must not change results (the
+static-shape specialization strategy, SURVEY.md §7 hard parts)."""
+
+import numpy as np
+
+import jax
+
+from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel
+from lele_tpu.runtime.bucketing import (
+    bucket_for,
+    feat_mask_for,
+    frames_for_samples,
+    pad_pcm,
+)
+
+rng = np.random.default_rng(31)
+
+
+def test_bucket_selection():
+    assert bucket_for(100, [128, 256]) == 128
+    assert bucket_for(128, [128, 256]) == 128
+    assert bucket_for(129, [128, 256]) == 256
+    assert bucket_for(999, [128, 256]) == 256  # clamps to last
+
+
+def test_pad_pcm():
+    x = rng.standard_normal(20_000).astype(np.float32)
+    padded, n = pad_pcm(x, sr=16000)
+    assert n == 20_000
+    assert len(padded) == 2 * 16000
+    np.testing.assert_array_equal(padded[:n], x)
+    assert (padded[n:] == 0).all()
+
+
+def test_feat_mask():
+    m = feat_mask_for(16000, 32000)
+    t_true = -(-frames_for_samples(16000) // 6)
+    assert m.sum() == t_true
+    assert m[t_true - 1] == 1 and m[t_true] == 0
+
+
+def test_bucketed_forward_matches_unpadded():
+    """Same audio through the exact-length program and the padded bucket
+    program must give (near-)identical logits on the valid frames."""
+    cfg = SenseVoiceConfig(
+        n_layers=2, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    pcm = (rng.standard_normal(12_345) * 0.1).astype(np.float32)
+
+    exact = np.asarray(jax.jit(m.forward_fn())(m.params, pcm))  # [1, T+4, V]
+
+    padded, true_len = pad_pcm(pcm)
+    assert len(padded) == 16000
+    logits, fmask = jax.jit(m.forward_bucketed_fn())(m.params, padded, true_len)
+    logits = np.asarray(logits)
+    valid = int(np.asarray(fmask).sum())
+    t_exact = exact.shape[1] - cfg.n_prefix
+    assert valid == t_exact
+    # prefix + valid frames agree; padded attention changes nothing because
+    # of masking (tolerance: softmax over -1e9-masked scores)
+    want = exact[0, : cfg.n_prefix + valid]
+    got = logits[0, : cfg.n_prefix + valid]
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_transcribe_ids_bucket_reuse():
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    ids1 = m.transcribe_ids((rng.standard_normal(9_000) * 0.1).astype(np.float32))
+    ids2 = m.transcribe_ids((rng.standard_normal(15_000) * 0.1).astype(np.float32))
+    # both lengths fall in the 1s bucket → single compiled program
+    assert len(m._fn_cache) == 1
+    assert isinstance(ids1, list) and isinstance(ids2, list)
