@@ -22,14 +22,16 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
-    # Honor the standard JAX_PLATFORMS env var even when a sitecustomize
-    # shim has overridden it via jax.config (restores the documented JAX
-    # contract; no-op when the backend is already initialized).
+_env_platforms = _os.environ.get("JAX_PLATFORMS")
+if _env_platforms and _env_platforms not in ("axon", "axon,cpu"):
+    # Restore the documented JAX_PLATFORMS env contract when the ambient
+    # sitecustomize shim overrode it via jax.config (the shim pins
+    # "axon,cpu"). Only the shim's own value is replaced — a config the
+    # user already set programmatically is left alone.
     try:
         import jax as _jax
 
-        if _jax.config.jax_platforms != _os.environ["JAX_PLATFORMS"]:
-            _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        if _jax.config.jax_platforms in ("axon", "axon,cpu"):
+            _jax.config.update("jax_platforms", _env_platforms)
     except Exception:
         pass

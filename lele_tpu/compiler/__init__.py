@@ -51,6 +51,8 @@ class Compiler:
         input_shapes: dict[str, Sequence[int]] | None = None,
         dim_values: dict[str, int] | None = None,
         donate: Sequence[str] = (),
+        mesh=None,
+        batch_axis: int | None = None,
     ) -> CompiledModel:
         if not isinstance(model, OnnxModel):
             model = OnnxModel.load(model)
@@ -69,6 +71,8 @@ class Compiler:
             input_order=model.input_names(),
             output_names=model.output_names(),
             donate=donate,
+            mesh=mesh,
+            batch_axis=batch_axis,
         )
 
 
@@ -119,6 +123,8 @@ def compile_model(
     donate: Sequence[str] = (),
     overrides: dict[str, Callable] | None = None,
     strict: bool | None = None,
+    mesh=None,
+    batch_axis: int | None = None,
 ) -> CompiledModel:
     c = Compiler()
     if overrides:
@@ -126,4 +132,4 @@ def compile_model(
             c.with_override(k, v)
     if strict is not None:
         c.with_strict(strict)
-    return c.compile(model, input_shapes, dim_values, donate)
+    return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis)

@@ -24,7 +24,13 @@ class CompiledModel:
         input_order: Sequence[str],
         output_names: Sequence[str],
         donate: Sequence[str] = (),
+        mesh=None,
+        batch_axis: int | None = None,
     ):
+        """mesh + batch_axis: data-parallel inference — params replicate
+        across the mesh's "data" axis and every input/output shards on
+        `batch_axis`; XLA inserts the ICI collectives. (No reference
+        counterpart — lele is single-core; SURVEY.md §2.6.)"""
         import jax
         import jax.numpy as jnp
 
@@ -34,11 +40,35 @@ class CompiledModel:
         self.input_order = list(input_order)
         self.output_names = list(output_names)
         self.donate = [d for d in donate if d in input_order]
+        self.mesh = mesh
         self._canon = {
             n: canonical_dtype(np.dtype(input_specs[n][1]), device=True)
             for n in input_order
         }
-        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self._in_shard = None
+        param_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = 0 if batch_axis is None else batch_axis
+
+            def spec_for(name):
+                rank = len(input_specs[name][0])
+                if rank > ax and input_specs[name][0][ax] % mesh.shape["data"] == 0:
+                    parts = [None] * rank
+                    parts[ax] = "data"
+                    return NamedSharding(mesh, P(*parts))
+                return NamedSharding(mesh, P())
+
+            self._in_shard = {n: spec_for(n) for n in self.input_order}
+            param_sharding = NamedSharding(mesh, P())
+        if param_sharding is not None:
+            self.params = {
+                k: jax.device_put(jnp.asarray(v), param_sharding)
+                for k, v in params.items()
+            }
+        else:
+            self.params = {k: jnp.asarray(v) for k, v in params.items()}
 
         rest_names = [n for n in self.input_order if n not in self.donate]
         donate_names = list(self.donate)
@@ -52,6 +82,7 @@ class CompiledModel:
         self._jit = jax.jit(fn, donate_argnums=(1,) if donate_names else ())
 
     def _prep(self, name: str, v) -> Any:
+        import jax
         import jax.numpy as jnp
 
         arr = np.asarray(v) if isinstance(v, (np.ndarray, list, float, int)) else v
@@ -59,6 +90,8 @@ class CompiledModel:
             dt = self._canon[name]
             if arr.dtype != dt:
                 arr = arr.astype(dt)
+            if self._in_shard is not None:
+                return jax.device_put(arr, self._in_shard[name])
             return jnp.asarray(arr)
         return arr  # already a device array; jit will cast/complain as needed
 

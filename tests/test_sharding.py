@@ -1,0 +1,134 @@
+"""Multi-chip sharding suite (virtual 8-device CPU mesh, conftest).
+
+Covers lele_tpu.parallel (mesh construction, Megatron param rules), sharded
+CTC training (GSPMD-propagated collectives), and data-parallel compiled-
+model inference — the component class the reference lacks entirely
+(SURVEY.md §2.6)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from lele_tpu.parallel import make_mesh, shard_params
+from lele_tpu.parallel.sharding import param_spec_tree, sensevoice_param_rules
+
+
+def test_make_mesh_factoring():
+    mesh = make_mesh(8)
+    assert mesh.shape == {"data": 2, "model": 4}
+    mesh = make_mesh(8, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(1)
+    assert mesh.shape == {"data": 1, "model": 1}
+    with pytest.raises(AssertionError):
+        make_mesh(8, data=3, model=2)
+
+
+def test_param_rules():
+    assert sensevoice_param_rules("layers/0/qkv/w") == P(None, "model")
+    assert sensevoice_param_rules("layers/7/ffn2/w") == P("model", None)
+    assert sensevoice_param_rules("layers/3/norm1/g") == P()
+    assert sensevoice_param_rules("embed/w") == P()
+
+
+def test_shard_params_places_on_mesh():
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    mesh = make_mesh(8, model=2)
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+    sharded = shard_params(params, mesh)
+    qkv = sharded["layers"][0]["qkv"]["w"]
+    # column-parallel: each model-shard holds half the output features
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(32, 96 // 2)}
+    norm = sharded["layers"][0]["norm1"]["g"]
+    assert all(s.data.shape == (32,) for s in norm.addressable_shards)
+    # structure preserved (lists stay lists)
+    assert isinstance(sharded["layers"], list)
+
+
+def test_spec_tree_matches_structure():
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice
+
+    cfg = SenseVoiceConfig(
+        n_layers=2, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+    specs = param_spec_tree(params)
+    assert jax.tree.structure(
+        specs, is_leaf=lambda x: isinstance(x, P)
+    ) == jax.tree.structure(params)
+
+
+def test_sharded_train_step_runs_and_matches_single_device():
+    """The dryrun_multichip path, plus a numerical check: the sharded step
+    must produce the same loss as the unsharded one."""
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice
+    from lele_tpu.train import make_train_step, shard_batch
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    rng = np.random.default_rng(0)
+    B, T, L = 4, 12, 4
+    batch_np = {
+        "feats": rng.standard_normal((B, T, cfg.input_dim)).astype(np.float32),
+        "feat_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32),
+        "label_mask": np.ones((B, L), np.float32),
+    }
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+
+    tx, step = make_train_step(cfg, lr=1e-3)
+    p1, o1, loss_single = step(
+        jax.tree.map(jnp.copy, params), tx.init(params), batch_np
+    )
+
+    mesh = make_mesh(8, model=2)
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    opt = tx.init(sp)
+    batch = shard_batch(batch_np, mesh)
+    tx2, step2 = make_train_step(cfg, lr=1e-3)
+    with mesh:
+        p2, o2, loss_sharded = step2(sp, opt, batch)
+    assert np.isfinite(float(loss_sharded))
+    np.testing.assert_allclose(
+        float(loss_single), float(loss_sharded), rtol=2e-4
+    )
+    # updated params agree across the strategies
+    w1 = np.asarray(p1["layers"][0]["qkv"]["w"])
+    w2 = np.asarray(p2["layers"][0]["qkv"]["w"])
+    np.testing.assert_allclose(w1, w2, atol=2e-4)
+
+
+def test_data_parallel_compiled_model():
+    """ONNX-compiled model runs data-parallel over the mesh."""
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel, builder as ob
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((16, 300)).astype(np.float32)
+    bs = ob.build_model_bytes(
+        [ob.node("MatMul", ["x", "w"], ["mm"]), ob.node("Relu", ["mm"], ["y"])],
+        inputs=[ob.value_info("x", 1, [8, 16])],
+        outputs=[ob.value_info("y", 1, [8, 300])],
+        initializers=[ob.tensor_from_array(w, "w")],
+    )
+    mesh = make_mesh(8, data=8, model=1)
+    cm = compile_model(OnnxModel.from_bytes(bs), mesh=mesh, batch_axis=0)
+    x = rng.standard_normal((8, 16)).astype(np.float32)
+    (y,) = cm.run_np(x)
+    np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=1e-4)
+    # the input really was sharded 1-row-per-device
+    xs = cm._prep("x", x)
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (1, 16)
