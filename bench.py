@@ -67,4 +67,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    try:
+        main()
+    except Exception as e:  # never leave the driver without a JSON line
+        print(f"bench failed on default backend: {e!r}", file=sys.stderr)
+        if os.environ.get("LELE_BENCH_FALLBACK") != "1":
+            import subprocess
+
+            env = dict(os.environ, JAX_PLATFORMS="cpu", LELE_BENCH_FALLBACK="1")
+            raise SystemExit(
+                subprocess.run([sys.executable, __file__], env=env).returncode
+            )
+        raise

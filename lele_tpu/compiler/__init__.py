@@ -24,6 +24,7 @@ class Compiler:
         self._patterns: list | None = None
         self._strict: bool | None = None
         self._name = "Model"
+        self._custom_methods: dict[str, Callable] = {}
 
     def with_name(self, name: str) -> "Compiler":
         self._name = name
@@ -45,6 +46,14 @@ class Compiler:
         self._strict = strict
         return self
 
+    def with_custom_method(self, name: str, fn: Callable) -> "Compiler":
+        """Attach a host-side method to the compiled model
+        (`Compiler::with_custom_method`, mod.rs:352 — the reference injects
+        Rust source; here the callable binds onto the CompiledModel with
+        itself as first argument)."""
+        self._custom_methods[name] = fn
+        return self
+
     def compile(
         self,
         model: OnnxModel | str | Path,
@@ -64,7 +73,7 @@ class Compiler:
             strict=self._strict,
         )
         walk_fn, params = tracer.build(specs)
-        return CompiledModel(
+        cm = CompiledModel(
             walk_fn,
             params,
             specs,
@@ -74,6 +83,11 @@ class Compiler:
             mesh=mesh,
             batch_axis=batch_axis,
         )
+        import types
+
+        for mname, fn in self._custom_methods.items():
+            setattr(cm, mname, types.MethodType(fn, cm))
+        return cm
 
 
 def resolve_input_specs(

@@ -1,0 +1,59 @@
+"""Compiler extension points: with_custom_method / with_override /
+with_pattern (the builder surface of compiler/mod.rs:297-373)."""
+
+import numpy as np
+
+from lele_tpu.compiler import Compiler
+from lele_tpu.onnx import OnnxModel, builder as ob
+
+rng = np.random.default_rng(12)
+
+
+def _toy():
+    w = rng.standard_normal((4, 6)).astype(np.float32)
+    bs = ob.build_model_bytes(
+        [ob.node("MatMul", ["x", "w"], ["y"])],
+        inputs=[ob.value_info("x", 1, [2, 4])],
+        outputs=[ob.value_info("y", 1, [2, 6])],
+        initializers=[ob.tensor_from_array(w, "w")],
+    )
+    return OnnxModel.from_bytes(bs), w
+
+
+def test_with_custom_method():
+    model, w = _toy()
+
+    def top_activation(self, x):
+        (y,) = self.run_np(x)
+        return int(np.argmax(y.sum(axis=0)))
+
+    cm = Compiler().with_custom_method("top_activation", top_activation).compile(model)
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    assert cm.top_activation(x) == int((x @ w).sum(axis=0).argmax())
+
+
+def test_with_override_replaces_builtin():
+    model, w = _toy()
+
+    def matmul_times_two(ctx, a, b):
+        import jax.numpy as jnp
+
+        return 2.0 * jnp.matmul(a, b)
+
+    cm = Compiler().with_override("MatMul", matmul_times_two).compile(model)
+    x = rng.standard_normal((2, 4)).astype(np.float32)
+    (y,) = cm.run_np(x)
+    np.testing.assert_allclose(y, 2 * (x @ w), atol=1e-4)
+
+
+def test_with_pattern_takes_precedence():
+    model, w = _toy()
+
+    def const_pattern(tracer, state, nodes, i, env, scope):
+        if nodes[i].op_type != "MatMul":
+            return None
+        return 1, {nodes[i].output[0]: np.full((2, 6), 7.0, np.float32)}
+
+    cm = Compiler().with_pattern(const_pattern).compile(model)
+    (y,) = cm.run_np(np.zeros((2, 4), np.float32))
+    np.testing.assert_array_equal(y, np.full((2, 6), 7.0, np.float32))
