@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--layers", type=int, default=50)
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace (op-level timing; the "
+                         "TPU analog of the reference's TIMING_ENABLED "
+                         "breakdown, kernels/timing.rs)")
     args = ap.parse_args()
 
     if Path(args.wav).exists():
@@ -64,6 +68,10 @@ def main():
         fn(model.params, np.asarray(pcm, np.float32)).block_until_ready()
         times.append(time.perf_counter() - t0)
     st = bench_stats(times)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            fn(model.params, np.asarray(pcm, np.float32)).block_until_ready()
+        print(f"profiler trace written to {args.profile}")
     ids = greedy_ctc_decode(np.asarray(logits[0, cfg.n_prefix:]))
     print(f"decoded tokens: {len(ids)} (first 16: {ids[:16]})")
     print(

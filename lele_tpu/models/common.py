@@ -22,10 +22,6 @@ import numpy as np
 Params = dict[str, Any]
 
 
-def _split(key, n):
-    return list(jax.random.split(key, n))
-
-
 def init_linear(key, d_in: int, d_out: int, bias: bool = True) -> Params:
     k1, _ = jax.random.split(key)
     scale = 1.0 / np.sqrt(d_in)

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import optax
 
 from ..models.sensevoice import SenseVoiceConfig, sensevoice_encode
-from ..parallel.sharding import param_spec_tree, sensevoice_param_rules
 
 
 @dataclass
