@@ -37,6 +37,18 @@ class SileroConfig:
     channels: tuple = (128, 64, 64, 128)
     sample_rate: int = 16000
     dtype: str = "float32"
+    # fused Pallas LSTM-sequence kernel for offline scans (kernels/lstm.py);
+    # 1.35× over lax.scan on v5e, auto-disabled off-TPU
+    use_pallas_lstm: bool = True
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def init_silero(key, cfg: SileroConfig) -> Params:
@@ -128,18 +140,28 @@ class SileroVad:
             return self._fn_cache[("scan", sr)]
         cfg = self.cfg
 
+        use_pallas = cfg.use_pallas_lstm and _on_tpu()
+
         def fn(params, chunks):  # chunks: [N, chunk+context]; state inside
             feats = silero_features(params, chunks, cfg, sr)  # batched [N, C]
-            state = jnp.zeros((2, 1, cfg.d_hidden), jnp.float32)
+            lp = params["lstm"]
+            # input projection for ALL chunks: one MXU matmul
+            xproj = (
+                jnp.matmul(feats, lp["wx"], preferred_element_type=jnp.float32)
+                + lp["b"]
+            )[:, None, :]  # [N, 1, 4H]
+            h0 = jnp.zeros((1, cfg.d_hidden), jnp.float32)
+            c0 = jnp.zeros((1, cfg.d_hidden), jnp.float32)
+            if use_pallas:
+                from ..kernels.lstm import lstm_seq_pallas
 
-            def body(st, feat):
-                h_prev, c_prev = st[0], st[1]
-                h_new, c_new = lstm_cell(params["lstm"], feat[None], h_prev, c_prev)
-                prob = jax.nn.sigmoid(linear(params["head"], h_new))
-                return jnp.stack([h_new, c_new]), prob[0, 0]
+                hs, hf, cf = lstm_seq_pallas(xproj, lp["wh"], h0, c0)
+            else:
+                from ..kernels.lstm import lstm_seq_reference
 
-            final, probs = jax.lax.scan(body, state, feats)
-            return probs, final
+                hs, hf, cf = lstm_seq_reference(xproj, lp["wh"], h0, c0)
+            probs = jax.nn.sigmoid(linear(params["head"], hs[:, 0]))[:, 0]
+            return probs, jnp.stack([hf, cf])
 
         jitted = jax.jit(fn)
         self._fn_cache[("scan", sr)] = jitted

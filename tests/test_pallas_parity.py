@@ -69,3 +69,18 @@ def test_dynamic_quantize_u8_range():
     # reconstruct within one quantization step
     rec = (qn - float(zp)) * float(scale)
     assert np.abs(rec - x).max() <= float(scale) * 0.51 + 1e-6
+
+
+def test_pallas_lstm_seq_matches_scan():
+    from lele_tpu.kernels.lstm import lstm_seq_pallas, lstm_seq_reference
+
+    S, B, H = 23, 1, 32
+    xp = jnp.asarray(rng.standard_normal((S, B, 4 * H)).astype(np.float32) * 0.4)
+    wh = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.4)
+    h0 = jnp.zeros((B, H))
+    c0 = jnp.zeros((B, H))
+    hs_p, hf_p, cf_p = lstm_seq_pallas(xp, wh, h0, c0, interpret=True)
+    hs_r, hf_r, cf_r = lstm_seq_reference(xp, wh, h0, c0)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cf_p), np.asarray(cf_r), atol=1e-5)
