@@ -105,6 +105,8 @@ class GraphTracer:
         op_type = node.op_type
         if op_type == "If":
             return self._emit_if(state, node, env, scope, tag)
+        if op_type == "Loop":
+            return self._emit_loop(state, node, env, scope, tag)
 
         ins = [env[n] if n else None for n in node.input]
         emitter = self.overrides.get(op_type)
@@ -185,6 +187,88 @@ class GraphTracer:
         cond_b = jnp.reshape(jnp.asarray(cond).astype(bool), ())
         outs = jax.lax.cond(cond_b, make_branch(then_g, "then"), make_branch(else_g, "else"), None)
         return outs if n_out > 1 else outs[0]
+
+    def _emit_loop(self, state: TraceState, node: Proto, env, scope: str, tag: str):
+        """ONNX Loop → lax.while_loop (loop-carried values only).
+
+        Supported subset: trip-count M (static or dynamic) and/or dynamic
+        condition, N loop-carried deps with shape-invariant bodies. Scan
+        outputs (concatenated per-iteration outputs) are not supported and
+        fall back to the unknown-op behavior. (The reference has NO Loop
+        emitter at all — compiler/mod.rs:111-123 visits the body only for
+        allocation; SURVEY §2.1 "control flow".)
+        """
+        import jax
+        import jax.numpy as jnp
+
+        attrs = {a.name: a for a in node.attribute}
+        body = attrs["body"].g
+        n_carried = len(node.input) - 2
+        n_scan = len(node.output) - n_carried
+        if n_scan > 0:
+            if self.strict:
+                raise NotImplementedError(
+                    "Loop scan-outputs unsupported (carried-only subset)"
+                )
+            if "Loop-scan" not in state.warned:
+                state.warned.add(node.op_type + "-scan")
+                print(
+                    "Warning: Loop scan outputs unsupported; emitting empty",
+                    file=sys.stderr,
+                )
+            outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
+            return outs if len(node.output) > 1 else outs[0]
+
+        m_in = env[node.input[0]] if node.input[0] else None
+        cond_in = env[node.input[1]] if len(node.input) > 1 and node.input[1] else None
+        v_init = [env[n] for n in node.input[2:]]
+
+        max_iter = (
+            jnp.asarray(np.int32(np.asarray(m_in)))
+            if m_in is not None and _is_static(m_in)
+            else (m_in.astype(jnp.int32) if m_in is not None else jnp.int32(2**31 - 1))
+        )
+        cond0 = (
+            jnp.asarray(bool(np.asarray(cond_in).reshape(-1)[0]))
+            if cond_in is None or _is_static(cond_in)
+            else jnp.reshape(cond_in.astype(bool), ())
+        ) if cond_in is not None else jnp.asarray(True)
+
+        body_in_names = [vi.name for vi in body.input]
+        loop_scope = scope + (node.name or f"Loop_{tag}") + "/"
+
+        def run_body(i, vs):
+            benv = ChainMap({}, env)
+            benv[body_in_names[0]] = i.astype(jnp.int32)
+            benv[body_in_names[1]] = jnp.reshape(jnp.asarray(True), ())
+            for name, v in zip(body_in_names[2:], vs):
+                benv[name] = v
+            outs = self._walk_graph(state, body, benv, loop_scope)
+            conv = [
+                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                for o in outs
+            ]
+            new_cond = jnp.reshape(conv[0].astype(bool), ())
+            return new_cond, tuple(conv[1 : 1 + n_carried])
+
+        vs0 = tuple(
+            state.to_device(scope + n, np.asarray(v)) if _is_static(v) else v
+            for n, v in zip(node.input[2:], v_init)
+        )
+
+        def cond_fun(carry):
+            i, c, _ = carry
+            return jnp.logical_and(i < max_iter, c)
+
+        def body_fun(carry):
+            i, _, vs = carry
+            new_cond, new_vs = run_body(i, vs)
+            return (i + 1, new_cond, new_vs)
+
+        _, _, vs_final = jax.lax.while_loop(
+            cond_fun, body_fun, (jnp.int32(0), cond0, vs0)
+        )
+        return vs_final if n_carried > 1 else vs_final[0]
 
     # -- graph walk ----------------------------------------------------------
 

@@ -1,0 +1,110 @@
+"""ONNX Loop op (carried-deps subset via lax.while_loop) — a capability the
+reference lacks entirely (its compiler visits Loop bodies only for buffer
+allocation, compiler/mod.rs:111-123, and has no emitter)."""
+
+import numpy as np
+import pytest
+
+from optest import assert_close, run_graph
+from lele_tpu.onnx import builder as ob
+
+rng = np.random.default_rng(17)
+
+
+def _loop_model(m_value=None, with_cond=False, dynamic_m=False):
+    """y = x doubled `m` times (trip-count loop), or until sum > 100."""
+    body = ob.graph(
+        [
+            ob.node("Add", ["v_in", "v_in"], ["v_out"]),
+            ob.node("ReduceSum", ["v_out"], ["s"], keepdims=0),
+            ob.node("Less", ["s", "limit"], ["cond_out"]),
+        ],
+        name="body",
+        inputs=[
+            ob.value_info("iter", 7, []),
+            ob.value_info("cond_in", 9, []),
+            ob.value_info("v_in", 1, [4]),
+        ],
+        outputs=[
+            ob.value_info("cond_out", 9, []),
+            ob.value_info("v_out", 1, [4]),
+        ],
+    )
+    loop_inputs = ["M" if m_value is not None else "", "c0" if with_cond else "", "x"]
+    nodes = [ob.node("Loop", loop_inputs, ["y"], body=body)]
+    inits = {"limit": np.float32(100.0)}
+    graph_inputs = [ob.value_info("x", 1, [4])]
+    if m_value is not None:
+        if dynamic_m:
+            graph_inputs.append(ob.value_info("M", 7, []))
+        else:
+            inits["M"] = np.array(m_value, np.int64)
+    if with_cond:
+        inits["c0"] = np.array(True)
+    return nodes, graph_inputs, inits
+
+
+def test_loop_static_trip_count():
+    x = np.ones(4, np.float32)
+    nodes, gin, inits = _loop_model(m_value=3)
+    bs = ob.build_model_bytes(nodes, gin, [ob.value_info("y", 1, [4])],
+                              [ob.tensor_from_array(v, k) for k, v in inits.items()])
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    (y,) = cm.run_np(x)
+    # doubling with early-exit at sum>100: 1→2→4→8 (sum 32 < 100 all 3 iters)
+    assert_close(y, x * 8)
+
+
+def test_loop_early_exit_condition():
+    x = np.ones(4, np.float32) * 10  # sums: 80, 160 → exits after iter 1
+    nodes, gin, inits = _loop_model(m_value=50, with_cond=True)
+    bs = ob.build_model_bytes(nodes, gin, [ob.value_info("y", 1, [4])],
+                              [ob.tensor_from_array(v, k) for k, v in inits.items()])
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    (y,) = cm.run_np(x)
+    # iter0: v=20 (sum 80 <100 → continue); iter1: v=40 (sum 160 → stop)
+    assert_close(y, x * 4)
+
+
+def test_loop_dynamic_trip_count():
+    x = np.ones(4, np.float32)
+    nodes, gin, inits = _loop_model(m_value=1, dynamic_m=True)
+    bs = ob.build_model_bytes(nodes, gin, [ob.value_info("y", 1, [4])],
+                              [ob.tensor_from_array(v, k) for k, v in inits.items()])
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    (y,) = cm.run_np(x, np.array(4, np.int64))
+    assert_close(y, x * 16)
+    (y,) = cm.run_np(x, np.array(2, np.int64))
+    assert_close(y, x * 4)
+
+
+def test_loop_scan_outputs_fall_back_with_warning():
+    body = ob.graph(
+        [ob.node("Identity", ["v_in"], ["v_out"]),
+         ob.node("Identity", ["cond_in"], ["cond_out"]),
+         ob.node("Identity", ["v_in"], ["scan0"])],
+        name="body",
+        inputs=[ob.value_info("iter", 7, []), ob.value_info("cond_in", 9, []),
+                ob.value_info("v_in", 1, [2])],
+        outputs=[ob.value_info("cond_out", 9, []), ob.value_info("v_out", 1, [2]),
+                 ob.value_info("scan0", 1, [2])],
+    )
+    nodes = [ob.node("Loop", ["M", "", "x"], ["y", "ys"], body=body)]
+    x = np.ones(2, np.float32)
+    outs = run_graph(
+        nodes, {"x": x}, ["y", "ys"],
+        initializers={"M": np.array(2, np.int64)}, strict=False,
+    )
+    assert outs[0].size == 0  # fallback empties, with a warning
+    with pytest.raises(NotImplementedError):
+        run_graph(nodes, {"x": x}, ["y", "ys"],
+                  initializers={"M": np.array(2, np.int64)}, strict=True)
