@@ -49,6 +49,7 @@ class SenseVoiceConfig:
     dropout: float = 0.0  # inference
     dtype: str = "bfloat16"
     quantized: bool = False  # dynamic-int8 linears (reference parity mode)
+    quant_pallas: bool = False  # route int8 dots through the Pallas kernel
 
     @property
     def compute_dtype(self):
@@ -84,26 +85,77 @@ def init_sensevoice(key, cfg: SenseVoiceConfig) -> Params:
     return p
 
 
-def _quant_linear(p: Params, x):
+def _quant_linear(p: Params, x, use_pallas: bool = False):
     """Dynamic-int8 linear mirroring the reference's quantized encoder path
-    (fused DQL → int8 dot → dequant; kernels/quant_matmul.py)."""
+    (fused DQL → int8 dot → dequant; kernels/quant_matmul.py).
+
+    Prefers prepared weights ("wq"/"wscale"/"wcolsum", see
+    `prepare_quantized_params` — the TPU analog of the reference's lazy
+    prepared-weight cache, mod.rs:1102-1133); otherwise quantizes the f32
+    weight inline each call."""
     from ..kernels.quant_matmul import dynamic_quantize_u8, _to_i8
 
-    w = p["w"]
     q, a_scale, a_zp_f = dynamic_quantize_u8(x.astype(jnp.float32))
     ai = _to_i8(q)
     a_zp_i = (a_zp_f - 128.0).astype(jnp.int32)
-    # weight quantization: symmetric int8 per-tensor, folded at trace time
-    w_absmax = jnp.max(jnp.abs(w))
-    w_scale = w_absmax / 127.0
-    wi = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
-    c = jnp.matmul(ai, wi, preferred_element_type=jnp.int32)
-    colsum = jnp.sum(wi.astype(jnp.int32), axis=0, keepdims=True)
+    if "wq" in p:
+        wi = p["wq"]
+        w_scale = p["wscale"]
+        colsum = p["wcolsum"][None, :]
+    else:
+        w = p["w"]
+        w_absmax = jnp.max(jnp.abs(w))
+        w_scale = w_absmax / 127.0
+        wi = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        colsum = jnp.sum(wi.astype(jnp.int32), axis=0, keepdims=True)
+    if use_pallas and ai.ndim >= 2:
+        from ..kernels.quant_matmul import pallas_int8_matmul
+
+        lead = ai.shape[:-1]
+        c2 = pallas_int8_matmul(ai.reshape(-1, ai.shape[-1]), wi)
+        c = c2.reshape(*lead, wi.shape[-1])
+    else:
+        c = jnp.matmul(ai, wi, preferred_element_type=jnp.int32)
     c = c - a_zp_i[..., None, None] * colsum
     y = c.astype(jnp.float32) * (a_scale * w_scale)
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+_QUANT_LINEAR_KEYS = ("qkv", "out", "ffn1", "ffn2")
+
+
+def prepare_quantized_params(params: Params) -> Params:
+    """Pre-quantize every big linear once: symmetric per-tensor int8 weight,
+    scale, and zero-point col-sums — the reference's PreparedWeights concept
+    (neon/quantization.rs:24, pack+colsums) computed ahead of time instead
+    of lazily per first call."""
+    import jax
+
+    def prep(p):
+        w = p["w"]
+        w_absmax = jnp.max(jnp.abs(w))
+        w_scale = w_absmax / 127.0
+        wi = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        out = dict(p)
+        out["wq"] = wi
+        out["wscale"] = w_scale
+        out["wcolsum"] = jnp.sum(wi.astype(jnp.int32), axis=0)
+        return out
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (prep(v) if k in _QUANT_LINEAR_KEYS and isinstance(v, dict)
+                    and "w" in v else walk(v))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    return jax.jit(walk)(params)
 
 
 def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
@@ -112,7 +164,10 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
     x: [B, T, D]; mask: [B, T] (1 = valid). Pre-norm residual wiring.
     """
     dt = cfg.compute_dtype
-    lin = _quant_linear if cfg.quantized else (lambda pp, v: linear(pp, v, dtype=dt))
+    if cfg.quantized:
+        lin = lambda pp, v: _quant_linear(pp, v, use_pallas=cfg.quant_pallas)
+    else:
+        lin = lambda pp, v: linear(pp, v, dtype=dt)
     B, T, D = x.shape
     H = cfg.n_heads
     hd = D // H

@@ -226,3 +226,20 @@ def test_wav_roundtrip(tmp_path):
     y, sr = read_wav(tmp_path / "t.wav")
     assert sr == 16000
     np.testing.assert_allclose(y, x, atol=1e-3)
+
+
+def test_prepared_quantized_params_match_inline():
+    from lele_tpu.models.sensevoice import prepare_quantized_params
+
+    m = tiny_sv()
+    mq1 = SenseVoiceModel(
+        SenseVoiceConfig(n_layers=2, d_model=32, ffn_dim=64, vocab_size=50,
+                         n_heads=2, dtype="float32", quantized=True)
+    )
+    mq1.params = m.params
+    pcm = (rng.standard_normal(6000) * 0.1).astype(np.float32)
+    inline = np.asarray(jax.jit(mq1.forward_fn())(mq1.params, pcm))
+    mq2 = SenseVoiceModel(mq1.cfg)
+    mq2.params = prepare_quantized_params(m.params)
+    prepared = np.asarray(jax.jit(mq2.forward_fn())(mq2.params, pcm))
+    np.testing.assert_allclose(prepared, inline, atol=1e-4)
