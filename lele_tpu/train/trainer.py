@@ -64,12 +64,20 @@ def make_train_step(cfg: SenseVoiceConfig, lr: float = 1e-4):
 
 
 def shard_batch(batch, mesh):
+    """Batch over "data"; on a 3-D mesh, time-major tensors (feats,
+    feat_mask) additionally shard their T axis over "seq" (sequence
+    parallelism — GSPMD all-gathers K/V inside attention)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    has_seq = "seq" in mesh.shape
+    seq_keys = {"feats", "feat_mask"}
 
     def put(name, arr):
         rank = arr.ndim
-        return jax.device_put(
-            arr, NamedSharding(mesh, P("data", *([None] * (rank - 1))))
-        )
+        parts = ["data"] + [None] * (rank - 1)
+        if has_seq and name in seq_keys and rank >= 2:
+            if arr.shape[1] % mesh.shape["seq"] == 0:
+                parts[1] = "seq"
+        return jax.device_put(arr, NamedSharding(mesh, P(*parts)))
 
     return {k: put(k, v) for k, v in batch.items()}

@@ -132,3 +132,37 @@ def test_data_parallel_compiled_model():
     xs = cm._prep("x", x)
     assert len(xs.addressable_shards) == 8
     assert xs.addressable_shards[0].data.shape == (1, 16)
+
+
+def test_3d_mesh_with_sequence_parallelism():
+    """dp×sp×tp: time-sharded activations must give the same loss."""
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice
+    from lele_tpu.train import make_train_step, shard_batch
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    rng = np.random.default_rng(2)
+    B, T, L = 2, 24, 4
+    batch_np = {
+        "feats": rng.standard_normal((B, T, cfg.input_dim)).astype(np.float32),
+        "feat_mask": np.ones((B, T), np.float32),
+        "labels": rng.integers(1, cfg.vocab_size, (B, L)).astype(np.int32),
+        "label_mask": np.ones((B, L), np.float32),
+    }
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+    tx, step = make_train_step(cfg, lr=1e-3)
+    _, _, loss_single = step(jax.tree.map(jnp.copy, params), tx.init(params), batch_np)
+
+    mesh = make_mesh(8, seq=2, model=2)
+    assert mesh.shape == {"data": 2, "seq": 2, "model": 2}
+    sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+    batch = shard_batch(batch_np, mesh)
+    # feats really sharded over seq
+    assert len(batch["feats"].addressable_shards) == 8
+    assert batch["feats"].addressable_shards[0].data.shape[1] == T // 2
+    tx2, step2 = make_train_step(cfg, lr=1e-3)
+    with mesh:
+        _, _, loss_sp = step2(sp, tx2.init(sp), batch)
+    np.testing.assert_allclose(float(loss_single), float(loss_sp), rtol=2e-4)
