@@ -1,0 +1,145 @@
+"""Serving engines: the web-demo engine surface, TPU-side.
+
+Parity surface (/root/reference/examples/web-demo/src/lib.rs:48-427):
+`SenseVoiceEngine::recognize`, `Yolo26Engine::detect`, TTS engine with
+`load_style`/`synthesize`, `decode_wav`/`encode_wav`. The wasm target is
+N/A on TPU (docs/WEB_DEMO.md); these classes are the same product surface
+for a server process: bytes in → results out, everything hot inside cached
+jitted programs.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono f32 samples, sample_rate); native C++ fast path."""
+    try:
+        from .runtime.native import get_native
+
+        nat = get_native()
+        if nat is not None:
+            raw, sr = nat.decode_wav(data)
+            return np.frombuffer(raw, np.float32).copy(), sr
+    except Exception:
+        pass
+    import tempfile
+
+    from .utils.wav import read_wav
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(data)
+        f.flush()
+        return read_wav(f.name)
+
+
+def encode_wav(samples: np.ndarray, sr: int) -> bytes:
+    import tempfile
+
+    from .utils.wav import write_wav
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        write_wav(f.name, samples, sr)
+        f.seek(0)
+        return f.read()
+
+
+@dataclass
+class SenseVoiceEngine:
+    """recognize(wav_bytes) → token ids (or text with a vocab)."""
+
+    model: Any = None
+    tokenizer: Any = None
+
+    def __post_init__(self):
+        if self.model is None:
+            from .models import SenseVoiceModel
+
+            self.model = SenseVoiceModel()
+            self.model.init(0)
+
+    def recognize(self, wav_bytes: bytes):
+        pcm, sr = decode_wav(wav_bytes)
+        if sr != 16000:  # naive host resample (nearest) for odd rates
+            idx = (np.arange(int(len(pcm) * 16000 / sr)) * sr / 16000).astype(int)
+            pcm = pcm[np.minimum(idx, len(pcm) - 1)]
+        ids = self.model.transcribe_ids(pcm)
+        if self.tokenizer is not None:
+            return self.tokenizer.decode(ids)
+        return ids
+
+
+@dataclass
+class Yolo26Engine:
+    """detect(image_array | jpeg_bytes) → list of detections."""
+
+    model: Any = None
+    conf_threshold: float = 0.25
+    _fn: Any = None
+
+    def __post_init__(self):
+        if self.model is None:
+            from .models import Yolo26Model
+
+            self.model = Yolo26Model()
+            self.model.init(0)
+
+    def detect(self, image) -> list[dict]:
+        import jax
+
+        from .models import decode_detections
+        from .utils.image import preprocess
+
+        if isinstance(image, (bytes, bytearray)):
+            from PIL import Image
+
+            image = np.asarray(Image.open(io.BytesIO(image)).convert("RGB"))
+        x = preprocess(image, self.model.cfg.img_size)
+        if self._fn is None:
+            self._fn = jax.jit(self.model.forward_fn())
+        outs = self._fn(self.model.params, x)
+        return decode_detections(
+            np.asarray(outs[0]), np.asarray(outs[1]), self.conf_threshold
+        )
+
+
+@dataclass
+class TtsEngine:
+    """load_style(name_or_path) + synthesize(text) → wav bytes."""
+
+    tts: Any = None
+    styles: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.tts is None:
+            from .models import SupertonicTts
+
+            self.tts = SupertonicTts()
+            self.tts.init(0)
+
+    def load_style(self, path: str, name: str | None = None):
+        from .models import load_voice_style
+
+        style = load_voice_style(path)
+        self.styles[name or path] = style
+        return style
+
+    def synthesize(self, text: str, voice: str | None = None, lang: str = "en",
+                   seed: int = 0) -> bytes:
+        if voice and voice in self.styles:
+            style = self.styles[voice]
+        elif self.styles:
+            style = next(iter(self.styles.values()))
+        else:
+            rng = np.random.default_rng(7)
+            style = {
+                "ttl": rng.standard_normal(self.tts.cfg.d_style).astype(np.float32),
+                "dp": rng.standard_normal(self.tts.cfg.d_style).astype(np.float32),
+            }
+        wave = self.tts.synthesize(text, style, lang=lang, seed=seed)
+        return encode_wav(wave, self.tts.cfg.sample_rate)
