@@ -172,3 +172,30 @@ def test_force_regen_env(tmp_path, monkeypatch):
     monkeypatch.setenv("LELE_FORCE_REGEN", "1")
     assert force_regenerate()
     assert need_regenerate(tmp_path / "x", tmp_path / "y")
+
+
+def test_model_toml_files_array_of_tables_schema(tmp_path):
+    """The reference's [[model.files]] file/dest form parses (lib.rs:9-68)."""
+    (tmp_path / "model.toml").write_text(
+        '[model]\nsource = "hf-hub"\nrepo = "org/repo"\nrevision = "v1"\n\n'
+        '[[model.files]]\nfile = "onnx/a.onnx"\ndest = "a.onnx"\n\n'
+        '[[model.files]]\nfile = "b.json"\n\n'
+        '[codegen]\nclass_name = "X"\nmodel_file = "a.onnx"\n'
+        'custom_methods = ["m1"]\n'
+    )
+    from lele_tpu.build_tool import ModelConfig
+
+    cfg = ModelConfig.load(tmp_path / "model.toml")
+    assert cfg.revision == "v1"
+    assert cfg.files[0] == {"file": "onnx/a.onnx", "dest": "a.onnx"}
+    assert cfg.files[1] == {"file": "b.json", "dest": "b.json"}
+    assert cfg.custom_methods == ["m1"]
+
+
+def test_repo_example_tomls_parse():
+    from lele_tpu.build_tool import ModelConfig
+
+    for name in ["sensevoice", "silero", "supertonic", "supertonic3",
+                 "yolo26", "yolo26n_seg"]:
+        cfg = ModelConfig.load(REPO / "examples" / name / "model.toml")
+        assert cfg.class_name
