@@ -79,6 +79,7 @@ class CompiledModel:
 
         self._rest_names = rest_names
         self._donate_names = donate_names
+        self._walk_fn = walk_fn  # kept for compose_models / re-jitting
         self._jit = jax.jit(fn, donate_argnums=(1,) if donate_names else ())
 
     def _prep(self, name: str, v) -> Any:
