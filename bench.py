@@ -38,6 +38,12 @@ def main():
     cfg = SenseVoiceConfig()  # full SenseVoiceSmall-class: 50L/512d/2048ffn
     model = SenseVoiceModel(cfg)
     params = model.init(0)
+    if cfg.dtype == "bfloat16":  # store big weights in compute dtype: halves
+        import jax.numpy as jnp  # the HBM weight-streaming per forward
+
+        from lele_tpu.models.common import cast_big_params
+
+        params = cast_big_params(params, jnp.bfloat16)
     fn = jax.jit(model.forward_fn())
 
     pcm = np.asarray(pcm, np.float32)

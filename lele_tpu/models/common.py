@@ -155,3 +155,16 @@ def sinusoidal_positions(t: int, d: int, offset: int = 1) -> np.ndarray:
 
 def count_params(p) -> int:
     return sum(int(np.prod(a.shape)) for a in jax.tree.leaves(p))
+
+
+def cast_big_params(params, dtype) -> Params:
+    """Store matmul-class weights (rank ≥ 2) in the compute dtype so the
+    per-forward HBM traffic halves (bf16); norms/biases stay f32 — they're
+    tiny and feed f32 statistics. At batch 1 inference is bandwidth-bound,
+    so this is ~2× on the weight-streaming floor."""
+    def cast(a):
+        if a.ndim >= 2:
+            return a.astype(dtype)
+        return a
+
+    return jax.tree.map(cast, params)
