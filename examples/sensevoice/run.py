@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--layers", type=int, default=50)
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--vocab", default=None,
+                    help="tokenizer vocab (JSON list/dict or text) for text "
+                         "output instead of token ids")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="write a jax.profiler trace (op-level timing; the "
                          "TPU analog of the reference's TIMING_ENABLED "
@@ -73,7 +76,13 @@ def main():
             fn(model.params, np.asarray(pcm, np.float32)).block_until_ready()
         print(f"profiler trace written to {args.profile}")
     ids = greedy_ctc_decode(np.asarray(logits[0, cfg.n_prefix:]))
-    print(f"decoded tokens: {len(ids)} (first 16: {ids[:16]})")
+    if args.vocab:
+        from lele_tpu.utils.tokenizer import CtcTokenizer
+
+        text = CtcTokenizer.load(args.vocab).decode(ids)
+        print(f"transcript: {text!r}")
+    else:
+        print(f"decoded tokens: {len(ids)} (first 16: {ids[:16]})")
     print(
         f"steady RTF {st['mean'] / audio_s:.6f} (cold {cold / audio_s:.4f}) | "
         f"p50 {st['p50'] * 1000:.2f}ms std {st['std'] * 1000:.2f} "
