@@ -50,6 +50,7 @@ class SenseVoiceConfig:
     dtype: str = "bfloat16"
     quantized: bool = False  # dynamic-int8 linears (reference parity mode)
     quant_pallas: bool = False  # route int8 dots through the Pallas kernel
+    remat: bool = False  # jax.checkpoint each block (training memory)
 
     @property
     def compute_dtype(self):
@@ -126,11 +127,15 @@ def _quant_linear(p: Params, x, use_pallas: bool = False):
 _QUANT_LINEAR_KEYS = ("qkv", "out", "ffn1", "ffn2")
 
 
-def prepare_quantized_params(params: Params) -> Params:
+def prepare_quantized_params(params: Params, drop_fp: bool = False) -> Params:
     """Pre-quantize every big linear once: symmetric per-tensor int8 weight,
     scale, and zero-point col-sums — the reference's PreparedWeights concept
     (neon/quantization.rs:24, pack+colsums) computed ahead of time instead
-    of lazily per first call."""
+    of lazily per first call.
+
+    drop_fp=True removes the f32 master weights → ~4× smaller artifacts
+    (weights blob stores int8 + scales), matching the reference's int8
+    deployment format. Keep f32 for fine-tuning."""
     import jax
 
     def prep(p):
@@ -142,6 +147,8 @@ def prepare_quantized_params(params: Params) -> Params:
         out["wq"] = wi
         out["wscale"] = w_scale
         out["wcolsum"] = jnp.sum(wi.astype(jnp.int32), axis=0)
+        if drop_fp:
+            del out["w"]
         return out
 
     def walk(tree):
@@ -222,8 +229,13 @@ def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
     x = x * (cfg.d_model**0.5) / (cfg.input_dim**0.5)
     x = linear(p["embed"], x, dtype=cfg.compute_dtype).astype(jnp.float32)
     x = x + sinusoidal_positions(Tt, cfg.d_model)
+    block = lambda lp, h, m: sanm_block(lp, h, m, cfg)
+    if cfg.remat:
+        # rematerialize activations in backward (SURVEY brief: trade FLOPs
+        # for HBM when fine-tuning deep stacks)
+        block = jax.checkpoint(block)
     for lp in p["layers"]:
-        x = sanm_block(lp, x, mask, cfg)
+        x = block(lp, x, mask)
     x = layer_norm(p["after_norm"], x)
     logits = linear(p["ctc"], x, dtype=cfg.compute_dtype)
     return logits.astype(jnp.float32)

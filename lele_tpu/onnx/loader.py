@@ -87,6 +87,8 @@ class OnnxModel:
         self.model = model
         self.path = path
         self.graph: Proto = model.graph
+        if self.graph is None:
+            raise ValueError("ONNX model has no graph (corrupt or empty file)")
         self.initializers: dict[str, Proto] = {
             t.name: t for t in self.graph.initializer
         }

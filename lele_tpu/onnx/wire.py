@@ -53,7 +53,10 @@ class Field(NamedTuple):
 def read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
     result = 0
     shift = 0
+    n = len(buf)
     while True:
+        if pos >= n:
+            raise ValueError("truncated varint")
         b = buf[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -155,6 +158,13 @@ def decode(buf: bytes | memoryview, fields: tuple[Field, ...], registry: dict) -
     for fnum, wt, raw, _ in iter_fields(buf):
         f = by_num.get(fnum)
         if f is None:
+            continue
+        expected_wt = _WIRE_TYPE[f.kind]
+        if wt != expected_wt and not (
+            f.repeated and wt == _LEN and f.kind in _PACKABLE
+        ):
+            # wire type contradicts the schema (corrupt or type-confused
+            # field): skip rather than mis-parse
             continue
         if f.kind == "message":
             sub = decode(raw, registry[f.msg], registry)

@@ -243,3 +243,49 @@ def test_prepared_quantized_params_match_inline():
     mq2.params = prepare_quantized_params(m.params)
     prepared = np.asarray(jax.jit(mq2.forward_fn())(mq2.params, pcm))
     np.testing.assert_allclose(prepared, inline, atol=1e-4)
+
+
+def test_remat_forward_and_grad_match():
+    import optax
+
+    from lele_tpu.train import make_train_step
+
+    base_cfg = dict(n_layers=2, d_model=32, ffn_dim=64, vocab_size=40,
+                    n_heads=2, dtype="float32")
+    cfg = SenseVoiceConfig(**base_cfg)
+    cfg_r = SenseVoiceConfig(**base_cfg, remat=True)
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    batch = {
+        "feats": rng.standard_normal((2, 10, cfg.input_dim)).astype(np.float32),
+        "feat_mask": np.ones((2, 10), np.float32),
+        "labels": rng.integers(1, 40, (2, 3)).astype(np.int32),
+        "label_mask": np.ones((2, 3), np.float32),
+    }
+    tx, step = make_train_step(cfg, lr=1e-3)
+    _, _, loss = step(jax.tree.map(jnp.copy, m.params), tx.init(m.params), batch)
+    tx2, step2 = make_train_step(cfg_r, lr=1e-3)
+    _, _, loss_r = step2(jax.tree.map(jnp.copy, m.params), tx2.init(m.params), batch)
+    np.testing.assert_allclose(float(loss), float(loss_r), rtol=1e-5)
+
+
+def test_quantized_drop_fp_smaller_and_runs():
+    from lele_tpu.models.sensevoice import prepare_quantized_params
+    from lele_tpu.models.common import count_params
+
+    m = tiny_sv()
+    full = prepare_quantized_params(m.params)
+    slim = prepare_quantized_params(m.params, drop_fp=True)
+    import jax as _jax
+
+    full_bytes = sum(a.nbytes for a in _jax.tree.leaves(full))
+    slim_bytes = sum(a.nbytes for a in _jax.tree.leaves(slim))
+    assert slim_bytes < full_bytes * 0.8
+    mq = SenseVoiceModel(
+        SenseVoiceConfig(n_layers=2, d_model=32, ffn_dim=64, vocab_size=50,
+                         n_heads=2, dtype="float32", quantized=True)
+    )
+    mq.params = slim
+    pcm = (rng.standard_normal(6000) * 0.1).astype(np.float32)
+    logits = jax.jit(mq.forward_fn())(mq.params, pcm)
+    assert np.isfinite(np.asarray(logits)).all()

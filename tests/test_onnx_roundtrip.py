@@ -138,3 +138,27 @@ def test_dynamic_dims():
     (name, dt, dims), = m.input_info()
     assert name == "x" and dt == 1
     assert dims == ["batch", 512]
+
+
+def test_wire_decoder_fuzz_no_crashes():
+    """Random mutations of a valid model must either decode or raise
+    ValueError — never crash with anything else (loader robustness)."""
+    import random
+
+    base = bytearray(_simple_model_bytes())
+    rnd = random.Random(0)
+    crashes = 0
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(rnd.randint(1, 8)):
+            pos = rnd.randrange(len(data))
+            data[pos] = rnd.randrange(256)
+        try:
+            OnnxModel.from_bytes(bytes(data))
+        except (ValueError, OverflowError, UnicodeDecodeError, KeyError):
+            pass
+        except MemoryError:
+            pass  # absurd length prefix; allocation guarded by available RAM
+        except Exception as e:  # pragma: no cover
+            crashes += 1
+    assert crashes == 0
