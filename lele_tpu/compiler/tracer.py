@@ -290,7 +290,18 @@ class GraphTracer:
                 i += consumed
                 continue
             node = nodes[i]
-            out = self._emit(state, node, env, scope, tag=str(i))
+            try:
+                out = self._emit(state, node, env, scope, tag=str(i))
+            except Exception as e:
+                # attach graph context once (innermost node wins)
+                if not getattr(e, "_lele_node", None):
+                    e._lele_node = True
+                    e.add_note(
+                        f"  while compiling node #{i} {node.op_type!r} "
+                        f"(name={node.name!r}, inputs={list(node.input)}, "
+                        f"outputs={list(node.output)})"
+                    )
+                raise
             outs = out if isinstance(out, tuple) else (out,)
             for name, val in zip(node.output, outs):
                 if name:

@@ -294,8 +294,39 @@ class SenseVoiceModel:
 
         return fn
 
-    def transcribe_ids(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
-        """Bucketed waveform → token ids (compile count bounded by buckets)."""
+    def transcribe_long(
+        self,
+        pcm: np.ndarray,
+        blank_id: int = 0,
+        window_s: float = 30.0,
+        overlap_s: float = 2.0,
+        sr: int = 16000,
+    ) -> list[int]:
+        """Long-form audio: overlapping windows, each through the bucketed
+        program; frames inside the overlap halves are dropped before CTC
+        collapse so the stitch has no duplicated context. (Long audio in the
+        reference is the caller's problem — host chunking, SURVEY §5 "long
+        context"; this makes it a framework feature.)"""
+        win = int(window_s * sr)
+        hop = win - int(overlap_s * sr)
+        if len(pcm) <= win:
+            return self.transcribe_ids(pcm, blank_id)
+        c = self.fbank.config
+        margin_frames = int(overlap_s * sr / 2 / c.hop_len / c.lfr_n)
+        ids: list[int] = []
+        start = 0
+        while start < len(pcm):
+            piece = pcm[start : start + win]
+            if len(piece) < c.frame_len:
+                break
+            logits, valid = self._bucketed_logits(piece)
+            lo = margin_frames if start > 0 else 0
+            hi = valid - (margin_frames if start + win < len(pcm) else 0)
+            ids.extend(greedy_ctc_decode(logits[lo:hi], blank_id))
+            start += hop
+        return ids
+
+    def _bucketed_logits(self, pcm: np.ndarray):
         import jax
 
         from ..runtime.bucketing import pad_pcm
@@ -309,8 +340,12 @@ class SenseVoiceModel:
         if key not in self._fn_cache:
             self._fn_cache[key] = jax.jit(self.forward_bucketed_fn())
         logits, fmask = self._fn_cache[key](self.params, padded, true_len)
-        logits = np.asarray(logits[0, self.cfg.n_prefix :])
         valid = int(np.asarray(fmask).sum())
+        return np.asarray(logits[0, self.cfg.n_prefix :]), valid
+
+    def transcribe_ids(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
+        """Bucketed waveform → token ids (compile count bounded by buckets)."""
+        logits, valid = self._bucketed_logits(pcm)
         return greedy_ctc_decode(logits[:valid], blank_id)
 
     def encode_fn(self):

@@ -78,3 +78,19 @@ def test_transcribe_ids_bucket_reuse():
     # both lengths fall in the 1s bucket → single compiled program
     assert len(m._fn_cache) == 1
     assert isinstance(ids1, list) and isinstance(ids2, list)
+
+
+def test_transcribe_long_stitches_windows():
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    pcm = (rng.standard_normal(16000 * 7) * 0.1).astype(np.float32)  # 7 s
+    # force windowing with a small window
+    ids_long = m.transcribe_long(pcm, window_s=3.0, overlap_s=1.0)
+    assert isinstance(ids_long, list) and len(ids_long) > 0
+    # short audio falls through to the plain path
+    short = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    assert m.transcribe_long(short, window_s=3.0) == m.transcribe_ids(short)

@@ -84,3 +84,18 @@ def test_pallas_lstm_seq_matches_scan():
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(cf_p), np.asarray(cf_r), atol=1e-5)
+
+
+@pytest.mark.parametrize("lbr", [True, False])
+def test_pallas_gru_seq_matches_scan(lbr):
+    from lele_tpu.kernels.gru import gru_seq_pallas, gru_seq_reference
+
+    S, B, H = 19, 1, 32
+    xp = jnp.asarray(rng.standard_normal((S, B, 3 * H)).astype(np.float32) * 0.4)
+    rh = jnp.asarray(rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.4)
+    rb = jnp.asarray(rng.standard_normal((3 * H,)).astype(np.float32) * 0.1)
+    h0 = jnp.zeros((B, H))
+    hs_p, hf_p = gru_seq_pallas(xp, rh, rb, h0, lbr, interpret=True)
+    hs_r, hf_r = gru_seq_reference(xp, rh, rb, h0, lbr)
+    np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_r), atol=1e-5)
