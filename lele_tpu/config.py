@@ -22,6 +22,9 @@ class Config:
     matmul_precision: str = "highest"
     # unknown-op behavior: warn + zeros (reference generate.rs:987-997) or raise
     strict: bool = False
+    # fused Pallas RNN-sequence kernels in the LSTM/GRU emitters (forward,
+    # single-direction, inference graphs); auto-disabled off-TPU
+    use_pallas_rnn: bool = True
     # compute dtype override for weights/activations ("" = keep onnx dtypes)
     compute_dtype: str = ""
 

@@ -388,6 +388,23 @@ def lp_norm(ctx: OpContext, x):
 # -- recurrent ---------------------------------------------------------------
 
 
+def _use_pallas_rnn(S: int, B: int, hidden: int) -> bool:
+    """Kernel eligibility: TPU backend, config on, VMEM-resident sizes."""
+    from ..config import config as _cfg
+
+    if not _cfg.use_pallas_rnn:
+        return False
+    try:
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    # xproj + states comfortably in VMEM
+    return S * B * 4 * hidden * 4 < 4 * 1024 * 1024 and B * hidden * 4 < 256 * 1024
+
+
 def _rnn_prep(ctx: OpContext, x, seq_axis_layout):
     layout = ctx.attr("layout", 0)
     if layout == 1:  # [B, S, I] → [S, B, I]
@@ -432,18 +449,28 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
         if bias is not None:
             xproj = xproj + bias.astype(x.dtype)
 
-        def step(carry, xp_t):
-            h_prev, c_prev = carry
-            g = xp_t + jnp.matmul(h_prev, rd.T.astype(x.dtype), precision=_prec())
-            i = jax.nn.sigmoid(g[:, :hidden])
-            o = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
-            f = jax.nn.sigmoid(g[:, 2 * hidden : 3 * hidden])
-            ct = jnp.tanh(g[:, 3 * hidden :])
-            c_new = f * c_prev + i * ct
-            h_new = o * jnp.tanh(c_new)
-            return (h_new, c_new), h_new
+        if _use_pallas_rnn(S, B, hidden):
+            # ONNX gate order i,o,f,c → kernel order i,f,g,o
+            from ..kernels.lstm import lstm_seq_pallas
 
-        (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xproj)
+            xi, xo, xf, xc = jnp.split(xproj, 4, axis=-1)
+            xproj_k = jnp.concatenate([xi, xf, xc, xo], axis=-1)
+            ri, ro, rf, rc = jnp.split(rd, 4, axis=0)
+            rh_k = jnp.concatenate([ri, rf, rc, ro], axis=0).T  # [H, 4H]
+            hs, h_f, c_f = lstm_seq_pallas(xproj_k, rh_k, h0, c0)
+        else:
+            def step(carry, xp_t):
+                h_prev, c_prev = carry
+                g = xp_t + jnp.matmul(h_prev, rd.T.astype(x.dtype), precision=_prec())
+                i = jax.nn.sigmoid(g[:, :hidden])
+                o = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
+                f = jax.nn.sigmoid(g[:, 2 * hidden : 3 * hidden])
+                ct = jnp.tanh(g[:, 3 * hidden :])
+                c_new = f * c_prev + i * ct
+                h_new = o * jnp.tanh(c_new)
+                return (h_new, c_new), h_new
+
+            (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xproj)
         if rev:
             hs = jnp.flip(hs, 0)
         outs.append(hs)
@@ -487,6 +514,19 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
         xproj = jnp.einsum("sbi,gi->sbg", xs, wd, precision=_prec())
         if wb is not None:
             xproj = xproj + wb
+
+        if _use_pallas_rnn(S, B, hidden):
+            from ..kernels.gru import gru_seq_pallas
+
+            rb_full = (
+                rb if rb is not None else jnp.zeros((3 * hidden,), jnp.float32)
+            )
+            hs, h_f = gru_seq_pallas(xproj, rd.T, rb_full, h0, bool(lbr))
+            if rev:
+                hs = jnp.flip(hs, 0)
+            outs.append(hs)
+            h_outs.append(h_f)
+            continue
 
         rz = rd[: 2 * hidden]  # z and r recurrent weights
         rh = rd[2 * hidden :]

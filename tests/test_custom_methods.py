@@ -57,3 +57,32 @@ def test_with_pattern_takes_precedence():
     cm = Compiler().with_pattern(const_pattern).compile(model)
     (y,) = cm.run_np(np.zeros((2, 4), np.float32))
     np.testing.assert_array_equal(y, np.full((2, 6), 7.0, np.float32))
+
+
+def test_profile_nodes_breakdown(capsys):
+    from lele_tpu.compiler.debug import print_breakdown, profile_nodes
+
+    model, w = _toy()
+    recs = profile_nodes(model, {"x": rng.standard_normal((2, 4)).astype(np.float32)})
+    assert [r["op_type"] for r in recs] == ["MatMul"]
+    assert recs[0]["out_shapes"] == [(2, 6)]
+    assert not recs[0]["nonfinite"]
+    print_breakdown(recs)
+    out = capsys.readouterr().out
+    assert "MatMul" in out
+
+
+def test_profile_nodes_flags_nonfinite():
+    from lele_tpu.compiler.debug import profile_nodes
+    from lele_tpu.onnx import OnnxModel, builder as ob
+
+    nodes = [ob.node("Log", ["x"], ["y"])]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [3])],
+        outputs=[ob.value_info("y", 1, [3])],
+    )
+    recs = profile_nodes(
+        OnnxModel.from_bytes(bs), {"x": np.array([-1.0, 0.0, 1.0], np.float32)}
+    )
+    assert recs[0]["nonfinite"]
