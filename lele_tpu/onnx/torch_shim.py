@@ -52,8 +52,13 @@ def install(force: bool = False) -> bool:
         return True
     except ImportError:
         pass
+    import importlib.machinery
+
     mod = types.ModuleType("onnx")
     mod.__version__ = "0.0.0+lele_tpu_shim"
+    # a real-looking spec so importlib.util.find_spec("onnx") works
+    # (transformers probes availability that way)
+    mod.__spec__ = importlib.machinery.ModuleSpec("onnx", loader=None)
     mod.load_model_from_string = _ModelShim
     mod.load_from_string = _ModelShim
     mod.ModelProto = _ModelShim

@@ -168,3 +168,30 @@ def test_torch_embedding_argmax_pipeline(tmp_path):
     cm = compile_model(path)
     (got,) = cm.run_np(ids.numpy())
     np.testing.assert_array_equal(got.astype(np.int64), want.numpy())
+
+
+def test_transformers_whisper_encoder(tmp_path):
+    """A real production architecture (HF transformers Whisper encoder,
+    random weights) through export + compile."""
+    transformers = pytest.importorskip("transformers")
+    from transformers import WhisperConfig
+    from transformers.models.whisper.modeling_whisper import WhisperEncoder
+
+    torch.manual_seed(7)
+    cfg = WhisperConfig(
+        d_model=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_dim=128, num_mel_bins=80, max_source_positions=100,
+        attn_implementation="eager",
+    )
+    enc = WhisperEncoder(cfg).eval()
+
+    class Wrap(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.e = enc
+
+        def forward(self, x):
+            return self.e(x).last_hidden_state
+
+    feats = torch.randn(1, 80, 200)
+    roundtrip(Wrap(), (feats,), tmp_path)
