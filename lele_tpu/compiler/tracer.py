@@ -206,14 +206,20 @@ class GraphTracer:
         n_carried = len(node.input) - 2
         n_scan = len(node.output) - n_carried
         if n_scan > 0:
+            out = self._emit_loop_scan(state, node, body, env, scope, tag,
+                                       n_carried, n_scan)
+            if out is not None:
+                return out
             if self.strict:
                 raise NotImplementedError(
-                    "Loop scan-outputs unsupported (carried-only subset)"
+                    "Loop scan-outputs need a static trip count and no "
+                    "early exit (pure for-loop)"
                 )
             if "Loop-scan" not in state.warned:
                 state.warned.add(node.op_type + "-scan")
                 print(
-                    "Warning: Loop scan outputs unsupported; emitting empty",
+                    "Warning: Loop scan outputs with dynamic exit "
+                    "unsupported; emitting empty",
                     file=sys.stderr,
                 )
             outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
@@ -269,6 +275,84 @@ class GraphTracer:
             cond_fun, body_fun, (jnp.int32(0), cond0, vs0)
         )
         return vs_final if n_carried > 1 else vs_final[0]
+
+    @staticmethod
+    def _body_is_pure_for(body: Proto) -> bool:
+        """True when cond_out is Constant(true) or Identity of cond_in —
+        i.e., the loop can never exit early (a counted for-loop)."""
+        cond_out_name = body.output[0].name
+        cond_in_name = body.input[1].name if len(body.input) > 1 else ""
+        name = cond_out_name
+        # follow a short Identity chain
+        for _ in range(4):
+            if name == cond_in_name:
+                return True
+            producer = next(
+                (n for n in body.node if name in n.output), None
+            )
+            if producer is None:
+                return False
+            if producer.op_type == "Identity":
+                name = producer.input[0]
+                continue
+            if producer.op_type == "Constant":
+                from ..ops.registry import parse_attr
+
+                for a in producer.attribute:
+                    if a.name.startswith("value"):
+                        v = parse_attr(a)
+                        return bool(np.asarray(v).reshape(-1)[0])
+            return False
+        return False
+
+    def _emit_loop_scan(self, state, node, body, env, scope, tag, n_carried,
+                        n_scan):
+        """Pure for-loop with scan outputs → lax.scan. Returns None when the
+        subset doesn't apply (caller falls back)."""
+        import jax
+        import jax.numpy as jnp
+
+        m_in = env[node.input[0]] if node.input[0] else None
+        if m_in is None or not _is_static(m_in):
+            return None
+        cond_in = (
+            env[node.input[1]] if len(node.input) > 1 and node.input[1] else None
+        )
+        if cond_in is not None and not (
+            _is_static(cond_in) and bool(np.asarray(cond_in).reshape(-1)[0])
+        ):
+            return None
+        if not self._body_is_pure_for(body):
+            return None
+        M = int(np.asarray(m_in))
+        body_in_names = [vi.name for vi in body.input]
+        loop_scope = scope + (node.name or f"Loop_{tag}") + "/"
+        v_init = [env[n] for n in node.input[2:]]
+        vs0 = tuple(
+            state.to_device(scope + n, np.asarray(v)) if _is_static(v) else v
+            for n, v in zip(node.input[2:], v_init)
+        )
+
+        def scan_body(vs, i):
+            benv = ChainMap({}, env)
+            benv[body_in_names[0]] = i.astype(jnp.int32)
+            benv[body_in_names[1]] = jnp.reshape(jnp.asarray(True), ())
+            for name, v in zip(body_in_names[2:], vs):
+                benv[name] = v
+            outs = self._walk_graph(state, body, benv, loop_scope)
+            conv = [
+                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                for o in outs
+            ]
+            new_vs = tuple(conv[1 : 1 + n_carried])
+            scans = tuple(conv[1 + n_carried :])
+            return new_vs, scans
+
+        vs_final, scan_stacked = jax.lax.scan(
+            scan_body, vs0, jnp.arange(M, dtype=jnp.int32)
+        )
+        outs = tuple(vs_final) + tuple(scan_stacked)
+        return outs if len(outs) > 1 else outs[0]
 
     # -- graph walk ----------------------------------------------------------
 

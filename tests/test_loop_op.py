@@ -88,9 +88,11 @@ def test_loop_dynamic_trip_count():
 
 
 def test_loop_scan_outputs_fall_back_with_warning():
+    # data-dependent exit + scan outputs: outside the supported subset
     body = ob.graph(
         [ob.node("Identity", ["v_in"], ["v_out"]),
-         ob.node("Identity", ["cond_in"], ["cond_out"]),
+         ob.node("ReduceSum", ["v_in"], ["s"], keepdims=0),
+         ob.node("Less", ["s", "lim"], ["cond_out"]),
          ob.node("Identity", ["v_in"], ["scan0"])],
         name="body",
         inputs=[ob.value_info("iter", 7, []), ob.value_info("cond_in", 9, []),
@@ -100,11 +102,55 @@ def test_loop_scan_outputs_fall_back_with_warning():
     )
     nodes = [ob.node("Loop", ["M", "", "x"], ["y", "ys"], body=body)]
     x = np.ones(2, np.float32)
-    outs = run_graph(
-        nodes, {"x": x}, ["y", "ys"],
-        initializers={"M": np.array(2, np.int64)}, strict=False,
-    )
+    inits = {"M": np.array(2, np.int64), "lim": np.float32(100.0)}
+    outs = run_graph(nodes, {"x": x}, ["y", "ys"], initializers=inits,
+                     strict=False)
     assert outs[0].size == 0  # fallback empties, with a warning
     with pytest.raises(NotImplementedError):
-        run_graph(nodes, {"x": x}, ["y", "ys"],
-                  initializers={"M": np.array(2, np.int64)}, strict=True)
+        run_graph(nodes, {"x": x}, ["y", "ys"], initializers=inits,
+                  strict=True)
+
+
+def test_loop_scan_outputs_pure_for():
+    """Pure for-loop (cond_out = Identity(cond_in), static M) supports scan
+    outputs via lax.scan — beyond the warned fallback."""
+    body = ob.graph(
+        [ob.node("Add", ["v_in", "v_in"], ["v_out"]),
+         ob.node("Identity", ["cond_in"], ["cond_out"]),
+         ob.node("Identity", ["v_out"], ["scan0"])],
+        name="body",
+        inputs=[ob.value_info("iter", 7, []), ob.value_info("cond_in", 9, []),
+                ob.value_info("v_in", 1, [3])],
+        outputs=[ob.value_info("cond_out", 9, []), ob.value_info("v_out", 1, [3]),
+                 ob.value_info("scan0", 1, [3])],
+    )
+    nodes = [ob.node("Loop", ["M", "", "x"], ["y", "ys"], body=body)]
+    x = np.ones(3, np.float32)
+    y, ys = run_graph(
+        nodes, {"x": x}, ["y", "ys"],
+        initializers={"M": np.array(4, np.int64)},
+    )
+    assert_close(y, x * 16)
+    assert ys.shape == (4, 3)
+    assert_close(ys, np.stack([x * 2, x * 4, x * 8, x * 16]))
+
+
+def test_loop_scan_outputs_constant_true_cond():
+    body = ob.graph(
+        [ob.node("Constant", [], ["cond_out"], value=np.array(True)),
+         ob.node("Mul", ["v_in", "two"], ["v_out"]),
+         ob.node("ReduceSum", ["v_in"], ["scan0"], keepdims=0)],
+        name="body",
+        inputs=[ob.value_info("iter", 7, []), ob.value_info("cond_in", 9, []),
+                ob.value_info("v_in", 1, [2])],
+        outputs=[ob.value_info("cond_out", 9, []), ob.value_info("v_out", 1, [2]),
+                 ob.value_info("scan0", 1, [])],
+    )
+    nodes = [ob.node("Loop", ["M", "", "x"], ["y", "sums"], body=body)]
+    x = np.array([1.0, 2.0], np.float32)
+    y, sums = run_graph(
+        nodes, {"x": x}, ["y", "sums"],
+        initializers={"M": np.array(3, np.int64), "two": np.float32(2.0)},
+    )
+    assert_close(y, x * 8)
+    assert_close(sums, [3.0, 6.0, 12.0])

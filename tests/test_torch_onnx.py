@@ -195,3 +195,32 @@ def test_transformers_whisper_encoder(tmp_path):
 
     feats = torch.randn(1, 80, 200)
     roundtrip(Wrap(), (feats,), tmp_path)
+
+
+@pytest.mark.parametrize("opset", [11, 13, 17])
+def test_torch_composite_across_opsets(tmp_path, opset):
+    """Same model exported at opset 11/13/17 — exercises attr-vs-input forms
+    of Squeeze/Unsqueeze/Split/ReduceSum and Softmax semantics changes."""
+    torch.manual_seed(8)
+
+    class C(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(12, 24)
+
+        def forward(self, x):
+            h = self.fc(x)  # [B, 24]
+            a, b_ = torch.split(h, 12, dim=1)
+            h = torch.softmax(a, -1) + torch.relu(b_)
+            h = h.unsqueeze(1).expand(-1, 3, -1)
+            return h.sum(dim=1, keepdim=False)
+
+    m = C().eval()
+    x = torch.randn(4, 12)
+    path = str(tmp_path / f"m{opset}.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, (x,), path, opset_version=opset, dynamo=False)
+        want = m(x).numpy()
+    cm = compile_model(path)
+    (got,) = cm.run_np(x.numpy())
+    np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
