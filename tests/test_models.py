@@ -289,3 +289,31 @@ def test_quantized_drop_fp_smaller_and_runs():
     pcm = (rng.standard_normal(6000) * 0.1).astype(np.float32)
     logits = jax.jit(mq.forward_fn())(mq.params, pcm)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_import_weights_from_onnx():
+    from lele_tpu.models.onnx_import import import_weights, transpose2d
+    from lele_tpu.onnx import OnnxModel, builder as ob
+
+    w_onnx = rng.standard_normal((6, 4)).astype(np.float32)  # [out, in]
+    b_onnx = rng.standard_normal((6,)).astype(np.float32)
+    bs = ob.build_model_bytes(
+        [ob.node("Identity", ["x"], ["y"])],
+        inputs=[ob.value_info("x", 1, [1])],
+        outputs=[ob.value_info("y", 1, [1])],
+        initializers=[ob.tensor_from_array(w_onnx, "fc.weight"),
+                      ob.tensor_from_array(b_onnx, "fc.bias")],
+    )
+    model = OnnxModel.from_bytes(bs)
+    params = import_weights(model, {
+        "layers/0/fc/w": ("fc.weight", transpose2d),
+        "layers/0/fc/b": "fc.bias",
+    })
+    assert isinstance(params["layers"], list)
+    np.testing.assert_array_equal(params["layers"][0]["fc"]["w"], w_onnx.T)
+    np.testing.assert_array_equal(params["layers"][0]["fc"]["b"], b_onnx)
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        import_weights(model, {"a/b": "nope"})
+    assert import_weights(model, {"a/b": "nope"}, strict=False) == {}
