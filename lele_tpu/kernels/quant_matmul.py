@@ -77,6 +77,87 @@ def fused_dynamic_quant_matmul(a, b, b_zp, b_scale):
 
 
 # ---------------------------------------------------------------------------
+# Fully fused dynamic-quant GEMM: the reference's crown-jewel kernel
+# (fused_dq_gemm_prepared_*, quantization.rs:454 / neon:751) as one Pallas
+# program — the activation tile is quantized to i8 *in VMEM* (its u8/q copy
+# never touches HBM), the weight streams as int8 (half the bandwidth of
+# bf16), the dot runs on the MXU int8 path, and the zero-point correction +
+# dequant epilogue happen in-register before one f32 store.
+
+
+def fused_dq_matmul_pallas(
+    x, wq, w_colsum, a_scale, a_zp, w_scale,
+    tm: int = 128, tn: int = 256, interpret: bool = False,
+):
+    """x: f32/bf16 [M, K]; wq: i8 [K, N] (prepared); w_colsum: i32 [N];
+    a_scale/a_zp: scalars from the activation's global min/max (computed by
+    the caller with one cheap fused reduction); w_scale: scalar.
+    → f32 [M, N] = dequant((q(x)-zp) @ wq) * a_scale * w_scale.
+
+    Requires K to fit VMEM alongside the tiles (K ≤ ~4k at these tile
+    sizes) — true for every linear in the supported model families.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    _, n = wq.shape
+    tm, tn = min(tm, m), min(tn, n)
+    mp, np_ = -(-m // tm) * tm, -(-n // tn) * tn
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    w_colsum = w_colsum.reshape(1, -1)  # 2-D for Mosaic layout
+    if np_ != n:
+        wq = jnp.pad(wq, ((0, 0), (0, np_ - n)))
+        w_colsum = jnp.pad(w_colsum, ((0, 0), (0, np_ - n)))
+    grid = (mp // tm, np_ // tn)
+
+    def kernel(scale_ref, zp_ref, wscale_ref, x_ref, w_ref, colsum_ref, out_ref):
+        a_s = scale_ref[0, 0]
+        a_z = zp_ref[0, 0]
+        w_s = wscale_ref[0, 0]
+        xf = x_ref[:].astype(jnp.float32)
+        inv = 1.0 / a_s
+        q = jnp.clip(jnp.round(xf * inv) + a_z, 0.0, 255.0)
+        ai = (q - 128.0).astype(jnp.int8)  # u8 → i8 domain shift
+        acc = jax.lax.dot_general(
+            ai, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        zp_i = (a_z - 128.0).astype(jnp.int32)
+        acc = acc - zp_i * colsum_ref[:]
+        out_ref[:] = acc.astype(jnp.float32) * (a_s * w_s)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tm, k), lambda i, j: (i, 0)),
+            pl.BlockSpec((k, tn), lambda i, j: (0, j)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=2 * m * k + k * n + 4 * m * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(a_scale, jnp.float32).reshape(1, 1),
+        jnp.asarray(a_zp, jnp.float32).reshape(1, 1),
+        jnp.asarray(w_scale, jnp.float32).reshape(1, 1),
+        x, wq, w_colsum.astype(jnp.int32),
+    )
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
 # Pallas tiled int8 matmul (used by the runtime on TPU for large static-shape
 # quantized linears; jnp path remains the oracle)
 

@@ -109,16 +109,21 @@ def _quant_linear(p: Params, x, use_pallas: bool = False):
         w_scale = w_absmax / 127.0
         wi = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
         colsum = jnp.sum(wi.astype(jnp.int32), axis=0, keepdims=True)
-    if use_pallas and ai.ndim >= 2:
-        from ..kernels.quant_matmul import pallas_int8_matmul
+    if use_pallas and x.ndim >= 2:
+        # fully fused path: quantize + int8 dot + zp-correct + dequant in
+        # one Pallas program (kernels/quant_matmul.fused_dq_matmul_pallas)
+        from ..kernels.quant_matmul import fused_dq_matmul_pallas
 
-        lead = ai.shape[:-1]
-        c2 = pallas_int8_matmul(ai.reshape(-1, ai.shape[-1]), wi)
-        c = c2.reshape(*lead, wi.shape[-1])
+        lead = x.shape[:-1]
+        y2 = fused_dq_matmul_pallas(
+            x.reshape(-1, x.shape[-1]).astype(jnp.float32),
+            wi, colsum.reshape(-1), a_scale, a_zp_f, w_scale,
+        )
+        y = y2.reshape(*lead, wi.shape[-1])
     else:
         c = jnp.matmul(ai, wi, preferred_element_type=jnp.int32)
-    c = c - a_zp_i[..., None, None] * colsum
-    y = c.astype(jnp.float32) * (a_scale * w_scale)
+        c = c - a_zp_i[..., None, None] * colsum
+        y = c.astype(jnp.float32) * (a_scale * w_scale)
     if "b" in p:
         y = y + p["b"]
     return y

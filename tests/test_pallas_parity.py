@@ -99,3 +99,24 @@ def test_pallas_gru_seq_matches_scan(lbr):
     hs_r, hf_r = gru_seq_reference(xp, rh, rb, h0, lbr)
     np.testing.assert_allclose(np.asarray(hs_p), np.asarray(hs_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(hf_p), np.asarray(hf_r), atol=1e-5)
+
+
+def test_fused_dq_matmul_pallas_matches_composed_ops():
+    from lele_tpu.kernels.quant_matmul import fused_dq_matmul_pallas
+
+    M, K, N = 37, 64, 50
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    ws = np.abs(w).max() / 127.0
+    wq = np.clip(np.round(w / ws), -127, 127).astype(np.int8)
+    colsum = wq.astype(np.int32).sum(0)
+    q, a_scale, a_zp = dynamic_quantize_u8(jnp.asarray(x))
+    out = fused_dq_matmul_pallas(
+        jnp.asarray(x), jnp.asarray(wq), jnp.asarray(colsum),
+        a_scale, a_zp, jnp.float32(ws), tm=16, tn=32, interpret=True,
+    )
+    qn = np.asarray(q)
+    mm = (qn.astype(np.int64) - int(np.asarray(a_zp))) @ wq.astype(np.int64)
+    want = mm * (float(np.asarray(a_scale)) * ws)
+    np.testing.assert_allclose(np.asarray(out), want,
+                               rtol=1e-5, atol=np.abs(want).max() * 1e-6)
