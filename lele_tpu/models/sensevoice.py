@@ -353,6 +353,59 @@ class SenseVoiceModel:
         logits, valid = self._bucketed_logits(pcm)
         return greedy_ctc_decode(logits[:valid], blank_id)
 
+    def transcribe_batch(
+        self, pcms: list[np.ndarray], blank_id: int = 0
+    ) -> list[list[int]]:
+        """Serving-style batching: utterances pad to one shared bucket and
+        run as a single batched program (batch is nearly free on the MXU —
+        docs/PERF.md)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..features.fbank import fbank_features
+        from ..runtime.bucketing import pad_pcm
+
+        if self.params is None:
+            self.init()
+        if not pcms:
+            return []
+        longest = max(len(p) for p in pcms)
+        padded0, _ = pad_pcm(np.zeros(longest, np.float32))
+        bucket = len(padded0)
+        batch = np.zeros((len(pcms), bucket), np.float32)
+        lens = np.zeros((len(pcms),), np.int32)
+        for i, p in enumerate(pcms):
+            batch[i, : len(p)] = p
+            lens[i] = len(p)
+
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("batched", bucket, len(pcms))
+        if key not in self._fn_cache:
+            cfg = self.cfg
+            fb = self.fbank
+
+            def fn(params, pcm_b, n_valid_b):
+                feats, masks = jax.vmap(
+                    lambda p_, n_: fbank_features(
+                        p_, fb.config, fb.window, fb.mel_t, n_valid=n_
+                    )
+                )(pcm_b, n_valid_b)
+                logits = sensevoice_encode(params, feats, masks, cfg)
+                return logits, masks
+
+            self._fn_cache[key] = jax.jit(fn)
+        logits, masks = self._fn_cache[key](self.params, batch, lens)
+        logits = np.asarray(logits)
+        masks = np.asarray(masks)
+        out = []
+        for i in range(len(pcms)):
+            valid = int(masks[i].sum())
+            out.append(
+                greedy_ctc_decode(logits[i, self.cfg.n_prefix :][:valid], blank_id)
+            )
+        return out
+
     def encode_fn(self):
         cfg = self.cfg
 

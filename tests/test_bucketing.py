@@ -94,3 +94,19 @@ def test_transcribe_long_stitches_windows():
     # short audio falls through to the plain path
     short = (rng.standard_normal(8000) * 0.1).astype(np.float32)
     assert m.transcribe_long(short, window_s=3.0) == m.transcribe_ids(short)
+
+
+def test_transcribe_batch_matches_single():
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    pcms = [
+        (rng.standard_normal(9_000) * 0.1).astype(np.float32),
+        (rng.standard_normal(14_000) * 0.1).astype(np.float32),
+    ]
+    batch_ids = m.transcribe_batch(pcms)
+    single_ids = [m.transcribe_ids(p) for p in pcms]
+    assert batch_ids == single_ids
