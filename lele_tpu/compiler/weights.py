@@ -17,6 +17,11 @@ from pathlib import Path
 
 import numpy as np
 
+try:  # registers the bfloat16 dtype name with numpy (bf16 artifacts)
+    import ml_dtypes  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+
 ALIGN = 16
 MAGIC = "lele-tpu-weights-v1"
 

@@ -199,3 +199,13 @@ def test_repo_example_tomls_parse():
                  "yolo26", "yolo26n_seg"]:
         cfg = ModelConfig.load(REPO / "examples" / name / "model.toml")
         assert cfg.class_name
+
+
+def test_weights_blob_bfloat16(tmp_path):
+    import ml_dtypes
+
+    a = np.arange(64, dtype=np.float32).astype(ml_dtypes.bfloat16)
+    save_weights(tmp_path / "w", {"a": a})
+    loaded = load_weights(tmp_path / "w")
+    assert loaded["a"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(loaded["a"], a)
