@@ -166,3 +166,45 @@ def test_3d_mesh_with_sequence_parallelism():
     with mesh:
         _, _, loss_sp = step2(sp, tx2.init(sp), batch)
     np.testing.assert_allclose(float(loss_single), float(loss_sp), rtol=2e-4)
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    """Save/restore training state (params + moments + step) exactly."""
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice
+    from lele_tpu.train import make_train_step
+    from lele_tpu.train.checkpoint import (
+        latest_step,
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    rng = np.random.default_rng(5)
+    batch = {
+        "feats": rng.standard_normal((2, 10, cfg.input_dim)).astype(np.float32),
+        "feat_mask": np.ones((2, 10), np.float32),
+        "labels": rng.integers(1, 32, (2, 3)).astype(np.int32),
+        "label_mask": np.ones((2, 3), np.float32),
+    }
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+    tx, step = make_train_step(cfg, lr=1e-3)
+    opt = tx.init(params)
+    params, opt, _ = step(params, opt, batch)
+    save_train_state(tmp_path, params, opt, 1)
+    assert latest_step(tmp_path) == 1
+
+    fresh_p = init_sensevoice(jax.random.PRNGKey(1), cfg)
+    fresh_o = tx.init(fresh_p)
+    rp, ro, rstep = restore_train_state(tmp_path, fresh_p, fresh_o)
+    assert rstep == 1
+    np.testing.assert_array_equal(
+        np.asarray(rp["layers"][0]["qkv"]["w"]),
+        np.asarray(params["layers"][0]["qkv"]["w"]),
+    )
+    # resuming produces identical next step to continuing
+    p1, o1, l1 = step(params, opt, batch)
+    p2, o2, l2 = step(rp, ro, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
