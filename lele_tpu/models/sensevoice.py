@@ -227,9 +227,16 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
 def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
     """feats: [B, T, 560]; mask: [B, T] → logits [B, T+4, vocab]."""
     B, T, _ = feats.shape
-    prefix = jnp.broadcast_to(p["prefix"], (B, cfg.n_prefix, cfg.input_dim))
-    x = jnp.concatenate([prefix, feats], axis=1)
-    mask = jnp.concatenate([jnp.ones((B, cfg.n_prefix), mask.dtype), mask], axis=1)
+    if cfg.n_prefix > 0:
+        prefix = jnp.broadcast_to(
+            p["prefix"][: cfg.n_prefix], (B, cfg.n_prefix, cfg.input_dim)
+        )
+        x = jnp.concatenate([prefix, feats], axis=1)
+        mask = jnp.concatenate(
+            [jnp.ones((B, cfg.n_prefix), mask.dtype), mask], axis=1
+        )
+    else:
+        x = feats
     Tt = T + cfg.n_prefix
     x = x * (cfg.d_model**0.5) / (cfg.input_dim**0.5)
     x = linear(p["embed"], x, dtype=cfg.compute_dtype).astype(jnp.float32)
