@@ -51,6 +51,8 @@ class SenseVoiceConfig:
     quantized: bool = False  # dynamic-int8 linears (reference parity mode)
     quant_pallas: bool = False  # route int8 dots through the Pallas kernel
     remat: bool = False  # jax.checkpoint each block (training memory)
+    n_experts: int = 0  # >0: mixture-of-experts FFN (top-1 routed); experts
+    #                      shard over the "model" mesh axis (expert parallel)
 
     @property
     def compute_dtype(self):
@@ -83,7 +85,37 @@ def init_sensevoice(key, cfg: SenseVoiceConfig) -> Params:
                 "ffn2": init_linear(k[6], cfg.ffn_dim, d),
             }
         )
+        if cfg.n_experts > 0:
+            ke = jax.random.split(k[7], 3)
+            E, F = cfg.n_experts, cfg.ffn_dim
+            p["layers"][-1]["moe"] = {
+                "router": init_linear(ke[0], d, E, bias=False),
+                "w1": jax.random.normal(ke[1], (E, d, F)) * (1.0 / np.sqrt(d)),
+                "w2": jax.random.normal(ke[2], (E, F, d)) * (1.0 / np.sqrt(F)),
+            }
     return p
+
+
+def moe_ffn(p: Params, x, cfg: SenseVoiceConfig):
+    """Top-1 routed mixture-of-experts FFN.
+
+    Dense dispatch (every expert computes, one-hot contraction selects):
+    exact top-1 semantics, compiler-friendly, and the expert axis shards
+    over "model" so each shard computes only its local experts with a psum
+    combine — expert parallelism at the GSPMD level. Beyond the reference
+    (no MoE anywhere in lele)."""
+    logits = linear(p["router"], x)  # [B, T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top = jnp.argmax(probs, axis=-1)  # [B, T]
+    onehot = jax.nn.one_hot(top, cfg.n_experts, dtype=x.dtype)  # [B, T, E]
+    gate = jnp.sum(probs * onehot, axis=-1, keepdims=True)
+    h = jnp.einsum("btd,edf->btef", x, p["w1"],
+                   preferred_element_type=jnp.float32)
+    h = jax.nn.relu(h)
+    y = jnp.einsum("btef,efd->bted", h, p["w2"],
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("bted,bte->btd", y, onehot.astype(y.dtype))
+    return y * gate.astype(y.dtype)
 
 
 def _quant_linear(p: Params, x, use_pallas: bool = False):
@@ -220,7 +252,10 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
     x = x + att_out.astype(x.dtype)
 
     h2 = layer_norm(p["norm2"], x)
-    ff = lin(p["ffn2"], jax.nn.relu(lin(p["ffn1"], h2)))
+    if cfg.n_experts > 0 and "moe" in p:
+        ff = moe_ffn(p["moe"], h2, cfg)
+    else:
+        ff = lin(p["ffn2"], jax.nn.relu(lin(p["ffn1"], h2)))
     return x + ff.astype(x.dtype)
 
 

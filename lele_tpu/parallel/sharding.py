@@ -39,6 +39,8 @@ def sensevoice_param_rules(path: str) -> P:
         return P("model")
     if path.endswith("fsmn/w"):
         return P(None, "model")
+    if "/moe/w1" in path or "/moe/w2" in path:
+        return P("model", None, None)  # expert parallelism
     return P()
 
 
