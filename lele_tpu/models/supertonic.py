@@ -157,10 +157,11 @@ def load_voice_style(path: str | Path) -> dict[str, np.ndarray]:
 
 
 def _init_attn_block(key, d, ffn):
-    k = jax.random.split(key, 6)
+    k = jax.random.split(key, 7)
     return {
         "norm1": init_layer_norm(k[0], d),
-        "qkv": init_linear(k[1], d, 3 * d),
+        "q": init_linear(k[1], d, d),
+        "kv": init_linear(k[6], d, 2 * d),
         "out": init_linear(k[2], d, d),
         "norm2": init_layer_norm(k[3], d),
         "ffn1": init_linear(k[4], d, ffn),
@@ -169,19 +170,18 @@ def _init_attn_block(key, d, ffn):
 
 
 def _attn_block(p, x, mask, n_heads, kv=None, kv_mask=None):
+    """Self-attention (kv=None) or cross-attention block; distinct q and kv
+    projections (the kv source is the text memory for cross layers)."""
     B, T, D = x.shape
     h = layer_norm(p["norm1"], x)
+    q = linear(p["q"], h)
     if kv is None:
-        qkv = linear(p["qkv"], h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        kvp = linear(p["kv"], h)
         att_mask = mask
     else:
-        q = linear({"w": p["qkv"]["w"][:, :D], "b": p["qkv"]["b"][:D]}, h)
-        kvp = linear(
-            {"w": p["qkv"]["w"][:, D:], "b": p["qkv"]["b"][D:]}, layer_norm(p["norm1"], kv)
-        )
-        k, v = jnp.split(kvp, 2, axis=-1)
+        kvp = linear(p["kv"], layer_norm(p["norm1"], kv))
         att_mask = kv_mask
+    k, v = jnp.split(kvp, 2, axis=-1)
     hd = D // n_heads
     Tk = k.shape[1]
     qh = q.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
