@@ -13,7 +13,6 @@ from collections import defaultdict
 import numpy as np
 
 from ..onnx.loader import OnnxModel, tensor_to_array
-from ..ops import OPS, make_ctx
 from .tracer import GraphTracer, TraceState, _canon_np, _is_static
 
 

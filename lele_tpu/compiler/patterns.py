@@ -75,8 +75,6 @@ def dql_matmul_chain(tracer, state, nodes, i, env, scope):
 
     from ..kernels.quant_matmul import fused_dynamic_quant_matmul
 
-    import jax.numpy as jnp
-
     a = env[a_name]
     if isinstance(a, (np.ndarray, np.generic)):
         return None  # fully static — let normal folding handle it

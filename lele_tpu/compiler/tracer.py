@@ -39,7 +39,7 @@ from typing import Any, Callable, Sequence
 import numpy as np
 
 from ..config import config
-from ..onnx.loader import DTYPE_MAP, OnnxModel, tensor_to_array
+from ..onnx.loader import OnnxModel, tensor_to_array
 from ..onnx.schema import Proto
 from ..ops import OPS, make_ctx
 from ..ops.tensor_ops import canonical_dtype
@@ -142,7 +142,7 @@ class GraphTracer:
                 for v in ins
             ]
             out = emitter(ctx, *conv_ins)
-            return _np_ify(out, force=True)
+            return _np_ify(out)
         # dynamic: convert static inputs, hoisting large ones to params;
         # shape-position args (static_args) stay host-static for the emitter
         static_pos = set(opdef.static_args) if opdef is not None else set()
@@ -440,10 +440,7 @@ class GraphTracer:
         return final_fn, params
 
 
-def _np_ify(out, force: bool = False):
-    def cvt(v):
-        return np.asarray(v)
-
+def _np_ify(out):
     if isinstance(out, tuple):
-        return tuple(cvt(v) for v in out)
-    return cvt(out)
+        return tuple(np.asarray(v) for v in out)
+    return np.asarray(out)
