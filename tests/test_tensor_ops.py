@@ -294,3 +294,23 @@ def test_onehot_depth_to_space():
     assert y.shape == (1, 1, 4, 4)
     (z,) = run_op("SpaceToDepth", {"y": y}, blocksize=2)
     assert_close(z.reshape(x.shape), x)
+
+
+def test_if_branch_with_own_initializer():
+    """Subgraph initializers load into the branch scope."""
+    then_g = ob.graph(
+        [ob.node("Add", ["x", "branch_c"], ["o"])],
+        name="then",
+        outputs=[ob.value_info("o", 1, [2])],
+        initializers=[ob.tensor_from_array(np.float32([10.0, 20.0]), "branch_c")],
+    )
+    else_g = ob.graph(
+        [ob.node("Identity", ["x"], ["o2"])],
+        name="else",
+        outputs=[ob.value_info("o2", 1, [2])],
+    )
+    nodes = [ob.node("If", ["cond"], ["y"], then_branch=then_g, else_branch=else_g)]
+    x = np.float32([1.0, 2.0])
+    (y,) = run_graph(nodes, {"x": x}, ["y"],
+                     initializers={"cond": np.array(True)})
+    assert_close(y, [11.0, 22.0])

@@ -224,3 +224,42 @@ def test_torch_composite_across_opsets(tmp_path, opset):
     cm = compile_model(path)
     (got,) = cm.run_np(x.numpy())
     np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
+
+
+def test_torch_resnet_style_classifier(tmp_path):
+    torch.manual_seed(9)
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.b2 = nn.BatchNorm2d(cout)
+            self.down = (
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False)
+                if stride != 1 or cin != cout else None
+            )
+
+        def forward(self, x):
+            h = torch.relu(self.b1(self.c1(x)))
+            h = self.b2(self.c2(h))
+            s = self.down(x) if self.down is not None else x
+            return torch.relu(h + s)
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+            self.pool = nn.MaxPool2d(3, stride=2, padding=1)
+            self.b1 = Block(8, 8)
+            self.b2 = Block(8, 16, stride=2)
+            self.fc = nn.Linear(16, 10)
+
+        def forward(self, x):
+            h = self.pool(torch.relu(self.stem(x)))
+            h = self.b2(self.b1(h))
+            h = h.mean(dim=(2, 3))  # GAP
+            return self.fc(h)
+
+    roundtrip(Net(), (torch.randn(2, 3, 32, 32),), tmp_path)
