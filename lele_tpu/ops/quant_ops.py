@@ -145,3 +145,49 @@ def conv_integer(ctx: OpContext, x, w, xzp=None, wzp=None):
         feature_group_count=group,
         preferred_element_type=jnp.int32,
     )  # int32 conv is exact; no precision knob needed
+
+
+def _requant(xp, acc_i32, scale_in, scale_w, y_scale, y_zp, qdt):
+    """int32 accumulator → quantized output: acc * (sx*sw/sy) + yzp, saturate."""
+    import numpy as np_
+
+    info = np_.iinfo(np_.dtype(str(qdt)))
+    mult = (scale_in * scale_w / y_scale).astype(np_.float32)
+    y = _round_half_even(xp, acc_i32.astype(np_.float32) * mult)
+    if y_zp is not None:
+        y = y + xp.asarray(y_zp).astype(np_.float32)
+    return xp.clip(y, info.min, info.max).astype(qdt)
+
+
+@op("QLinearMatMul", foldable=False)
+def qlinear_matmul(ctx: OpContext, a, a_scale, a_zp, b, b_scale, b_zp,
+                   y_scale, y_zp):
+    """Statically-quantized matmul (the QDQ-format sibling of the dynamic
+    path): int8 dot with zero-point corrections, then requantize."""
+    import jax.numpy as jnp
+
+    c = matmul_integer(ctx, a, b, a_zp, b_zp)
+    qdt = y_zp.dtype if y_zp is not None else jnp.uint8
+    return _requant(jnp, c, jnp.asarray(a_scale), jnp.asarray(b_scale),
+                    jnp.asarray(y_scale), y_zp, qdt)
+
+
+@op("QLinearConv", foldable=False)
+def qlinear_conv(ctx: OpContext, x, x_scale, x_zp, w, w_scale, w_zp,
+                 y_scale, y_zp, b=None):
+    """Statically-quantized conv: ConvInteger core + int32 bias + requant.
+    Per-output-channel w_scale supported (axis 0)."""
+    import jax.numpy as jnp
+
+    acc = conv_integer(ctx, x, w, x_zp, w_zp)
+    if b is not None:  # int32 bias at scale x_scale*w_scale
+        rank = acc.ndim
+        acc = acc + jnp.asarray(b).astype(jnp.int32).reshape(
+            (1, -1) + (1,) * (rank - 2)
+        )
+    ws = jnp.asarray(w_scale)
+    if ws.ndim == 1:  # per-channel → broadcast over NCHW channel dim
+        ws = ws.reshape((1, -1) + (1,) * (acc.ndim - 2))
+    qdt = y_zp.dtype if y_zp is not None else jnp.uint8
+    return _requant(jnp, acc, jnp.asarray(x_scale), ws, jnp.asarray(y_scale),
+                    y_zp, qdt)

@@ -337,3 +337,56 @@ def test_fused_dql_matmul_chain_pattern():
     mm = (q - int(zp)) @ (w.astype(np.int32) - 131)
     want = mm.astype(np.float32) * (scale * 0.021)
     assert_close(y, want, tol=np.abs(want).max() * 1e-5 + 1e-5)
+
+
+def test_qlinear_matmul():
+    a = rng.integers(0, 255, (5, 8)).astype(np.uint8)
+    b = rng.integers(0, 255, (8, 6)).astype(np.uint8)
+    inits = {
+        "as_": np.float32(0.02), "az": np.uint8(120),
+        "bs": np.float32(0.05), "bz": np.uint8(128),
+        "ys": np.float32(0.1), "yz": np.uint8(100),
+    }
+    (y,) = run_op(
+        "QLinearMatMul", {"a": a, "b": b}, input_names=[
+            "a", "as_", "az", "b", "bs", "bz", "ys", "yz"],
+        initializers=inits,
+    )
+    acc = (a.astype(np.int64) - 120) @ (b.astype(np.int64) - 128)
+    want = np.clip(np.round(acc * (0.02 * 0.05 / 0.1)) + 100, 0, 255)
+    diff = np.abs(y.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1  # .5-boundary rounding tolerance
+
+
+def test_qlinear_conv_per_channel():
+    x = rng.integers(0, 255, (1, 2, 6, 6)).astype(np.uint8)
+    w = rng.integers(-127, 127, (3, 2, 3, 3)).astype(np.int8)
+    b = rng.integers(-1000, 1000, (3,)).astype(np.int32)
+    ws = np.array([0.01, 0.02, 0.03], np.float32)
+    inits = {
+        "xs": np.float32(0.04), "xz": np.uint8(128),
+        "w": w, "wsc": ws, "wz": np.int8(0),
+        "ys": np.float32(0.2), "yz": np.uint8(110), "b": b,
+    }
+    (y,) = run_op(
+        "QLinearConv", {"x": x}, input_names=[
+            "x", "xs", "xz", "w", "wsc", "wz", "ys", "yz", "b"],
+        initializers=inits, pads=[1, 1, 1, 1],
+    )
+    # int oracle: naive conv over (x-128)*(w-0), + bias, requant per channel
+    xi = x.astype(np.int64) - 128
+    xp_ = np.pad(xi, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    acc = np.zeros((1, 3, 6, 6), np.int64)
+    for co in range(3):
+        for ci in range(2):
+            for oy in range(6):
+                for ox in range(6):
+                    acc[0, co, oy, ox] += (
+                        xp_[0, ci, oy:oy+3, ox:ox+3] * w[co, ci].astype(np.int64)
+                    ).sum()
+    acc += b[None, :, None, None]
+    want = np.clip(
+        np.round(acc * (0.04 * ws[None, :, None, None] / 0.2)) + 110, 0, 255
+    )
+    diff = np.abs(y.astype(np.int64) - want.astype(np.int64))
+    assert diff.max() <= 1
