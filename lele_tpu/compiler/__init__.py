@@ -73,6 +73,7 @@ class Compiler:
             strict=self._strict,
         )
         walk_fn, params = tracer.build(specs)
+        stats = getattr(tracer, "stats", {})
         cm = CompiledModel(
             walk_fn,
             params,
@@ -85,6 +86,7 @@ class Compiler:
         )
         import types
 
+        cm.stats = stats
         for mname, fn in self._custom_methods.items():
             setattr(cm, mname, types.MethodType(fn, cm))
         return cm

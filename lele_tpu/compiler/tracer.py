@@ -65,6 +65,8 @@ class TraceState:
     params: dict[str, np.ndarray] = field(default_factory=dict)
     param_vals: dict[str, Any] = field(default_factory=dict)
     warned: set = field(default_factory=set)
+    n_nodes: int = 0
+    n_folded: int = 0
 
     def to_device(self, name: str, v: np.ndarray):
         import jax.numpy as jnp
@@ -127,6 +129,9 @@ class GraphTracer:
 
         all_static = all(_is_static(v) for v in ins)
         foldable = opdef.foldable if opdef is not None else False
+        state.n_nodes += 1
+        if all_static:
+            state.n_folded += 1
         if all_static and foldable:
             ctx = make_ctx(np, node, self.opset, tracer=self)
             out = emitter(ctx, *ins)
@@ -432,6 +437,12 @@ class GraphTracer:
         }
         jax.eval_shape(lambda ins: run(discover, ins), specs)
         params = dict(discover.params)
+        self.stats = {
+            "n_nodes": discover.n_nodes,
+            "n_folded": discover.n_folded,
+            "n_params": len(params),
+            "param_bytes": int(sum(v.nbytes for v in params.values())),
+        }
 
         def final_fn(params_dict, inputs: dict):
             state = TraceState(mode="final", param_vals=params_dict)
