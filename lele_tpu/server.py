@@ -1,0 +1,116 @@
+"""Minimal HTTP serving daemon over the engine layer.
+
+The server-side replacement for the reference's browser demo
+(docs/WEB_DEMO.md): POST audio/image/text to the engines, stdlib-only.
+
+    python -m lele_tpu.server [--port 8570] [--tiny]
+
+    POST /recognize   body: WAV bytes            → {"ids": [...]} or text
+    POST /detect      body: JPEG bytes           → {"detections": [...]}
+    POST /synthesize  body: {"text": ..., "voice": ...} → WAV bytes
+    GET  /healthz                                → {"ok": true}
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def make_handler(engines: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode())
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._json(200, {"ok": True})
+            return self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                if self.path == "/recognize":
+                    out = engines["asr"].recognize(body)
+                    if isinstance(out, str):
+                        return self._json(200, {"text": out})
+                    return self._json(200, {"ids": out})
+                if self.path == "/detect":
+                    dets = engines["det"].detect(body)
+                    return self._json(200, {"detections": dets})
+                if self.path == "/synthesize":
+                    req = json.loads(body or b"{}")
+                    wav = engines["tts"].synthesize(
+                        req.get("text", ""), voice=req.get("voice"),
+                        lang=req.get("lang", "en"),
+                    )
+                    return self._send(200, wav, "audio/wav")
+                return self._json(404, {"error": "unknown path"})
+            except Exception as e:  # report, don't die
+                return self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def build_engines(tiny: bool = False) -> dict:
+    from .models import (
+        SenseVoiceConfig, SenseVoiceModel, SupertonicConfig, SupertonicTts,
+        Yolo26Config, Yolo26Model,
+    )
+    from .serving import SenseVoiceEngine, TtsEngine, Yolo26Engine
+
+    if tiny:  # fast-start configs for tests/dev
+        asr_m = SenseVoiceModel(SenseVoiceConfig(
+            n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+            dtype="float32"))
+        det_m = Yolo26Model(Yolo26Config(img_size=128, widths=(8, 16, 32, 64),
+                                         dtype="float32"))
+        tts_m = SupertonicTts(SupertonicConfig(
+            n_text_layers=1, n_est_layers=1, latent_buckets=(32,)))
+    else:
+        asr_m = SenseVoiceModel(SenseVoiceConfig())
+        det_m = Yolo26Model(Yolo26Config())
+        tts_m = SupertonicTts(SupertonicConfig())
+    asr_m.init(0)
+    det_m.init(0)
+    tts_m.init(0)
+    return {
+        "asr": SenseVoiceEngine(model=asr_m),
+        "det": Yolo26Engine(model=det_m),
+        "tts": TtsEngine(tts=tts_m),
+    }
+
+
+def serve(port: int = 8570, tiny: bool = False, engines: dict | None = None):
+    from .runtime import enable_cache
+
+    enable_cache()
+    engines = engines or build_engines(tiny)
+    httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(engines))
+    print(f"lele-tpu serving on http://127.0.0.1:{port}")
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="lele_tpu.server")
+    ap.add_argument("--port", type=int, default=8570)
+    ap.add_argument("--tiny", action="store_true")
+    args = ap.parse_args(argv)
+    serve(args.port, args.tiny).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         return read_wav(f.name)
 
 
+def resample(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resampling (scipy) with nearest fallback."""
+    if sr_in == sr_out:
+        return pcm
+    try:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(sr_in, sr_out)
+        return resample_poly(pcm, sr_out // g, sr_in // g).astype(np.float32)
+    except ImportError:  # pragma: no cover
+        idx = (np.arange(int(len(pcm) * sr_out / sr_in)) * sr_in / sr_out)
+        return pcm[np.minimum(idx.astype(int), len(pcm) - 1)]
+
+
 def encode_wav(samples: np.ndarray, sr: int) -> bytes:
     import tempfile
 
@@ -65,9 +81,8 @@ class SenseVoiceEngine:
 
     def recognize(self, wav_bytes: bytes):
         pcm, sr = decode_wav(wav_bytes)
-        if sr != 16000:  # naive host resample (nearest) for odd rates
-            idx = (np.arange(int(len(pcm) * 16000 / sr)) * sr / 16000).astype(int)
-            pcm = pcm[np.minimum(idx, len(pcm) - 1)]
+        if sr != 16000:
+            pcm = resample(pcm, sr, 16000)
         ids = self.model.transcribe_ids(pcm)
         if self.tokenizer is not None:
             return self.tokenizer.decode(ids)

@@ -1,0 +1,79 @@
+"""HTTP serving daemon suite: drive real requests through a live server."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from lele_tpu.serving import encode_wav
+
+
+@pytest.fixture(scope="module")
+def server():
+    from lele_tpu.server import build_engines, serve
+
+    httpd = serve(port=0, tiny=True)  # port 0 → ephemeral
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, body, headers=None):
+    req = urllib.request.Request(url, data=body, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read(), r.headers.get("Content-Type")
+    except urllib.error.HTTPError as e:  # 4xx/5xx still carry a body
+        return e.code, e.read(), e.headers.get("Content-Type")
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        assert json.loads(r.read()) == {"ok": True}
+
+
+def test_recognize_endpoint(server):
+    wav = encode_wav(
+        (np.sin(np.arange(12000) / 9) * 0.2).astype(np.float32), 16000
+    )
+    status, body, _ = _post(server + "/recognize", wav)
+    assert status == 200
+    out = json.loads(body)
+    assert "ids" in out and isinstance(out["ids"], list)
+
+
+def test_detect_endpoint(server):
+    import io
+
+    from PIL import Image
+
+    img = Image.fromarray(
+        (np.random.default_rng(0).random((120, 160, 3)) * 255).astype(np.uint8)
+    )
+    buf = io.BytesIO()
+    img.save(buf, "JPEG")
+    status, body, _ = _post(server + "/detect", buf.getvalue())
+    assert status == 200
+    dets = json.loads(body)["detections"]
+    assert isinstance(dets, list)
+
+
+def test_synthesize_endpoint(server):
+    status, body, ctype = _post(
+        server + "/synthesize",
+        json.dumps({"text": "Server test."}).encode(),
+    )
+    assert status == 200 and ctype == "audio/wav"
+    assert body[:4] == b"RIFF"
+
+
+def test_bad_requests(server):
+    status, body, _ = _post(server + "/recognize", b"not a wav")
+    assert status == 400
+    assert "error" in json.loads(body)
+    status, body, _ = _post(server + "/nope", b"")
+    assert status == 404
