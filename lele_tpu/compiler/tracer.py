@@ -109,6 +109,8 @@ class GraphTracer:
             return self._emit_if(state, node, env, scope, tag)
         if op_type == "Loop":
             return self._emit_loop(state, node, env, scope, tag)
+        if op_type == "Scan":
+            return self._emit_scan(state, node, env, scope, tag)
 
         ins = [env[n] if n else None for n in node.input]
         emitter = self.overrides.get(op_type)
@@ -280,6 +282,67 @@ class GraphTracer:
             cond_fun, body_fun, (jnp.int32(0), cond0, vs0)
         )
         return vs_final if n_carried > 1 else vs_final[0]
+
+    def _emit_scan(self, state: TraceState, node: Proto, env, scope: str, tag: str):
+        """ONNX Scan → lax.scan (state vars + sliced scan inputs/outputs,
+        per-tensor axes and directions). Another op class the reference
+        leaves unimplemented."""
+        import jax
+        import jax.numpy as jnp
+
+        attrs = {a.name: a for a in node.attribute}
+        body = attrs["body"].g
+        from ..ops.registry import parse_attr
+
+        get = lambda k, d: (parse_attr(attrs[k]) if k in attrs else d)
+        m = int(get("num_scan_inputs", 1))
+        n_state = len(node.input) - m
+        in_axes = get("scan_input_axes", [0] * m)
+        in_dirs = get("scan_input_directions", [0] * m)
+        n_scan_out = len(node.output) - n_state
+        out_axes = get("scan_output_axes", [0] * n_scan_out)
+        out_dirs = get("scan_output_directions", [0] * n_scan_out)
+
+        def dev(name, v):
+            return (
+                state.to_device(scope + name, np.asarray(v)) if _is_static(v) else v
+            )
+
+        states0 = tuple(
+            dev(n, env[n]) for n in node.input[:n_state]
+        )
+        xs = []
+        for i, name in enumerate(node.input[n_state:]):
+            x = dev(name, env[name])
+            ax = int(in_axes[i]) if i < len(in_axes) else 0
+            x = jnp.moveaxis(x, ax, 0)
+            if i < len(in_dirs) and in_dirs[i]:
+                x = jnp.flip(x, 0)
+            xs.append(x)
+        body_in_names = [vi.name for vi in body.input]
+        scan_scope = scope + (node.name or f"Scan_{tag}") + "/"
+
+        def body_fn(carry, slices):
+            benv = ChainMap({}, env)
+            for name, v in zip(body_in_names[:n_state], carry):
+                benv[name] = v
+            for name, v in zip(body_in_names[n_state:], slices):
+                benv[name] = v
+            outs = self._walk_graph(state, body, benv, scan_scope)
+            conv = [
+                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                for o in outs
+            ]
+            return tuple(conv[:n_state]), tuple(conv[n_state:])
+
+        final_state, stacked = jax.lax.scan(body_fn, states0, tuple(xs))
+        outs = list(final_state)
+        for i, y in enumerate(stacked):
+            if i < len(out_dirs) and out_dirs[i]:
+                y = jnp.flip(y, 0)
+            ax = int(out_axes[i]) if i < len(out_axes) else 0
+            outs.append(jnp.moveaxis(y, 0, ax))
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
     @staticmethod
     def _body_is_pure_for(body: Proto) -> bool:

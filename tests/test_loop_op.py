@@ -154,3 +154,50 @@ def test_loop_scan_outputs_constant_true_cond():
     )
     assert_close(y, x * 8)
     assert_close(sums, [3.0, 6.0, 12.0])
+
+
+def test_scan_op_cumulative_state_and_outputs():
+    """ONNX Scan: running-sum state + per-step scan output (lax.scan)."""
+    body = ob.graph(
+        [ob.node("Add", ["acc_in", "x_t"], ["acc_out"]),
+         ob.node("Mul", ["acc_out", "two"], ["y_t"])],
+        name="body",
+        inputs=[ob.value_info("acc_in", 1, [3]), ob.value_info("x_t", 1, [3])],
+        outputs=[ob.value_info("acc_out", 1, [3]), ob.value_info("y_t", 1, [3])],
+    )
+    nodes = [ob.node("Scan", ["acc0", "xs"], ["acc_final", "ys"], body=body,
+                     num_scan_inputs=1)]
+    xs = np.arange(12, dtype=np.float32).reshape(4, 3)
+    acc0 = np.zeros(3, np.float32)
+    acc_final, ys = run_graph(
+        nodes, {"acc0": acc0, "xs": xs}, ["acc_final", "ys"],
+        initializers={"two": np.float32(2.0)},
+    )
+    want_acc = xs.cumsum(0)
+    assert_close(acc_final, want_acc[-1])
+    assert_close(ys, want_acc * 2)
+
+
+def test_scan_op_reverse_direction_and_axes():
+    body = ob.graph(
+        [ob.node("Add", ["s_in", "x_t"], ["s_out"]),
+         ob.node("Identity", ["s_out"], ["y_t"])],
+        name="body",
+        inputs=[ob.value_info("s_in", 1, [2]), ob.value_info("x_t", 1, [2])],
+        outputs=[ob.value_info("s_out", 1, [2]), ob.value_info("y_t", 1, [2])],
+    )
+    nodes = [ob.node(
+        "Scan", ["s0", "xs"], ["s_final", "ys"], body=body,
+        num_scan_inputs=1, scan_input_axes=[1], scan_input_directions=[1],
+        scan_output_axes=[1], scan_output_directions=[1],
+    )]
+    xs = np.arange(10, dtype=np.float32).reshape(2, 5)  # scan over axis 1
+    s0 = np.zeros(2, np.float32)
+    s_final, ys = run_graph(nodes, {"s0": s0, "xs": xs}, ["s_final", "ys"])
+    # reversed input: accumulate columns right-to-left
+    rev = xs[:, ::-1]
+    want_states = rev.cumsum(1)
+    assert_close(s_final, want_states[:, -1])
+    # output reversed again and stacked on axis 1 → matches right-to-left
+    assert ys.shape == (2, 5)
+    assert_close(ys, want_states[:, ::-1])
