@@ -399,3 +399,100 @@ def scatter_nd(ctx: OpContext, data, indices, updates):
     if reduction == "mul":
         return d.at[flat_idx].multiply(updates)
     return d.at[flat_idx].set(updates)
+
+
+@op("Dropout")
+def dropout(ctx: OpContext, x, ratio=None, training_mode=None):
+    """Inference dropout = identity (+ all-true mask when requested)."""
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1 or not ctx.node.output[1]:
+        return x
+    xp = ctx.xp
+    return x, xp.ones(np.shape(x), dtype=bool)
+
+
+def _rng_key(ctx: OpContext):
+    import jax
+
+    from ..config import config
+
+    seed = getattr(config, "rng_seed", 0)
+    # distinct stream per node (deterministic across runs — the fixed-seed
+    # parity mode from SURVEY §7 "host RNG in TTS")
+    tag = (ctx.node.name or ctx.node.output[0]) if ctx.node is not None else ""
+    return jax.random.fold_in(jax.random.PRNGKey(seed), hash(tag) % (2**31))
+
+
+@op("RandomNormal", foldable=False)
+def random_normal(ctx: OpContext):
+    import jax
+
+    shape = tuple(ctx.attr_ints("shape"))
+    mean = ctx.attr("mean", 0.0)
+    scale = ctx.attr("scale", 1.0)
+    return mean + scale * jax.random.normal(_rng_key(ctx), shape, jnp_dtype(ctx))
+
+
+@op("RandomNormalLike", foldable=False)
+def random_normal_like(ctx: OpContext, x):
+    import jax
+
+    mean = ctx.attr("mean", 0.0)
+    scale = ctx.attr("scale", 1.0)
+    return mean + scale * jax.random.normal(_rng_key(ctx), np.shape(x), x.dtype)
+
+
+@op("RandomUniform", foldable=False)
+def random_uniform(ctx: OpContext):
+    import jax
+
+    shape = tuple(ctx.attr_ints("shape"))
+    lo = ctx.attr("low", 0.0)
+    hi = ctx.attr("high", 1.0)
+    return jax.random.uniform(_rng_key(ctx), shape, jnp_dtype(ctx), lo, hi)
+
+
+@op("RandomUniformLike", foldable=False)
+def random_uniform_like(ctx: OpContext, x):
+    import jax
+
+    lo = ctx.attr("low", 0.0)
+    hi = ctx.attr("high", 1.0)
+    return jax.random.uniform(_rng_key(ctx), np.shape(x), x.dtype, lo, hi)
+
+
+def jnp_dtype(ctx: OpContext):
+    dt = ctx.attr("dtype")
+    if dt is None:
+        return np.float32
+    return canonical_dtype(DTYPE_MAP[int(dt)], device=True)
+
+
+@op("ReduceSumSquare", static_args=(1,))
+def reduce_sum_square(ctx: OpContext, x, axes=None):
+    from .math_ops import _reduce
+
+    return _reduce(ctx, "sum", ctx.xp.square(x), axes)
+
+
+@op("ScatterElements", foldable=False)
+def scatter_elements(ctx: OpContext, data, indices, updates):
+    import jax.numpy as jnp
+
+    axis = ctx.attr("axis", 0)
+    reduction = ctx.attr("reduction", "none")
+    d = jnp.asarray(data)
+    idx = jnp.asarray(indices)
+    dim = np.shape(data)[axis]
+    idx = jnp.where(idx < 0, idx + dim, idx)
+    # build full index grids for take_along_axis-style scatter
+    grids = list(jnp.meshgrid(
+        *[jnp.arange(s) for s in idx.shape], indexing="ij"
+    ))
+    grids[axis] = idx
+    loc = tuple(grids)
+    if reduction == "add":
+        return d.at[loc].add(updates)
+    if reduction == "mul":
+        return d.at[loc].multiply(updates)
+    return d.at[loc].set(updates)

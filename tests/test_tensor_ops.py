@@ -314,3 +314,38 @@ def test_if_branch_with_own_initializer():
     (y,) = run_graph(nodes, {"x": x}, ["y"],
                      initializers={"cond": np.array(True)})
     assert_close(y, [11.0, 22.0])
+
+
+def test_dropout_identity_and_mask():
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    (y,) = run_op("Dropout", {"x": x})
+    assert_close(y, x)
+    y, m = run_op("Dropout", {"x": x}, n_outputs=2)
+    assert_close(y, x)
+    assert m.dtype == bool and m.all()
+
+
+def test_random_normal_deterministic_per_seed():
+    nodes = [ob.node("RandomNormalLike", ["x"], ["z"], name="noise"),
+             ob.node("Add", ["x", "z"], ["y"])]
+    x = np.zeros((64,), np.float32)
+    (y1,) = run_graph(nodes, {"x": x}, ["y"])
+    (y2,) = run_graph(nodes, {"x": x}, ["y"])
+    np.testing.assert_array_equal(y1, y2)  # fixed-seed parity mode
+    assert 0.5 < y1.std() < 1.5
+
+
+def test_scatter_elements():
+    d = np.zeros((3, 4), np.float32)
+    idx = np.array([[1, 3]], np.int64)
+    upd = np.array([[5.0, 6.0]], np.float32)
+    (y,) = run_op("ScatterElements", {"d": d, "i": idx, "u": upd}, axis=1)
+    want = d.copy()
+    want[0, 1], want[0, 3] = 5.0, 6.0
+    assert_close(y, want)
+
+
+def test_reduce_sum_square():
+    x = rng.standard_normal((2, 5)).astype(np.float32)
+    (y,) = run_op("ReduceSumSquare", {"x": x}, axes=[1], keepdims=0)
+    assert_close(y, (x.astype(np.float64) ** 2).sum(1), tol=1e-5)
