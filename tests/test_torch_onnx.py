@@ -263,3 +263,69 @@ def test_torch_resnet_style_classifier(tmp_path):
             return self.fc(h)
 
     roundtrip(Net(), (torch.randn(2, 3, 32, 32),), tmp_path)
+
+
+def test_torch_unet_style_decoder(tmp_path):
+    """ConvTranspose2d upsampling + skip concat (the vocoder/segmentation
+    decoder op pattern)."""
+    torch.manual_seed(10)
+
+    class U(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.down = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+            self.mid = nn.Conv2d(8, 8, 3, padding=1)
+            self.up = nn.ConvTranspose2d(8, 4, 4, stride=2, padding=1)
+            self.out = nn.Conv2d(4 + 3, 2, 1)
+
+        def forward(self, x):
+            d = torch.relu(self.down(x))
+            m = torch.relu(self.mid(d))
+            u = torch.relu(self.up(m))
+            return self.out(torch.cat([u, x], dim=1))
+
+    roundtrip(U(), (torch.randn(1, 3, 16, 16),), tmp_path)
+
+
+def test_torch_wav2vec_style_frontend(tmp_path):
+    """Strided Conv1d stack + GroupNorm + GELU (wav2vec feature extractor)."""
+    torch.manual_seed(11)
+
+    class W(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv1d(1, 16, 10, stride=5)
+            self.gn = nn.GroupNorm(4, 16)
+            self.c2 = nn.Conv1d(16, 16, 3, stride=2)
+
+        def forward(self, x):
+            h = nn.functional.gelu(self.gn(self.c1(x)))
+            return nn.functional.gelu(self.c2(h))
+
+    roundtrip(W(), (torch.randn(2, 1, 400),), tmp_path)
+
+
+def test_torch_pixel_shuffle_upsample(tmp_path):
+    """PixelShuffle exports as DepthToSpace (CRD mode)."""
+    torch.manual_seed(12)
+
+    class P(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 12, 3, padding=1)
+            self.ps = nn.PixelShuffle(2)
+
+        def forward(self, x):
+            return self.ps(self.c(x))
+
+    roundtrip(P(), (torch.randn(1, 3, 8, 8),), tmp_path)
+
+
+def test_torch_interpolate_nearest(tmp_path):
+    torch.manual_seed(13)
+
+    class I(nn.Module):
+        def forward(self, x):
+            return nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
+
+    roundtrip(I(), (torch.randn(1, 2, 5, 5),), tmp_path)
