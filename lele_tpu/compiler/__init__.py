@@ -63,7 +63,9 @@ class Compiler:
         mesh=None,
         batch_axis: int | None = None,
     ) -> CompiledModel:
-        if not isinstance(model, OnnxModel):
+        if isinstance(model, (bytes, bytearray, memoryview)):
+            model = OnnxModel.from_bytes(bytes(model))
+        elif not isinstance(model, OnnxModel):
             model = OnnxModel.load(model)
         specs = resolve_input_specs(model, input_shapes, dim_values)
         tracer = GraphTracer(

@@ -101,6 +101,12 @@ class CompiledModel:
     def __call__(self, *args, **kwargs) -> list:
         if args:
             kwargs.update(dict(zip(self.input_order, args)))
+        missing = [n for n in self.input_order if n not in kwargs]
+        if missing:
+            raise TypeError(
+                f"missing model inputs {missing}; expected "
+                f"{self.input_order} (got {sorted(kwargs)})"
+            )
         donated = tuple(self._prep(n, kwargs[n]) for n in self._donate_names)
         rest = tuple(self._prep(n, kwargs[n]) for n in self._rest_names)
         return self._jit(self.params, donated, rest)
