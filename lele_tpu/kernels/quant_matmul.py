@@ -163,8 +163,10 @@ def fused_dq_matmul_pallas(
 
 
 def pallas_int8_matmul(
-    ai, bi, tm: int = 256, tn: int = 256, tk: int = 512, interpret: bool = False
+    ai, bi, tm: int = 128, tn: int = 512, tk: int = 512, interpret: bool = False
 ):
+    # default tiles from a v5e sweep (scripts/kernel_bench.py): (128,512,512)
+    # ≈1.3× the stock XLA int8 dot at 2048³ and 4× the naive square tiling
     """i8[M,K] @ i8[K,N] → i32[M,N] as a tiled Pallas kernel.
 
     interpret=True runs the Pallas interpreter (CPU parity tests — the
