@@ -220,18 +220,16 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
     qkv = lin(p["qkv"], h)
     q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
 
-    # FSMN memory branch: depthwise causal-centered conv over values
+    # FSMN memory branch: depthwise centered conv over values, written as
+    # K shifted multiply-adds — pure VPU work that XLA fuses, faster and
+    # more accurate (full f32) than the generic depthwise conv lowering
     pad = (cfg.fsmn_kernel - 1) // 2
     vm = v * mask[..., None]
-    fsmn = jax.lax.conv_general_dilated(
-        vm.astype(dt),
-        p["fsmn"]["w"][:, None, :].astype(dt),  # [k, 1, D] depthwise
-        window_strides=(1,),
-        padding=[(pad, cfg.fsmn_kernel - 1 - pad)],
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=D,
-        preferred_element_type=jnp.float32,
-    )
+    vp = jnp.pad(vm, ((0, 0), (pad, cfg.fsmn_kernel - 1 - pad), (0, 0)))
+    fw = p["fsmn"]["w"]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(cfg.fsmn_kernel):
+        fsmn = fsmn + vp[:, kk : kk + T, :] * fw[kk]
 
     qh = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
