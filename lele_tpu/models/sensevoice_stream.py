@@ -67,18 +67,15 @@ def _stream_block(p: Params, x, cache, mask, cfg: SenseVoiceConfig):
     v = jnp.concatenate([v_ctx, v_cur], axis=1)
     kv_mask = jnp.concatenate([cache["ctx_mask"], mask], axis=1)
 
-    # FSMN on values with carried tail (causal: pad left with tail only)
+    # FSMN on values with carried tail (causal: pad left with tail only);
+    # shifted multiply-adds as in the offline block (sensevoice.sanm_block)
     vm = v_cur * mask[..., None]
     v_ext = jnp.concatenate([cache["fsmn_tail"], vm], axis=1)
-    fsmn = jax.lax.conv_general_dilated(
-        v_ext,
-        p["fsmn"]["w"][:, None, :],
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=D,
-        preferred_element_type=jnp.float32,
-    )  # [B, T, D] (causal w.r.t. chunk boundary)
+    fw = p["fsmn"]["w"]
+    K = fw.shape[0]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(K):
+        fsmn = fsmn + v_ext[:, kk : kk + T, :] * fw[kk]
 
     qh = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(B, L + T, H, hd).transpose(0, 2, 1, 3)
