@@ -496,3 +496,24 @@ def scatter_elements(ctx: OpContext, data, indices, updates):
     if reduction == "mul":
         return d.at[loc].multiply(updates)
     return d.at[loc].set(updates)
+
+
+def _dynamic_shape_error(op_name: str, hint: str):
+    def emitter(ctx: OpContext, *args):
+        raise NotImplementedError(
+            f"{op_name} produces data-dependent output shapes, which XLA's "
+            f"static-shape model cannot express. {hint}"
+        )
+
+    return emitter
+
+
+for _name, _hint in [
+    ("NonZero", "Use a fixed-size mask (Where/Greater) or postprocess on "
+                "host; the model families here are NMS-free by design."),
+    ("Unique", "Deduplicate on host after inference."),
+    ("NonMaxSuppression", "Use an NMS-free head (top-k + threshold, as "
+                          "YOLO26 does) or run NMS on host over the "
+                          "fixed-size candidate set."),
+]:
+    op(_name, foldable=False)(_dynamic_shape_error(_name, _hint))

@@ -349,3 +349,12 @@ def test_reduce_sum_square():
     x = rng.standard_normal((2, 5)).astype(np.float32)
     (y,) = run_op("ReduceSumSquare", {"x": x}, axes=[1], keepdims=0)
     assert_close(y, (x.astype(np.float64) ** 2).sum(1), tol=1e-5)
+
+
+def test_dynamic_shape_ops_raise_informative_errors():
+    x = rng.standard_normal((4,)).astype(np.float32)
+    for op_name in ["NonZero", "Unique"]:
+        nodes = [ob.node(op_name, ["x"], ["y"])]
+        with pytest.raises(NotImplementedError) as ei:
+            run_graph(nodes, {"x": x}, ["y"], strict=True)
+        assert "data-dependent" in str(ei.value)
