@@ -35,8 +35,12 @@ def export_model(cm, path: str | Path) -> None:
 
 
 def load_exported(path: str | Path):
-    """→ callable(params_dict, donated_tuple, rest_tuple) on this backend."""
+    """→ callable(params_dict, donated_tuple, rest_tuple) on this backend.
+
+    Wrapped in jax.jit so repeat calls hit the executable cache instead of
+    re-staging the deserialized module each invocation."""
+    import jax
     from jax import export as jexport
 
     exported = jexport.deserialize(Path(path).read_bytes())
-    return exported.call
+    return jax.jit(exported.call)
