@@ -27,6 +27,8 @@ class Config:
     use_pallas_rnn: bool = True
     # compute dtype override for weights/activations ("" = keep onnx dtypes)
     compute_dtype: str = ""
+    # seed for ONNX Random* ops (deterministic per-node streams)
+    rng_seed: int = 0
 
 
 config = Config()

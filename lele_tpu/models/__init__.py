@@ -29,6 +29,13 @@ from .supertonic import (  # noqa: F401
     load_voice_style,
     normalize_text,
 )
+from .sensevoice import prepare_quantized_params  # noqa: F401
+from .sensevoice_stream import (  # noqa: F401
+    StreamConfig,
+    StreamingSenseVoice,
+    init_stream_state,
+    stream_step,
+)
 from .yolo26 import (  # noqa: F401
     Yolo26Config,
     Yolo26Model,

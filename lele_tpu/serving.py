@@ -79,6 +79,13 @@ class SenseVoiceEngine:
             self.model = SenseVoiceModel()
             self.model.init(0)
 
+    def warm(self, seconds: float = 2.0, sr: int = 16000):
+        """Precompile the bucket program before taking traffic."""
+        import numpy as _np
+
+        self.model.transcribe_ids(_np.zeros(int(seconds * sr), _np.float32))
+        return self
+
     def recognize(self, wav_bytes: bytes):
         pcm, sr = decode_wav(wav_bytes)
         if sr != 16000:

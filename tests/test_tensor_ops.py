@@ -358,3 +358,41 @@ def test_dynamic_shape_ops_raise_informative_errors():
         with pytest.raises(NotImplementedError) as ei:
             run_graph(nodes, {"x": x}, ["y"], strict=True)
         assert "data-dependent" in str(ei.value)
+
+
+def test_if_dynamic_branches_hoist_separate_params():
+    """Large weights inside divergent If branches get scope-distinct params."""
+    w_then = rng.standard_normal((300,)).astype(np.float32)
+    w_else = rng.standard_normal((300,)).astype(np.float32)
+    then_g = ob.graph(
+        [ob.node("Add", ["x", "wt"], ["o"])], name="then",
+        outputs=[ob.value_info("o", 1, [300])],
+        initializers=[ob.tensor_from_array(w_then, "wt")],
+    )
+    else_g = ob.graph(
+        [ob.node("Add", ["x", "we"], ["o2"])], name="else",
+        outputs=[ob.value_info("o2", 1, [300])],
+        initializers=[ob.tensor_from_array(w_else, "we")],
+    )
+    nodes = [
+        ob.node("ReduceSum", ["x"], ["s"], keepdims=0),
+        ob.node("Greater", ["s", "zero"], ["cond"]),
+        ob.node("If", ["cond"], ["y"], name="br",
+                then_branch=then_g, else_branch=else_g),
+    ]
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel
+
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [300])],
+        outputs=[ob.value_info("y", 1, [300])],
+        initializers=[ob.tensor_from_array(np.float32(0.0), "zero")],
+    )
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    assert len(cm.params) == 2  # one per branch, scope-distinct keys
+    x = np.ones(300, np.float32)
+    (y,) = cm.run_np(x)
+    assert_close(y, x + w_then, tol=1e-5)
+    (y,) = cm.run_np(-x)
+    assert_close(y, -x + w_else, tol=1e-5)
