@@ -66,10 +66,14 @@ def init_yolo26(key, cfg: Yolo26Config) -> Params:
 
 
 def yolo26_forward(params: Params, img, cfg: Yolo26Config):
-    """img: [B, H, W, 3] f32 in [0,1] → (scores [B,300,C], boxes [B,300,4]
-    cxcywh in pixels[, coeffs [B,300,32], protos [B,Hp,Wp,32]])."""
+    """img: [B, H, W, 3] f32 in [0,1] OR uint8 in [0,255] (normalized on
+    device — ship the 4×-smaller u8 buffer) → (scores [B,300,C], boxes
+    [B,300,4] cxcywh in pixels[, coeffs [B,300,32], protos [B,Hp,Wp,32]])."""
     dt = cfg.compute_dtype
-    x = img.astype(dt)
+    if img.dtype == jnp.uint8:
+        x = img.astype(dt) * jnp.asarray(1.0 / 255.0, dt)
+    else:
+        x = img.astype(dt)
     x = jax.nn.silu(conv2d(params["stem"], x, stride=2, dtype=dt))
     feats = [x]
     for st in params["stages"]:

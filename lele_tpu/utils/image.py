@@ -32,3 +32,10 @@ def preprocess(img: np.ndarray, size: int = 640) -> np.ndarray:
     """uint8 HWC → f32 NHWC [1, size, size, 3] in [0,1]."""
     out = nearest_resize(img, size).astype(np.float32) / 255.0
     return out[None]
+
+
+def preprocess_u8(img: np.ndarray, size: int = 640) -> np.ndarray:
+    """uint8 HWC → uint8 NHWC [1, size, size, 3]; normalization happens on
+    device (models.yolo26_forward) so the host→device transfer is 4× smaller
+    than the f32 path."""
+    return nearest_resize(img, size)[None]

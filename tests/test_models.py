@@ -317,3 +317,13 @@ def test_import_weights_from_onnx():
     with _pytest.raises(KeyError):
         import_weights(model, {"a/b": "nope"})
     assert import_weights(model, {"a/b": "nope"}, strict=False) == {}
+
+
+def test_yolo_u8_input_matches_f32():
+    m = _tiny_yolo()
+    img8 = rng.integers(0, 255, (1, 128, 128, 3)).astype(np.uint8)
+    fn = jax.jit(m.forward_fn())
+    s8, b8 = fn(m.params, img8)
+    sf, bf = fn(m.params, (img8.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(sf), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b8), np.asarray(bf), atol=1e-3)
