@@ -91,7 +91,13 @@ def fbank_features(
         return (empty, jnp.zeros((0,), jnp.float32)) if n_valid is not None else empty
     n_frames = c.num_frames(n)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
-    frames = jnp.asarray(pcm)[idx] * c.scale  # [T, frame_len]
+    pcm_dev = jnp.asarray(pcm)
+    if pcm_dev.dtype == jnp.int16:
+        # i16 PCM carries the ×scale (32768) natively — half the transfer
+        # of f32 and no host conversion
+        frames = pcm_dev[idx].astype(jnp.float32)
+    else:
+        frames = pcm_dev[idx] * c.scale  # [T, frame_len]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     # pre-emphasis: y[0] unchanged, y[j] = x[j] - a*x[j-1]
     pre = jnp.concatenate(

@@ -146,3 +146,16 @@ def test_fbank_short_input_returns_empty():
     fe = FbankFrontend()
     out = np.asarray(fe(np.zeros(100, np.float32)))
     assert out.shape[0] == 0
+
+
+def test_fbank_accepts_int16_pcm():
+    """i16 PCM == f32 PCM × 32768 path (half the host→device transfer)."""
+    import jax
+
+    c = FbankConfig(apply_lfr=False, apply_cmvn=False)
+    fe = FbankFrontend(c)
+    pcm_f = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    pcm_i = np.clip(pcm_f * 32768.0, -32768, 32767).astype(np.int16)
+    out_i = np.asarray(jax.jit(fe)(pcm_i))
+    out_f = np.asarray(jax.jit(fe)(pcm_i.astype(np.float32) / 32768.0))
+    np.testing.assert_allclose(out_i, out_f, atol=1e-3)
