@@ -46,7 +46,11 @@ def main():
         params = cast_big_params(params, jnp.bfloat16)
     fn = jax.jit(model.forward_fn())
 
-    pcm = np.asarray(pcm, np.float32)
+    # i16 PCM: the wire format WAV already carries, half the transfer, and
+    # the frontend folds the ×32768 scale away
+    pcm = np.clip(np.asarray(pcm, np.float32) * 32768.0, -32768, 32767).astype(
+        np.int16
+    )
     logits = fn(params, pcm)
     logits.block_until_ready()  # compile + warmup
     for _ in range(2):
