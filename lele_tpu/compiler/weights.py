@@ -26,13 +26,29 @@ ALIGN = 16
 MAGIC = "lele-tpu-weights-v1"
 
 
-def pack_weights(params: dict[str, np.ndarray]) -> tuple[bytes, dict]:
-    """→ (blob, manifest). Identical content stored once (dedup)."""
+def pack_weights(
+    params: dict[str, np.ndarray], quantize: bool = False
+) -> tuple[bytes, dict]:
+    """→ (blob, manifest). Identical content stored once (dedup).
+
+    quantize=True stores rank-≥2 float tensors as symmetric per-tensor int8
+    with a dequant scale in the manifest (~4× smaller artifact, the
+    reference's int8 deployment format); the loader dequantizes on read."""
     blob = bytearray()
     entries: dict[str, dict] = {}
     by_hash: dict[str, int] = {}
     for name, arr in params.items():
         arr = np.ascontiguousarray(arr)
+        scale = None
+        if (
+            quantize
+            and arr.ndim >= 2
+            and arr.dtype in (np.float32, np.float64)
+            and arr.size >= 1024
+        ):
+            absmax = float(np.abs(arr).max()) or 1.0
+            scale = absmax / 127.0
+            arr = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
         raw = arr.tobytes()
         h = hashlib.sha256(raw).hexdigest()[:32]
         if h in by_hash:
@@ -49,13 +65,18 @@ def pack_weights(params: dict[str, np.ndarray]) -> tuple[bytes, dict]:
             "shape": list(arr.shape),
             "dtype": arr.dtype.name,
         }
+        if scale is not None:
+            entries[name]["dequant_scale"] = scale
+            entries[name]["dequant_dtype"] = "float32"
     manifest = {"magic": MAGIC, "align": ALIGN, "tensors": entries}
     return bytes(blob), manifest
 
 
-def save_weights(path_prefix: str | Path, params: dict[str, np.ndarray]) -> None:
+def save_weights(
+    path_prefix: str | Path, params: dict[str, np.ndarray], quantize: bool = False
+) -> None:
     """Writes <prefix>.bin + <prefix>.json."""
-    blob, manifest = pack_weights(params)
+    blob, manifest = pack_weights(params, quantize=quantize)
     prefix = Path(path_prefix)
     prefix.with_suffix(".bin").write_bytes(blob)
     prefix.with_suffix(".json").write_text(json.dumps(manifest, indent=1))
@@ -75,6 +96,9 @@ def load_weights(path_prefix: str | Path) -> dict[str, np.ndarray]:
         arr = np.frombuffer(
             buf, dtype=np.dtype(e["dtype"]), count=int(np.prod(e["shape"])) if e["shape"] else 1,
             offset=e["offset"],
-        )
-        out[name] = arr.reshape(e["shape"])
+        ).reshape(e["shape"])
+        if "dequant_scale" in e:
+            arr = (arr.astype(e.get("dequant_dtype", "float32"))
+                   * e["dequant_scale"])
+        out[name] = arr
     return out

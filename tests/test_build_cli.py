@@ -209,3 +209,46 @@ def test_weights_blob_bfloat16(tmp_path):
     loaded = load_weights(tmp_path / "w")
     assert loaded["a"].dtype == np.dtype(ml_dtypes.bfloat16)
     np.testing.assert_array_equal(loaded["a"], a)
+
+
+def test_quantized_weight_blob_roundtrip(tmp_path):
+    rng2 = np.random.default_rng(3)
+    w = rng2.standard_normal((64, 64)).astype(np.float32)
+    small = rng2.standard_normal((8,)).astype(np.float32)
+    save_weights(tmp_path / "q", {"w": w, "small": small}, quantize=True)
+    size_q = (tmp_path / "q.bin").stat().st_size
+    save_weights(tmp_path / "f", {"w": w, "small": small})
+    size_f = (tmp_path / "f.bin").stat().st_size
+    assert size_q < size_f * 0.3
+    loaded = load_weights(tmp_path / "q")
+    # small tensors stay exact; big ones within one quant step
+    np.testing.assert_array_equal(loaded["small"], small)
+    step = np.abs(w).max() / 127.0
+    assert np.abs(loaded["w"] - w).max() <= step * 0.51
+    assert loaded["w"].dtype == np.float32
+
+
+def test_cli_quantize_weights_flag(tmp_path):
+    onnx_path = tmp_path / "m.onnx"
+    w = _write_toy_onnx(onnx_path)
+    from lele_tpu.cli import compile_to_dir
+
+    compile_to_dir(str(onnx_path), str(tmp_path / "g"), "Q",
+                   quantize_weights=True)
+    import json as _json
+
+    man = _json.loads((tmp_path / "g/Q_weights.json").read_text())
+    assert any("dequant_scale" in e for e in man["tensors"].values())
+    # generated wrapper still runs and approximates the f32 model
+    sys.path.insert(0, str(tmp_path / "g"))
+    try:
+        import importlib
+
+        mod = importlib.import_module("Q")
+        importlib.reload(mod)
+        model = mod.Q()
+        x = np.random.default_rng(2).standard_normal((2, 8)).astype(np.float32)
+        (y,) = model.forward(x)
+        np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=0.1)
+    finally:
+        sys.path.remove(str(tmp_path / "g"))
