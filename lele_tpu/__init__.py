@@ -35,3 +35,10 @@ if _env_platforms and _env_platforms not in ("axon", "axon,cpu"):
             _jax.config.update("jax_platforms", _env_platforms)
     except Exception:
         pass
+
+
+def compile_model(*args, **kwargs):
+    """Convenience re-export of lele_tpu.compiler.compile_model."""
+    from .compiler import compile_model as _cm
+
+    return _cm(*args, **kwargs)

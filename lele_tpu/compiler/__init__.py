@@ -30,6 +30,23 @@ class Compiler:
         self._name = name
         return self
 
+    def with_default_optimizations(self) -> "Compiler":
+        """API parity with the reference builder (mod.rs:297): folding,
+        param hoisting, and the default pattern set are always on in the
+        tracer, so this is a fluent no-op kept for drop-in familiarity."""
+        return self
+
+    def with_constant_folding(self, enabled: bool = True) -> "Compiler":
+        """API parity (mod.rs: with_constant_folding). Folding is integral
+        to the trace (shape chains must resolve); disabling is not
+        supported — a False argument raises to avoid silent surprises."""
+        if not enabled:
+            raise ValueError(
+                "constant folding cannot be disabled: trace-time folding is "
+                "how shape-carrying chains become static (see ARCHITECTURE.md)"
+            )
+        return self
+
     def with_override(self, op_type: str, fn: Callable) -> "Compiler":
         self._overrides[op_type] = fn
         return self

@@ -256,3 +256,28 @@ def test_moe_forward_selects_experts():
     pcm = (np.random.default_rng(3).standard_normal(8000) * 0.1).astype(np.float32)
     logits = jax.jit(m.forward_fn())(m.params, pcm)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_tensor_parallel_inference_matches_single_device():
+    """Native encoder inference with Megatron-sharded params == unsharded."""
+    from lele_tpu.models import SenseVoiceConfig, init_sensevoice, sensevoice_encode
+
+    cfg = SenseVoiceConfig(
+        n_layers=2, d_model=32, ffn_dim=64, vocab_size=32, n_heads=2,
+        dtype="float32",
+    )
+    rng = np.random.default_rng(4)
+    feats = rng.standard_normal((2, 10, cfg.input_dim)).astype(np.float32)
+    mask = np.ones((2, 10), np.float32)
+    params = init_sensevoice(jax.random.PRNGKey(0), cfg)
+    ref = np.asarray(jax.jit(
+        lambda p, f, m_: sensevoice_encode(p, f, m_, cfg)
+    )(params, feats, mask))
+
+    mesh = make_mesh(8, model=4)
+    sp = shard_params(params, mesh)
+    with mesh:
+        got = np.asarray(jax.jit(
+            lambda p, f, m_: sensevoice_encode(p, f, m_, cfg)
+        )(sp, feats, mask))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
