@@ -106,6 +106,8 @@ class Compiler:
         import types
 
         cm.stats = stats
+        cm.params_host = params  # numpy originals (artifact writing avoids
+        #                           a device→host round trip of the weights)
         for mname, fn in self._custom_methods.items():
             setattr(cm, mname, types.MethodType(fn, cm))
         return cm
