@@ -48,11 +48,16 @@ def init_stream_state(cfg: SenseVoiceConfig, s: StreamConfig, batch: int = 1):
 
 
 def _stream_block(p: Params, x, cache, mask, cfg: SenseVoiceConfig):
-    """One SAN-M layer over [ctx ‖ chunk]; returns (y, new_cache)."""
+    """One SAN-M layer over [ctx ‖ chunk]; returns (y, new_cache).
+
+    The cache holds this layer's INPUT activations from previous chunks
+    (matching offline attention, which attends over the layer's inputs),
+    not its outputs."""
     B, T, D = x.shape
     H = cfg.n_heads
     hd = D // H
     L = cache["ctx"].shape[1]
+    x_in = x  # cached for the next chunk's attention context
 
     h = layer_norm(p["norm1"], x)
     qkv = linear(p["qkv"], h).astype(jnp.float32)
@@ -90,8 +95,8 @@ def _stream_block(p: Params, x, cache, mask, cfg: SenseVoiceConfig):
     h2 = layer_norm(p["norm2"], x)
     x = x + linear(p["ffn2"], jax.nn.relu(linear(p["ffn1"], h2)))
 
-    # roll caches: keep last L activations of [old ctx ‖ x]
-    full = jnp.concatenate([cache["ctx"], x], axis=1)
+    # roll caches: keep last L INPUT activations of [old ctx ‖ x_in]
+    full = jnp.concatenate([cache["ctx"], x_in], axis=1)
     full_mask = jnp.concatenate([cache["ctx_mask"], mask], axis=1)
     new_cache = {
         "ctx": full[:, -L:],

@@ -123,3 +123,42 @@ def test_transcribe_stream_end_to_end():
     assert isinstance(ids, list)
     # deterministic across runs
     assert ids == sv.transcribe_stream(pcm)
+
+
+def test_two_chunk_stream_matches_offline_with_full_context():
+    """Single layer, fsmn_kernel=1, context ≥ all past frames: chunk-2 rows
+    must EXACTLY reproduce offline prefixless encoding — the cache-semantics
+    gate (caches hold layer INPUTS; with one layer those are the embeddings,
+    identical in both modes). Deeper stacks can't match offline exactly:
+    offline layer-k inputs at past positions already contain future context
+    (bidirectional attention), which causal streaming by definition lacks."""
+    from dataclasses import replace
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32", fsmn_kernel=1,
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    local = np.random.default_rng(55)
+    T1, T2 = 8, 8
+    feats = local.standard_normal((1, T1 + T2, cfg.input_dim)).astype(np.float32)
+    mask_full = np.ones((1, T1 + T2), np.float32)
+    offline = np.asarray(
+        sensevoice_encode(m.params, feats, mask_full, replace(cfg, n_prefix=0))
+    )
+
+    s = StreamConfig(chunk_frames=T1, context_frames=T1 + T2)
+    st = init_stream_state(cfg, s)
+    l1, st = stream_step(m.params, feats[:, :T1], np.ones((1, T1), np.float32),
+                         st, cfg)
+    l2, st = stream_step(m.params, feats[:, T1:], np.ones((1, T2), np.float32),
+                         st, cfg)
+    # chunk-1 outputs see only chunk-1 context; offline sees everything →
+    # only compare causal-compatible positions? No: offline attention is
+    # bidirectional, so only the FULL-context chunk can match: chunk 2
+    # attends over [chunk1 ‖ chunk2]... but offline chunk-2 rows also attend
+    # chunk-2+chunk-1 — identical key set. Verify chunk-2 rows exactly.
+    np.testing.assert_allclose(
+        np.asarray(l2[0]), offline[0, T1:], atol=2e-4
+    )
