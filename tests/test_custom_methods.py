@@ -36,9 +36,10 @@ def test_with_override_replaces_builtin():
     model, w = _toy()
 
     def matmul_times_two(ctx, a, b):
+        import jax
         import jax.numpy as jnp
 
-        return 2.0 * jnp.matmul(a, b)
+        return 2.0 * jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
     cm = Compiler().with_override("MatMul", matmul_times_two).compile(model)
     x = rng.standard_normal((2, 4)).astype(np.float32)
