@@ -35,7 +35,7 @@ def test_two_model_chain_single_program():
     x = rng.standard_normal((2, 8)).astype(np.float32)
     out = np.asarray(pipe(x))
     want = np.tanh(np.tanh(x @ w1) @ w2)
-    np.testing.assert_allclose(out, want, atol=1e-5)
+    np.testing.assert_allclose(out, want, atol=1e-4)  # TPU tanh ulps
 
 
 def test_flow_matching_style_loop_on_device():
