@@ -79,6 +79,7 @@ class Compiler:
         donate: Sequence[str] = (),
         mesh=None,
         batch_axis: int | None = None,
+        param_rules=None,
     ) -> CompiledModel:
         if isinstance(model, (bytes, bytearray, memoryview)):
             model = OnnxModel.from_bytes(bytes(model))
@@ -102,6 +103,7 @@ class Compiler:
             donate=donate,
             mesh=mesh,
             batch_axis=batch_axis,
+            param_rules=param_rules,
         )
         import types
 
@@ -162,6 +164,7 @@ def compile_model(
     strict: bool | None = None,
     mesh=None,
     batch_axis: int | None = None,
+    param_rules=None,
 ) -> CompiledModel:
     c = Compiler()
     if overrides:
@@ -169,4 +172,5 @@ def compile_model(
             c.with_override(k, v)
     if strict is not None:
         c.with_strict(strict)
-    return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis)
+    return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis,
+                     param_rules)

@@ -26,11 +26,16 @@ class CompiledModel:
         donate: Sequence[str] = (),
         mesh=None,
         batch_axis: int | None = None,
+        param_rules=None,
     ):
         """mesh + batch_axis: data-parallel inference — params replicate
         across the mesh's "data" axis and every input/output shards on
         `batch_axis`; XLA inserts the ICI collectives. (No reference
-        counterpart — lele is single-core; SURVEY.md §2.6.)"""
+        counterpart — lele is single-core; SURVEY.md §2.6.)
+
+        param_rules: optional callable (param_name, shape) → PartitionSpec
+        for tensor-parallel placement of the hoisted ONNX weights (e.g.
+        shard every [K, N] linear weight column-wise over "model")."""
         import jax
         import jax.numpy as jnp
 
@@ -63,10 +68,22 @@ class CompiledModel:
             self._in_shard = {n: spec_for(n) for n in self.input_order}
             param_sharding = NamedSharding(mesh, P())
         if param_sharding is not None:
-            self.params = {
-                k: jax.device_put(jnp.asarray(v), param_sharding)
-                for k, v in params.items()
-            }
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def place(name, v):
+                sh = param_sharding
+                if param_rules is not None:
+                    spec = param_rules(name, v.shape)
+                    if spec is not None:
+                        # replicate when the spec doesn't divide the shape
+                        ok = all(
+                            s is None or v.shape[i] % mesh.shape[s] == 0
+                            for i, s in enumerate(spec)
+                        )
+                        sh = NamedSharding(mesh, spec if ok else P())
+                return jax.device_put(jnp.asarray(v), sh)
+
+            self.params = {k: place(k, v) for k, v in params.items()}
         else:
             self.params = {k: jnp.asarray(v) for k, v in params.items()}
 

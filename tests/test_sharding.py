@@ -281,3 +281,43 @@ def test_tensor_parallel_inference_matches_single_device():
             lambda p, f, m_: sensevoice_encode(p, f, m_, cfg)
         )(sp, feats, mask))
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_onnx_model_tensor_parallel_param_rules():
+    """ONNX-compiled model with user param rules: weights shard over
+    "model", inputs replicate, outputs match single-device."""
+    from jax.sharding import PartitionSpec as P
+
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel, builder as ob
+
+    rng = np.random.default_rng(6)
+    w1 = rng.standard_normal((16, 512)).astype(np.float32)
+    w2 = rng.standard_normal((512, 8)).astype(np.float32)
+    bs = ob.build_model_bytes(
+        [ob.node("MatMul", ["x", "w1"], ["h"]),
+         ob.node("Relu", ["h"], ["hr"]),
+         ob.node("MatMul", ["hr", "w2"], ["y"])],
+        inputs=[ob.value_info("x", 1, [4, 16])],
+        outputs=[ob.value_info("y", 1, [4, 8])],
+        initializers=[ob.tensor_from_array(w1, "w1"),
+                      ob.tensor_from_array(w2, "w2")],
+    )
+    x = rng.standard_normal((4, 16)).astype(np.float32)
+    ref = np.maximum(x @ w1, 0) @ w2
+
+    mesh = make_mesh(8, data=2, model=4)
+
+    def rules(name, shape):
+        if name == "w1":
+            return P(None, "model")  # column-parallel
+        if name == "w2":
+            return P("model", None)  # row-parallel
+        return None
+
+    cm = compile_model(OnnxModel.from_bytes(bs), mesh=mesh, batch_axis=0,
+                       param_rules=rules)
+    w1_dev = cm.params["w1"]
+    assert {s.data.shape for s in w1_dev.addressable_shards} == {(16, 128)}
+    (y,) = cm.run_np(x)
+    np.testing.assert_allclose(y, ref, atol=1e-3)
