@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--out", default="/tmp/supertonic_out.wav")
     ap.add_argument("--v3", action="store_true", help="Supertonic 3 mode "
                     "(no latent denorm, speed 1.05)")
+    ap.add_argument("--min-frames", type=int, default=8,
+                    help="floor on latent frames per chunk (random-init "
+                         "duration models predict ~0; set e.g. 256 for a "
+                         "realistic-length benchmark)")
     args = ap.parse_args()
 
     cfg = SupertonicConfig()
@@ -55,9 +59,11 @@ def main():
             "dp": rng.standard_normal(cfg.d_style).astype(np.float32),
         }
     with timer.scope("synthesize(cold)"):
-        wave = tts.synthesize(args.text, style, lang=args.lang, seed=0)
+        wave = tts.synthesize(args.text, style, lang=args.lang, seed=0,
+                              min_frames=args.min_frames)
     t0 = time.perf_counter()
-    wave = tts.synthesize(args.text, style, lang=args.lang, seed=0)
+    wave = tts.synthesize(args.text, style, lang=args.lang, seed=0,
+                          min_frames=args.min_frames)
     steady = time.perf_counter() - t0
     audio_s = len(wave) / cfg.sample_rate
     write_wav(args.out, wave, cfg.sample_rate)

@@ -399,7 +399,7 @@ class SupertonicTts:
 
     def synthesize(
         self, text: str, style: dict[str, np.ndarray], lang: str = "en",
-        seed: int = 0,
+        seed: int = 0, min_frames: int = 8,
     ) -> np.ndarray:
         """Host orchestration: normalize → chunk → per-chunk fused synth."""
         import jax
@@ -421,7 +421,7 @@ class SupertonicTts:
                     self.params, ids, np.asarray(style["dp"])[None], text_mask
                 )
             )
-            t_real = max(8, int(durations.sum() / self.cfg.speed))
+            t_real = max(min_frames, int(durations.sum() / self.cfg.speed))
             t_buck = self._bucket(t_real)
             latent_mask = np.zeros((1, t_buck), np.float32)
             latent_mask[:, :t_real] = 1.0
