@@ -1,0 +1,153 @@
+"""Coverage battery for ops without dedicated tests elsewhere: each asserts
+against the numpy/scipy formula of its ONNX spec."""
+
+import numpy as np
+import pytest
+
+from optest import assert_close, run_op
+
+rng = np.random.default_rng(71)
+
+
+def test_sum_mean_variadic():
+    xs = {f"x{i}": rng.standard_normal((2, 3)).astype(np.float32) for i in range(3)}
+    vals = list(xs.values())
+    assert_close(run_op("Sum", xs)[0], vals[0] + vals[1] + vals[2], tol=1e-5)
+    assert_close(run_op("Mean", xs)[0], sum(vals) / 3, tol=1e-5)
+
+
+def test_logsoftmax():
+    x = rng.standard_normal((3, 7)).astype(np.float32)
+    (y,) = run_op("LogSoftmax", {"x": x})
+    e = x - x.max(-1, keepdims=True)
+    want = e - np.log(np.exp(e).sum(-1, keepdims=True))
+    assert_close(y, want, tol=1e-5)
+
+
+def test_leaky_elu_selu_celu():
+    x = rng.standard_normal((32,)).astype(np.float32) * 2
+    assert_close(run_op("LeakyRelu", {"x": x}, alpha=0.1)[0],
+                 np.where(x >= 0, x, 0.1 * x), tol=1e-6)
+    assert_close(run_op("Elu", {"x": x}, alpha=0.5)[0],
+                 np.where(x > 0, x, 0.5 * (np.exp(x) - 1)), tol=1e-5)
+    a, g = 1.6732632423543772, 1.0507009873554805
+    assert_close(run_op("Selu", {"x": x})[0],
+                 g * np.where(x > 0, x, a * (np.exp(x) - 1)), tol=1e-5)
+    assert_close(run_op("Celu", {"x": x}, alpha=1.0)[0],
+                 np.maximum(x, 0) + np.minimum(0, np.exp(np.minimum(x, 0)) - 1),
+                 tol=1e-5)
+
+
+def test_hard_sigmoid_swish_softsign_mish():
+    x = rng.standard_normal((16,)).astype(np.float32) * 4
+    assert_close(run_op("HardSigmoid", {"x": x})[0],
+                 np.clip(0.2 * x + 0.5, 0, 1), tol=1e-6)
+    assert_close(run_op("HardSwish", {"x": x})[0],
+                 x * np.clip(x / 6 + 0.5, 0, 1), tol=1e-5)
+    assert_close(run_op("Softsign", {"x": x})[0], x / (1 + np.abs(x)), tol=1e-6)
+    sp = np.log1p(np.exp(x.astype(np.float64)))
+    assert_close(run_op("Mish", {"x": x})[0], x * np.tanh(sp), tol=1e-4)
+
+
+def test_gelu_both_modes():
+    from scipy.special import erf
+
+    x = rng.standard_normal((24,)).astype(np.float32)
+    want_exact = 0.5 * x * (1 + erf(x.astype(np.float64) / np.sqrt(2)))
+    assert_close(run_op("Gelu", {"x": x})[0], want_exact, tol=1e-4)
+    t = np.sqrt(2 / np.pi) * (x + 0.044715 * x**3)
+    want_tanh = 0.5 * x * (1 + np.tanh(t))
+    assert_close(run_op("Gelu", {"x": x}, approximate="tanh")[0], want_tanh,
+                 tol=1e-4)
+
+
+def test_sign_isnan_isinf():
+    x = np.array([-2.0, 0.0, 3.0, np.nan, np.inf, -np.inf], np.float32)
+    np.testing.assert_array_equal(
+        run_op("Sign", {"x": x})[0][:3], [-1, 0, 1]
+    )
+    np.testing.assert_array_equal(
+        run_op("IsNaN", {"x": x})[0], np.isnan(x)
+    )
+    np.testing.assert_array_equal(
+        run_op("IsInf", {"x": x})[0], np.isinf(x)
+    )
+
+
+def test_trig_hyperbolic():
+    x = (rng.standard_normal((16,)) * 0.8).astype(np.float32)
+    xc = np.clip(x, -0.99, 0.99)  # asin/acos domain
+    for op, fn, arg in [("Tan", np.tan, x), ("Asin", np.arcsin, xc),
+                        ("Acos", np.arccos, xc), ("Atan", np.arctan, x),
+                        ("Sinh", np.sinh, x), ("Cosh", np.cosh, x)]:
+        assert_close(run_op(op, {"x": arg})[0], fn(arg.astype(np.float64)),
+                     tol=1e-4)
+
+
+def test_trilu():
+    x = rng.standard_normal((4, 4)).astype(np.float32)
+    assert_close(run_op("Trilu", {"x": x})[0], np.triu(x))
+    assert_close(run_op("Trilu", {"x": x}, upper=0)[0], np.tril(x))
+    (y,) = run_op("Trilu", {"x": x}, initializers={"k": np.array(1, np.int64)})
+    assert_close(y, np.triu(x, 1))
+
+
+def test_castlike():
+    x = np.array([1.9, -2.1], np.float32)
+    like = np.array([1], np.int32)
+    (y,) = run_op("CastLike", {"x": x, "l": like})
+    np.testing.assert_array_equal(y, [1, -2])
+
+
+def test_reduce_prod_lse():
+    x = (rng.standard_normal((3, 4)) * 0.5).astype(np.float32)
+    assert_close(run_op("ReduceProd", {"x": x}, axes=[1], keepdims=0)[0],
+                 x.astype(np.float64).prod(1), tol=1e-5)
+    want = np.log(np.exp(x.astype(np.float64)).sum(1))
+    assert_close(run_op("ReduceLogSumExp", {"x": x}, axes=[1], keepdims=0)[0],
+                 want, tol=1e-5)
+
+
+def test_lstm_bidirectional_onnx():
+    """Bidirectional LSTM through the builder (torch suite covers GRU)."""
+    S, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = (rng.standard_normal((2, 4 * H, I)) * 0.3).astype(np.float32)
+    r = (rng.standard_normal((2, 4 * H, H)) * 0.3).astype(np.float32)
+    b = np.zeros((2, 8 * H), np.float32)
+    y, yh, yc = run_op(
+        "LSTM", {"x": x}, n_outputs=3,
+        initializers={"w": w, "r": r, "b": b},
+        hidden_size=H, direction="bidirectional",
+    )
+    assert y.shape == (S, 2, B, H)
+    # oracle via the forward-only test helper, run per direction
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_nn_ops import lstm_oracle
+
+    fwd, hf, cf = lstm_oracle(x.astype(np.float64), w[0].astype(np.float64),
+                              r[0].astype(np.float64), b[0].astype(np.float64),
+                              np.zeros((B, H)), np.zeros((B, H)))
+    bwd, hb, cb = lstm_oracle(x[::-1].astype(np.float64),
+                              w[1].astype(np.float64), r[1].astype(np.float64),
+                              b[1].astype(np.float64),
+                              np.zeros((B, H)), np.zeros((B, H)))
+    assert_close(y[:, 0], fwd, tol=1e-4)
+    assert_close(y[:, 1], bwd[::-1], tol=1e-4)
+    assert_close(yh[0], hf, tol=1e-4)
+    assert_close(yh[1], hb, tol=1e-4)
+
+
+def test_pow_integer_base():
+    a = np.array([2, 3, 4], np.int32)
+    b = np.array(3, np.int64)
+    (y,) = run_op("Pow", {"a": a}, initializers={"b": b})
+    np.testing.assert_array_equal(y, [8, 27, 64])
+
+
+def test_where_scalar_cond_broadcast():
+    c = np.array(True)
+    a = rng.standard_normal((2, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 3)).astype(np.float32)
+    assert_close(run_op("Where", {"c": c, "a": a, "b": b})[0], a)
