@@ -358,18 +358,63 @@ class SenseVoiceModel:
             return self.transcribe_ids(pcm, blank_id)
         c = self.fbank.config
         margin_frames = int(overlap_s * sr / 2 / c.hop_len / c.lfr_n)
-        ids: list[int] = []
+        # collect windows; they're independent, so decode them as ONE
+        # batched program (batch is nearly free on the MXU — docs/PERF.md)
+        pieces: list[np.ndarray] = []
+        starts: list[int] = []
         start = 0
         while start < len(pcm):
             piece = pcm[start : start + win]
             if len(piece) < c.frame_len:
                 break
-            logits, valid = self._bucketed_logits(piece)
-            lo = margin_frames if start > 0 else 0
-            hi = valid - (margin_frames if start + win < len(pcm) else 0)
-            ids.extend(greedy_ctc_decode(logits[lo:hi], blank_id))
+            pieces.append(np.asarray(piece, np.float32))
+            starts.append(start)
             start += hop
+        per_window = self._batched_window_logits(pieces, win)
+        ids: list[int] = []
+        for (logits, valid), s0 in zip(per_window, starts):
+            lo = margin_frames if s0 > 0 else 0
+            hi = valid - (margin_frames if s0 + win < len(pcm) else 0)
+            ids.extend(greedy_ctc_decode(logits[lo:hi], blank_id))
         return ids
+
+    def _batched_window_logits(self, pieces, win: int):
+        """Equal-length padded windows through one batched program."""
+        import jax
+
+        from ..features.fbank import fbank_features
+
+        if self.params is None:
+            self.init()
+        B = len(pieces)
+        batch = np.zeros((B, win), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, p in enumerate(pieces):
+            batch[i, : len(p)] = p
+            lens[i] = len(p)
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        key = ("windows", win, B)
+        if key not in self._fn_cache:
+            cfg = self.cfg
+            fb = self.fbank
+
+            def fn(params, pcm_b, n_valid_b):
+                feats, masks = jax.vmap(
+                    lambda p_, n_: fbank_features(
+                        p_, fb.config, fb.window, fb.mel_t, n_valid=n_
+                    )
+                )(pcm_b, n_valid_b)
+                return sensevoice_encode(params, feats, masks, cfg), masks
+
+            self._fn_cache[key] = jax.jit(fn)
+        logits, masks = self._fn_cache[key](self.params, batch, lens)
+        logits = np.asarray(logits)
+        masks = np.asarray(masks)
+        return [
+            (logits[i, self.cfg.n_prefix :], int(masks[i].sum()))
+            for i in range(B)
+        ]
 
     def _bucketed_logits(self, pcm: np.ndarray):
         import jax

@@ -82,9 +82,6 @@ class SupertonicConfig:
 # ---------------------------------------------------------------------------
 # Text pipeline (UnicodeProcessor analog, processor.rs:27-139,:193-217)
 
-_LANG_TAGS = {"en", "ko", "es", "pt", "fr", "de", "ja", "zh"}
-
-
 def normalize_text(text: str, lang: str = "en") -> str:
     """NFKD normalize, strip emoji/symbols, collapse whitespace, ensure
     terminal punctuation, wrap with <lang> tags."""

@@ -13,7 +13,7 @@ Dispatch precedence mirrors generate.rs:802: pattern rewrite → user override
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 import numpy as np
@@ -93,7 +93,6 @@ class OpContext:
     opset: int
     node: Proto | None = None
     tracer: Any = None
-    extras: dict = field(default_factory=dict)
 
     @property
     def is_fold(self) -> bool:
