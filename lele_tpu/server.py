@@ -6,6 +6,7 @@ The server-side replacement for the reference's browser demo
     python -m lele_tpu.server [--port 8570] [--tiny]
 
     POST /recognize   body: WAV bytes            → {"ids": [...]} or text
+    POST /recognize_batch  body: JSON [b64 wav, ...] → {"results": [...]}
     POST /detect      body: JPEG bytes           → {"detections": [...]}
     POST /synthesize  body: {"text": ..., "voice": ...} → WAV bytes
     GET  /healthz                                → {"ok": true}
@@ -46,6 +47,13 @@ def make_handler(engines: dict):
                     if isinstance(out, str):
                         return self._json(200, {"text": out})
                     return self._json(200, {"ids": out})
+                if self.path == "/recognize_batch":
+                    import base64
+
+                    req = json.loads(body or b"[]")
+                    wavs = [base64.b64decode(w) for w in req]
+                    outs = engines["asr"].recognize_batch(wavs)
+                    return self._json(200, {"results": outs})
                 if self.path == "/detect":
                     dets = engines["det"].detect(body)
                     return self._json(200, {"detections": dets})

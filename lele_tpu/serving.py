@@ -95,6 +95,20 @@ class SenseVoiceEngine:
             return self.tokenizer.decode(ids)
         return ids
 
+    def recognize_batch(self, wavs: list[bytes]):
+        """Batch of utterances through ONE padded program
+        (SenseVoiceModel.transcribe_batch) — the serving-throughput path."""
+        pcms = []
+        for data in wavs:
+            pcm, sr = decode_wav(data)
+            if sr != 16000:
+                pcm = resample(pcm, sr, 16000)
+            pcms.append(pcm)
+        ids = self.model.transcribe_batch(pcms)
+        if self.tokenizer is not None:
+            return [self.tokenizer.decode(i) for i in ids]
+        return ids
+
 
 @dataclass
 class Yolo26Engine:

@@ -77,3 +77,17 @@ def test_bad_requests(server):
     assert "error" in json.loads(body)
     status, body, _ = _post(server + "/nope", b"")
     assert status == 404
+
+
+def test_recognize_batch_endpoint(server):
+    import base64
+
+    wavs = [
+        encode_wav((np.sin(np.arange(9000) / f) * 0.2).astype(np.float32), 16000)
+        for f in (7.0, 11.0)
+    ]
+    body = json.dumps([base64.b64encode(w).decode() for w in wavs]).encode()
+    status, resp, _ = _post(server + "/recognize_batch", body)
+    assert status == 200
+    results = json.loads(resp)["results"]
+    assert len(results) == 2 and all(isinstance(r, list) for r in results)
