@@ -10,11 +10,11 @@ updates. The u8→i8 shift (reference's XOR 0x80, neon/quantization.rs:206)
 becomes algebra on the zero points. Weight col-sums fold at compile time via
 the tracer's param hoisting when the weight is static.
 
-Two implementations, numerically identical:
-- ``_fused_jnp``: reference implementation (also the CPU-test oracle)
-- ``_fused_pallas``: tiled Pallas kernel keeping the activation tile and its
-  quantized copy in VMEM so the quantize+dot+dequant chain never round-trips
-  through HBM
+Implementations (numerically identical, parity-tested):
+- ``fused_dynamic_quant_matmul``: jnp reference (also the CPU-test oracle)
+- ``fused_dq_matmul_pallas``: one Pallas program — activation quantized in
+  VMEM, int8 weights streamed, zero-point + dequant epilogue in-register
+- ``pallas_int8_matmul``: tiled i8×i8→i32 building block (tuned tiles)
 """
 
 from __future__ import annotations

@@ -370,17 +370,19 @@ class SenseVoiceModel:
             pieces.append(np.asarray(piece, np.float32))
             starts.append(start)
             start += hop
-        per_window = self._batched_window_logits(pieces, win)
+        per_window = self._batched_window_ids(pieces, win)
         ids: list[int] = []
-        for (logits, valid), s0 in zip(per_window, starts):
+        for (frame_ids, valid), s0 in zip(per_window, starts):
             lo = margin_frames if s0 > 0 else 0
             hi = valid - (margin_frames if s0 + win < len(pcm) else 0)
-            ids.extend(greedy_ctc_decode(logits[lo:hi], blank_id))
+            ids.extend(_collapse_ids(frame_ids[lo:hi], blank_id))
         return ids
 
-    def _batched_window_logits(self, pieces, win: int):
-        """Equal-length padded windows through one batched program."""
+    def _batched_window_ids(self, pieces, win: int):
+        """Equal-length padded windows through one batched program; per-frame
+        argmax computed on device (tiny readback)."""
         import jax
+        import jax.numpy as jnp
 
         from ..features.fbank import fbank_features
 
@@ -405,16 +407,15 @@ class SenseVoiceModel:
                         p_, fb.config, fb.window, fb.mel_t, n_valid=n_
                     )
                 )(pcm_b, n_valid_b)
-                return sensevoice_encode(params, feats, masks, cfg), masks
+                logits = sensevoice_encode(params, feats, masks, cfg)
+                ids = jnp.argmax(logits[:, cfg.n_prefix :], axis=-1)
+                return ids.astype(jnp.int32), masks
 
             self._fn_cache[key] = jax.jit(fn)
-        logits, masks = self._fn_cache[key](self.params, batch, lens)
-        logits = np.asarray(logits)
+        ids, masks = self._fn_cache[key](self.params, batch, lens)
+        ids = np.asarray(ids)
         masks = np.asarray(masks)
-        return [
-            (logits[i, self.cfg.n_prefix :], int(masks[i].sum()))
-            for i in range(B)
-        ]
+        return [(ids[i], int(masks[i].sum())) for i in range(B)]
 
     def _bucketed_logits(self, pcm: np.ndarray):
         import jax
@@ -434,9 +435,37 @@ class SenseVoiceModel:
         return np.asarray(logits[0, self.cfg.n_prefix :]), valid
 
     def transcribe_ids(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
-        """Bucketed waveform → token ids (compile count bounded by buckets)."""
-        logits, valid = self._bucketed_logits(pcm)
-        return greedy_ctc_decode(logits[:valid], blank_id)
+        """Bucketed waveform → token ids (compile count bounded by buckets).
+
+        The per-frame argmax happens ON DEVICE: the readback is [T] i32
+        instead of [T, vocab] logits — on a remote TPU that's the difference
+        between kilobytes and tens of megabytes per utterance."""
+        frame_ids, valid = self._bucketed_argmax(pcm)
+        return _collapse_ids(frame_ids[:valid], blank_id)
+
+    def _bucketed_argmax(self, pcm: np.ndarray):
+        import jax
+        import jax.numpy as jnp
+
+        from ..runtime.bucketing import pad_pcm
+
+        if self.params is None:
+            self.init()
+        padded, true_len = pad_pcm(np.asarray(pcm, np.float32))
+        key = ("bucketed_argmax", len(padded))
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if key not in self._fn_cache:
+            inner = self.forward_bucketed_fn()
+
+            def fn(params, p, n):
+                logits, fmask = inner(params, p, n)
+                ids = jnp.argmax(logits[0, self.cfg.n_prefix :], axis=-1)
+                return ids.astype(jnp.int32), fmask
+
+            self._fn_cache[key] = jax.jit(fn)
+        ids, fmask = self._fn_cache[key](self.params, padded, true_len)
+        return np.asarray(ids), int(np.asarray(fmask).sum())
 
     def transcribe_batch(
         self, pcms: list[np.ndarray], blank_id: int = 0
@@ -477,18 +506,17 @@ class SenseVoiceModel:
                     )
                 )(pcm_b, n_valid_b)
                 logits = sensevoice_encode(params, feats, masks, cfg)
-                return logits, masks
+                ids = jnp.argmax(logits[:, cfg.n_prefix :], axis=-1)
+                return ids.astype(jnp.int32), masks
 
             self._fn_cache[key] = jax.jit(fn)
-        logits, masks = self._fn_cache[key](self.params, batch, lens)
-        logits = np.asarray(logits)
+        ids_b, masks = self._fn_cache[key](self.params, batch, lens)
+        ids_b = np.asarray(ids_b)
         masks = np.asarray(masks)
         out = []
         for i in range(len(pcms)):
             valid = int(masks[i].sum())
-            out.append(
-                greedy_ctc_decode(logits[i, self.cfg.n_prefix :][:valid], blank_id)
-            )
+            out.append(_collapse_ids(ids_b[i, :valid], blank_id))
         return out
 
     def encode_fn(self):
@@ -500,15 +528,19 @@ class SenseVoiceModel:
         return fn
 
 
-def greedy_ctc_decode(logits: np.ndarray, blank_id: int = 0) -> list[int]:
-    """Greedy CTC: argmax per frame, collapse repeats, drop blanks
-    (tokenizer semantics of examples/sensevoice/src/tokenizer.rs:38-86)."""
-    ids = np.asarray(logits).argmax(-1)
+def _collapse_ids(frame_ids, blank_id: int = 0) -> list[int]:
+    """CTC collapse: drop repeats then blanks (tokenizer.rs:38-86)."""
     out = []
     prev = -1
-    for t in ids:
+    for t in np.asarray(frame_ids).reshape(-1):
         t = int(t)
         if t != prev and t != blank_id:
             out.append(t)
         prev = t
     return out
+
+
+def greedy_ctc_decode(logits: np.ndarray, blank_id: int = 0) -> list[int]:
+    """Greedy CTC: argmax per frame, collapse repeats, drop blanks
+    (tokenizer semantics of examples/sensevoice/src/tokenizer.rs:38-86)."""
+    return _collapse_ids(np.asarray(logits).argmax(-1), blank_id)
