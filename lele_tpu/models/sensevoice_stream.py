@@ -139,6 +139,7 @@ class StreamingSenseVoice:
     params: Params | None = None
     fbank: FbankFrontend | None = None
     _step: object = None
+    _decode_step: object = None
 
     def __post_init__(self):
         if self.fbank is None:
@@ -154,6 +155,20 @@ class StreamingSenseVoice:
             self._step = jax.jit(fn, donate_argnums=(3,))
         return self._step
 
+    def decode_step_fn(self):
+        """Like step_fn but returns per-frame argmax ids (computed on device;
+        KB-scale readback instead of the [C, vocab] logits)."""
+        if getattr(self, "_decode_step", None) is None:
+            cfg = self.cfg
+
+            def fn(params, feats, mask, state):
+                logits, new_state = stream_step(params, feats, mask, state, cfg)
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return ids, new_state
+
+            self._decode_step = jax.jit(fn, donate_argnums=(3,))
+        return self._decode_step
+
     def transcribe_stream(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
         """Feed audio chunk by chunk; returns the concatenated greedy ids."""
         from .sensevoice import greedy_ctc_decode
@@ -161,7 +176,7 @@ class StreamingSenseVoice:
         feats = np.asarray(self.fbank(np.asarray(pcm, np.float32)))
         C = self.stream.chunk_frames
         state = init_stream_state(self.cfg, self.stream)
-        step = self.step_fn()
+        step = self.decode_step_fn()
         ids: list[int] = []
         prev_last = -1
         for start in range(0, feats.shape[0], C):
@@ -171,9 +186,9 @@ class StreamingSenseVoice:
                 pad = C - chunk.shape[0]
                 mask[0, chunk.shape[0] :] = 0.0
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            logits, state = step(self.params, chunk[None], mask, state)
+            ids_dev, state = step(self.params, chunk[None], mask, state)
             valid = int(mask.sum())
-            frame_ids = np.asarray(logits[0, :valid]).argmax(-1)
+            frame_ids = np.asarray(ids_dev[0, :valid])
             for t in frame_ids:
                 t = int(t)
                 if t != prev_last and t != blank_id:
