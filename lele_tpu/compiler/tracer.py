@@ -196,14 +196,15 @@ class GraphTracer:
         return outs if n_out > 1 else outs[0]
 
     def _emit_loop(self, state: TraceState, node: Proto, env, scope: str, tag: str):
-        """ONNX Loop → lax.while_loop (loop-carried values only).
+        """ONNX Loop → lax.while_loop / lax.scan.
 
-        Supported subset: trip-count M (static or dynamic) and/or dynamic
-        condition, N loop-carried deps with shape-invariant bodies. Scan
-        outputs (concatenated per-iteration outputs) are not supported and
-        fall back to the unknown-op behavior. (The reference has NO Loop
-        emitter at all — compiler/mod.rs:111-123 visits the body only for
-        allocation; SURVEY §2.1 "control flow".)
+        Carried-only loops lower to lax.while_loop (trip-count M static or
+        dynamic, dynamic condition, shape-invariant bodies). Loops WITH scan
+        outputs lower to lax.scan over a static trip bound; data-dependent
+        exits use the padded-scan design (see _emit_loop_scan) and only a
+        missing/dynamic M falls back to the unknown-op behavior. (The
+        reference has NO Loop emitter at all — compiler/mod.rs:111-123
+        visits the body only for allocation; SURVEY §2.1 "control flow".)
         """
         import jax
         import jax.numpy as jnp
@@ -219,14 +220,14 @@ class GraphTracer:
                 return out
             if self.strict:
                 raise NotImplementedError(
-                    "Loop scan-outputs need a static trip count and no "
-                    "early exit (pure for-loop)"
+                    "Loop scan-outputs need a static trip-count bound M "
+                    "(dynamic exits are fine: outputs are zero-padded to M)"
                 )
             if "Loop-scan" not in state.warned:
-                state.warned.add(node.op_type + "-scan")
+                state.warned.add("Loop-scan")
                 print(
-                    "Warning: Loop scan outputs with dynamic exit "
-                    "unsupported; emitting empty",
+                    "Warning: Loop scan outputs without a static trip-count "
+                    "bound unsupported; emitting empty",
                     file=sys.stderr,
                 )
             outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
@@ -375,8 +376,16 @@ class GraphTracer:
 
     def _emit_loop_scan(self, state, node, body, env, scope, tag, n_carried,
                         n_scan):
-        """Pure for-loop with scan outputs → lax.scan. Returns None when the
-        subset doesn't apply (caller falls back)."""
+        """Loop with scan outputs → lax.scan over a static trip bound M.
+
+        Pure for-loops (cond provably always-true) scan exactly M steps.
+        Loops with a data-dependent exit run the padded-scan design: all M
+        iterations execute under an `active` carry flag — once the body's
+        cond output goes false, carried values freeze and scan-output rows
+        write zeros, so outputs are zero-padded to the static bound M (the
+        XLA-native stand-in for ONNX's dynamic [n_iter, ...] shape).
+        Returns None when M is absent/dynamic (no static bound exists).
+        """
         import jax
         import jax.numpy as jnp
 
@@ -386,12 +395,14 @@ class GraphTracer:
         cond_in = (
             env[node.input[1]] if len(node.input) > 1 and node.input[1] else None
         )
-        if cond_in is not None and not (
-            _is_static(cond_in) and bool(np.asarray(cond_in).reshape(-1)[0])
+        if cond_in is not None and _is_static(cond_in) and not bool(
+            np.asarray(cond_in).reshape(-1)[0]
         ):
-            return None
-        if not self._body_is_pure_for(body):
-            return None
+            cond_in = False  # statically never runs
+        pure_for = self._body_is_pure_for(body) and (
+            cond_in is None
+            or (not isinstance(cond_in, bool) and _is_static(cond_in))
+        )
         M = int(np.asarray(m_in))
         body_in_names = [vi.name for vi in body.input]
         loop_scope = scope + (node.name or f"Loop_{tag}") + "/"
@@ -401,7 +412,7 @@ class GraphTracer:
             for n, v in zip(node.input[2:], v_init)
         )
 
-        def scan_body(vs, i):
+        def run_body(vs, i):
             benv = ChainMap({}, env)
             benv[body_in_names[0]] = i.astype(jnp.int32)
             benv[body_in_names[1]] = jnp.reshape(jnp.asarray(True), ())
@@ -412,12 +423,42 @@ class GraphTracer:
                 jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
                 for o in outs
             ]
-            new_vs = tuple(conv[1 : 1 + n_carried])
-            scans = tuple(conv[1 + n_carried :])
-            return new_vs, scans
+            new_cond = jnp.reshape(conv[0].astype(bool), ())
+            return new_cond, tuple(conv[1 : 1 + n_carried]), tuple(
+                conv[1 + n_carried :]
+            )
 
-        vs_final, scan_stacked = jax.lax.scan(
-            scan_body, vs0, jnp.arange(M, dtype=jnp.int32)
+        if pure_for:
+            def scan_body(vs, i):
+                _, new_vs, scans = run_body(vs, i)
+                return new_vs, scans
+
+            vs_final, scan_stacked = jax.lax.scan(
+                scan_body, vs0, jnp.arange(M, dtype=jnp.int32)
+            )
+            outs = tuple(vs_final) + tuple(scan_stacked)
+            return outs if len(outs) > 1 else outs[0]
+
+        if cond_in is False:
+            active0 = jnp.asarray(False)
+        elif cond_in is None or _is_static(cond_in):
+            active0 = jnp.asarray(True)
+        else:
+            active0 = jnp.reshape(jnp.asarray(cond_in).astype(bool), ())
+
+        def scan_body(carry, i):
+            active, vs = carry
+            new_cond, new_vs, scans = run_body(vs, i)
+            kept = tuple(
+                jnp.where(active, nv.astype(v.dtype), v)
+                for nv, v in zip(new_vs, vs)
+            )
+            scans = tuple(jnp.where(active, s, jnp.zeros_like(s)) for s in scans)
+            return (jnp.logical_and(active, new_cond), kept), scans
+
+        vs0 = tuple(jnp.asarray(v) for v in vs0)
+        (_, vs_final), scan_stacked = jax.lax.scan(
+            scan_body, (active0, vs0), jnp.arange(M, dtype=jnp.int32)
         )
         outs = tuple(vs_final) + tuple(scan_stacked)
         return outs if len(outs) > 1 else outs[0]

@@ -428,8 +428,6 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
     import jax
     import jax.numpy as jnp
 
-    if p is not None:
-        raise NotImplementedError("LSTM peepholes unsupported")
     x, layout = _rnn_prep(ctx, x, 0)
     direction = ctx.attr("direction", "forward")
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
@@ -441,6 +439,11 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
         bias = None
         if b is not None:
             bias = b[d, : 4 * hidden] + b[d, 4 * hidden :]
+        # peepholes (spec order Pi, Po, Pf): i/f gates see C_{t-1}, o sees C_t
+        pi = po = pf = None
+        if p is not None:
+            pd = jnp.asarray(p[d]).astype(x.dtype)
+            pi, po, pf = pd[:hidden], pd[hidden : 2 * hidden], pd[2 * hidden :]
         h0 = jnp.zeros((B, hidden), x.dtype) if init_h is None else init_h[d]
         c0 = jnp.zeros((B, hidden), x.dtype) if init_c is None else init_c[d]
         xs = jnp.flip(x, 0) if rev else x
@@ -449,7 +452,7 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
         if bias is not None:
             xproj = xproj + bias.astype(x.dtype)
 
-        if _use_pallas_rnn(S, B, hidden):
+        if p is None and _use_pallas_rnn(S, B, hidden):
             # ONNX gate order i,o,f,c → kernel order i,f,g,o
             from ..kernels.lstm import lstm_seq_pallas
 
@@ -462,11 +465,17 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
             def step(carry, xp_t):
                 h_prev, c_prev = carry
                 g = xp_t + jnp.matmul(h_prev, rd.T.astype(x.dtype), precision=_prec())
-                i = jax.nn.sigmoid(g[:, :hidden])
-                o = jax.nn.sigmoid(g[:, hidden : 2 * hidden])
-                f = jax.nn.sigmoid(g[:, 2 * hidden : 3 * hidden])
+                gi, go, gf = g[:, :hidden], g[:, hidden : 2 * hidden], g[:, 2 * hidden : 3 * hidden]
+                if pi is not None:
+                    gi = gi + pi * c_prev
+                    gf = gf + pf * c_prev
+                i = jax.nn.sigmoid(gi)
+                f = jax.nn.sigmoid(gf)
                 ct = jnp.tanh(g[:, 3 * hidden :])
                 c_new = f * c_prev + i * ct
+                if po is not None:
+                    go = go + po * c_new
+                o = jax.nn.sigmoid(go)
                 h_new = o * jnp.tanh(c_new)
                 return (h_new, c_new), h_new
 

@@ -136,13 +136,21 @@ def gather_elements(ctx: OpContext, x, indices):
 def gather_nd(ctx: OpContext, x, indices):
     import jax.numpy as jnp
 
-    batch_dims = ctx.attr("batch_dims", 0)
-    if batch_dims != 0:
-        raise NotImplementedError("GatherND batch_dims != 0")
+    b = int(ctx.attr("batch_dims", 0))
+    x = jnp.asarray(x)
     idx = jnp.asarray(indices)
     k = idx.shape[-1]
-    flat_idx = tuple(idx[..., i] for i in range(k))
-    return jnp.asarray(x)[flat_idx]
+    dims = jnp.asarray(np.array(x.shape[b : b + k], np.int64), idx.dtype)
+    idx = jnp.where(idx < 0, idx + dims, idx)
+    if b == 0:
+        return x[tuple(idx[..., i] for i in range(k))]
+    # collapse the shared batch dims to one axis and index it explicitly
+    xb = x.reshape((-1,) + x.shape[b:])
+    ib = idx.reshape((-1,) + idx.shape[b:])
+    bidx = jnp.arange(xb.shape[0]).reshape((-1,) + (1,) * (ib.ndim - 2))
+    bidx = jnp.broadcast_to(bidx, ib.shape[:-1])
+    out = xb[(bidx,) + tuple(ib[..., i] for i in range(k))]
+    return out.reshape(idx.shape[:b] + out.shape[1:])
 
 
 @op("Shape")

@@ -87,22 +87,65 @@ def test_loop_dynamic_trip_count():
     assert_close(y, x * 4)
 
 
-def test_loop_scan_outputs_fall_back_with_warning():
-    # data-dependent exit + scan outputs: outside the supported subset
-    body = ob.graph(
-        [ob.node("Identity", ["v_in"], ["v_out"]),
-         ob.node("ReduceSum", ["v_in"], ["s"], keepdims=0),
+def _dyn_exit_scan_body():
+    """Body: v doubles each step, scan-out the new v, continue while
+    sum(v_out) < lim."""
+    return ob.graph(
+        [ob.node("Add", ["v_in", "v_in"], ["v_out"]),
+         ob.node("ReduceSum", ["v_out"], ["s"], keepdims=0),
          ob.node("Less", ["s", "lim"], ["cond_out"]),
-         ob.node("Identity", ["v_in"], ["scan0"])],
+         ob.node("Identity", ["v_out"], ["scan0"])],
         name="body",
         inputs=[ob.value_info("iter", 7, []), ob.value_info("cond_in", 9, []),
                 ob.value_info("v_in", 1, [2])],
         outputs=[ob.value_info("cond_out", 9, []), ob.value_info("v_out", 1, [2]),
                  ob.value_info("scan0", 1, [2])],
     )
-    nodes = [ob.node("Loop", ["M", "", "x"], ["y", "ys"], body=body)]
+
+
+def test_loop_scan_outputs_dynamic_exit_padded():
+    """Data-dependent exit + scan outputs: padded-scan design — runs to the
+    static bound M with an active mask; carried values freeze at exit and
+    scan rows past exit are zero."""
+    nodes = [ob.node("Loop", ["M", "", "x"], ["y", "ys"], body=_dyn_exit_scan_body())]
     x = np.ones(2, np.float32)
-    inits = {"M": np.array(2, np.int64), "lim": np.float32(100.0)}
+    # doubling: sums 4, 8, 16, 32 → cond false after iter 3 (sum 32 ≥ 30)
+    inits = {"M": np.array(6, np.int64), "lim": np.float32(30.0)}
+    y, ys = run_graph(nodes, {"x": x}, ["y", "ys"], initializers=inits)
+    assert_close(y, x * 16)
+    assert ys.shape == (6, 2)
+    want = np.stack([x * 2, x * 4, x * 8, x * 16, x * 0, x * 0])
+    assert_close(ys, want)
+
+
+def test_loop_scan_outputs_dynamic_initial_cond():
+    """Graph-input initial cond (dynamic at trace time) gates iteration 0."""
+    nodes = [ob.node("Loop", ["M", "c0", "x"], ["y", "ys"],
+                     body=_dyn_exit_scan_body())]
+    x = np.ones(2, np.float32)
+    inits = {"M": np.array(3, np.int64), "lim": np.float32(1e9)}
+    gin = [ob.value_info("x", 1, [2]), ob.value_info("c0", 9, [])]
+    bs = ob.build_model_bytes(
+        nodes, gin, [ob.value_info("y", 1, [2]), ob.value_info("ys", 1, [3, 2])],
+        [ob.tensor_from_array(v, k) for k, v in inits.items()])
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    y, ys = cm.run_np(x, np.array(True))
+    assert_close(y, x * 8)
+    assert_close(ys, np.stack([x * 2, x * 4, x * 8]))
+    y, ys = cm.run_np(x, np.array(False))
+    assert_close(y, x)  # never ran: carried value stays the init
+    assert_close(ys, np.zeros((3, 2), np.float32))
+
+
+def test_loop_scan_outputs_no_trip_bound_falls_back():
+    # no M input → no static bound for the padded scan: warned fallback
+    nodes = [ob.node("Loop", ["", "c0", "x"], ["y", "ys"],
+                     body=_dyn_exit_scan_body())]
+    x = np.ones(2, np.float32)
+    inits = {"c0": np.array(True), "lim": np.float32(100.0)}
     outs = run_graph(nodes, {"x": x}, ["y", "ys"], initializers=inits,
                      strict=False)
     assert outs[0].size == 0  # fallback empties, with a warning

@@ -421,6 +421,44 @@ def test_lstm_with_initial_state_and_reverse():
     assert_close(yh[0], h, tol=1e-4)
 
 
+def test_lstm_peepholes():
+    """ONNX LSTM with peephole weights P=[Pi,Po,Pf]: i/f gates see C_{t-1},
+    o sees the fresh C_t (spec equations; the reference's rnn.rs has no
+    peephole path either — this exceeds it)."""
+    S, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = rng.standard_normal((1, 4 * H, I)).astype(np.float32) * 0.3
+    r = rng.standard_normal((1, 4 * H, H)).astype(np.float32) * 0.3
+    b = rng.standard_normal((1, 8 * H)).astype(np.float32) * 0.1
+    p = rng.standard_normal((1, 3 * H)).astype(np.float32) * 0.5
+    y, yh, yc = run_op(
+        "LSTM", {"x": x}, n_outputs=3,
+        initializers={"w": w, "r": r, "b": b, "sl": np.array([S] * B, np.int32),
+                      "h0": np.zeros((1, B, H), np.float32),
+                      "c0": np.zeros((1, B, H), np.float32), "p": p},
+        hidden_size=H,
+    )
+    # float64 oracle with peepholes
+    xx, ww, rr_, bb, pp = (a.astype(np.float64) for a in (x, w[0], r[0], b[0], p[0]))
+    pi, po, pf = pp[:H], pp[H:2 * H], pp[2 * H:]
+    wb = bb[:4 * H] + bb[4 * H:]
+    h = np.zeros((B, H)); c = np.zeros((B, H))
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    ys = []
+    for t in range(S):
+        g = xx[t] @ ww.T + h @ rr_.T + wb
+        i = sig(g[:, :H] + pi * c)
+        f = sig(g[:, 2 * H:3 * H] + pf * c)
+        ct = np.tanh(g[:, 3 * H:])
+        c = f * c + i * ct
+        o = sig(g[:, H:2 * H] + po * c)
+        h = o * np.tanh(c)
+        ys.append(h.copy())
+    assert_close(y[:, 0], np.stack(ys), tol=1e-4)
+    assert_close(yh[0], h, tol=1e-4)
+    assert_close(yc[0], c, tol=1e-4)
+
+
 def gru_oracle(x, w, r, b, h0, lbr):
     S, B, I = x.shape
     H = r.shape[1]

@@ -148,6 +148,38 @@ def test_gather_elements():
     assert_close(y, np.take_along_axis(x, idx, axis=1))
 
 
+def test_gather_nd_basic_and_negative():
+    x = rng.standard_normal((4, 5, 6)).astype(np.float32)
+    # k=2 indices into the first two dims → rows of length 6
+    idx = np.array([[0, 1], [3, -1], [-4, 2]], np.int64)
+    (y,) = run_op("GatherND", {"x": x, "i": idx})
+    assert_close(y, np.stack([x[0, 1], x[3, 4], x[0, 2]]))
+    # k=3 full-depth indexing → scalars
+    idx3 = np.array([[1, 2, 3], [0, 0, 0]], np.int64)
+    (y,) = run_op("GatherND", {"x": x, "i": idx3})
+    assert_close(y, np.array([x[1, 2, 3], x[0, 0, 0]]))
+
+
+def test_gather_nd_batch_dims():
+    # onnx spec example shapes: data [2,3,4], indices [2,2,1], batch_dims=1
+    x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+    idx = np.array([[[1], [0]], [[2], [-3]]], np.int64)
+    (y,) = run_op("GatherND", {"x": x, "i": idx}, batch_dims=1)
+    want = np.stack([
+        np.stack([x[0, 1], x[0, 0]]),
+        np.stack([x[1, 2], x[1, 0]]),
+    ])
+    assert y.shape == (2, 2, 4)
+    assert_close(y, want)
+    # two batch dims, k=1 over the last axis → scalars per batch cell
+    x2 = rng.standard_normal((2, 3, 5)).astype(np.float32)
+    idx2 = rng.integers(0, 5, size=(2, 3, 1)).astype(np.int64)
+    (y2,) = run_op("GatherND", {"x": x2, "i": idx2}, batch_dims=2)
+    want2 = np.take_along_axis(x2, idx2, axis=2)[..., 0]
+    assert y2.shape == (2, 3)
+    assert_close(y2, want2)
+
+
 def test_topk_largest_smallest():
     x = rng.standard_normal((3, 8)).astype(np.float32)
     vals, idx = run_op(
