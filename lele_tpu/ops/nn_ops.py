@@ -418,12 +418,49 @@ def _directions(direction: str):
     return [direction == "reverse"]
 
 
-@op("LSTM", foldable=False)
+def _ragged_lens(seq_lens, S):
+    """sequence_lens for ragged batches: None when absent or statically
+    full-length (the fast paths apply); else int32 lengths [B]."""
+    if seq_lens is None:
+        return None
+    if isinstance(seq_lens, (np.ndarray, np.generic, list, tuple)):
+        arr = np.asarray(seq_lens)
+        if arr.size and np.all(arr == S):
+            return None
+        return arr.astype(np.int32)
+    return seq_lens
+
+
+def _seq_reverse(x, lens):
+    """Per-batch time reversal of x[S,B,...] within each valid region
+    [0, lens[b]); rows past the length keep their position."""
+    import jax.numpy as jnp
+
+    S = x.shape[0]
+    t = jnp.arange(S, dtype=jnp.int32)[:, None]
+    L = jnp.asarray(lens).astype(jnp.int32)[None, :]
+    src = jnp.where(t < L, L - 1 - t, t)
+    idx = src.reshape(src.shape + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, idx, axis=0)
+
+
+def _seq_mask(lens, S):
+    """[S, B, 1] bool validity mask (t < lens[b])."""
+    import jax.numpy as jnp
+
+    t = jnp.arange(S, dtype=jnp.int32)[:, None]
+    L = jnp.asarray(lens).astype(jnp.int32)[None, :]
+    return (t < L)[..., None]
+
+
+@op("LSTM", foldable=False, static_args=(4,))
 def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=None, p=None):
     """ONNX LSTM via lax.scan; gate order i,o,f,c (spec §LSTM).
 
     Reference: kernels/rnn.rs:67. The per-step x@W^T for the whole sequence
-    is hoisted out of the scan as one big MXU matmul.
+    is hoisted out of the scan as one big MXU matmul. Ragged batches
+    (sequence_lens) mask the recurrence: Y rows past a sequence's length
+    are zero and Y_h/Y_c hold the last valid step's states (ORT semantics).
     """
     import jax
     import jax.numpy as jnp
@@ -433,6 +470,8 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
     S, B = np.shape(x)[0], np.shape(x)[1]
     num_dir = np.shape(w)[0]
+    lens = _ragged_lens(seq_lens, S)
+    msk = _seq_mask(lens, S) if lens is not None else None
     outs, h_outs, c_outs = [], [], []
     for d, rev in enumerate(_directions(direction)):
         wd, rd = w[d], r[d]  # [4H, I], [4H, H]
@@ -446,13 +485,16 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
             pi, po, pf = pd[:hidden], pd[hidden : 2 * hidden], pd[2 * hidden :]
         h0 = jnp.zeros((B, hidden), x.dtype) if init_h is None else init_h[d]
         c0 = jnp.zeros((B, hidden), x.dtype) if init_c is None else init_c[d]
-        xs = jnp.flip(x, 0) if rev else x
+        if lens is not None:
+            xs = _seq_reverse(x, lens) if rev else x
+        else:
+            xs = jnp.flip(x, 0) if rev else x
         # hoist input projection: [S, B, 4H]
         xproj = jnp.einsum("sbi,gi->sbg", xs, wd.astype(x.dtype), precision=_prec())
         if bias is not None:
             xproj = xproj + bias.astype(x.dtype)
 
-        if p is None and _use_pallas_rnn(S, B, hidden):
+        if p is None and lens is None and _use_pallas_rnn(S, B, hidden):
             # ONNX gate order i,o,f,c → kernel order i,f,g,o
             from ..kernels.lstm import lstm_seq_pallas
 
@@ -462,7 +504,8 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
             rh_k = jnp.concatenate([ri, rf, rc, ro], axis=0).T  # [H, 4H]
             hs, h_f, c_f = lstm_seq_pallas(xproj_k, rh_k, h0, c0)
         else:
-            def step(carry, xp_t):
+            def step(carry, inp):
+                xp_t, m_t = inp if msk is not None else (inp, None)
                 h_prev, c_prev = carry
                 g = xp_t + jnp.matmul(h_prev, rd.T.astype(x.dtype), precision=_prec())
                 gi, go, gf = g[:, :hidden], g[:, hidden : 2 * hidden], g[:, 2 * hidden : 3 * hidden]
@@ -477,11 +520,17 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
                     go = go + po * c_new
                 o = jax.nn.sigmoid(go)
                 h_new = o * jnp.tanh(c_new)
-                return (h_new, c_new), h_new
+                if m_t is None:
+                    return (h_new, c_new), h_new
+                return (
+                    (jnp.where(m_t, h_new, h_prev), jnp.where(m_t, c_new, c_prev)),
+                    jnp.where(m_t, h_new, jnp.zeros_like(h_new)),
+                )
 
-            (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), xproj)
+            scan_xs = xproj if msk is None else (xproj, msk)
+            (h_f, c_f), hs = jax.lax.scan(step, (h0, c0), scan_xs)
         if rev:
-            hs = jnp.flip(hs, 0)
+            hs = _seq_reverse(hs, lens) if lens is not None else jnp.flip(hs, 0)
         outs.append(hs)
         h_outs.append(h_f)
         c_outs.append(c_f)
@@ -496,9 +545,67 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
     return y, y_h, y_c
 
 
-@op("GRU", foldable=False)
+@op("RNN", foldable=False, static_args=(4,))
+def rnn_op(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
+    """ONNX vanilla (Elman) RNN via lax.scan — beyond the reference, which
+    implements only LSTM/GRU (kernels/rnn.rs). Supports forward/reverse/
+    bidirectional, per-direction activations, and sequence_lens masking."""
+    import jax
+    import jax.numpy as jnp
+
+    x, layout = _rnn_prep(ctx, x, 0)
+    direction = ctx.attr("direction", "forward")
+    hidden = ctx.attr("hidden_size", np.shape(r)[-1])
+    acts = ctx.attr("activations", None) or ["Tanh"] * 2
+    act_fns = {"Tanh": jnp.tanh, "Relu": jax.nn.relu, "Sigmoid": jax.nn.sigmoid}
+    S, B = np.shape(x)[0], np.shape(x)[1]
+    lens = _ragged_lens(seq_lens, S)
+    msk = _seq_mask(lens, S) if lens is not None else None
+    outs, h_outs = [], []
+    for d, rev in enumerate(_directions(direction)):
+        a_name = acts[d] if d < len(acts) else acts[0]
+        if isinstance(a_name, bytes):
+            a_name = a_name.decode()
+        act = act_fns[a_name]
+        wd, rd = w[d].astype(x.dtype), r[d].astype(x.dtype)  # [H, I], [H, H]
+        bias = None
+        if b is not None:
+            bias = (b[d, :hidden] + b[d, hidden:]).astype(x.dtype)
+        h0 = jnp.zeros((B, hidden), x.dtype) if init_h is None else init_h[d]
+        if lens is not None:
+            xs = _seq_reverse(x, lens) if rev else x
+        else:
+            xs = jnp.flip(x, 0) if rev else x
+        xproj = jnp.einsum("sbi,gi->sbg", xs, wd, precision=_prec())
+        if bias is not None:
+            xproj = xproj + bias
+
+        def step(h_prev, inp):
+            xp_t, m_t = inp if msk is not None else (inp, None)
+            h_new = act(xp_t + jnp.matmul(h_prev, rd.T, precision=_prec()))
+            if m_t is None:
+                return h_new, h_new
+            kept = jnp.where(m_t, h_new, h_prev)
+            return kept, jnp.where(m_t, h_new, jnp.zeros_like(h_new))
+
+        scan_xs = xproj if msk is None else (xproj, msk)
+        h_f, hs = jax.lax.scan(step, h0, scan_xs)
+        if rev:
+            hs = _seq_reverse(hs, lens) if lens is not None else jnp.flip(hs, 0)
+        outs.append(hs)
+        h_outs.append(h_f)
+    y = jnp.stack(outs, axis=1)
+    y_h = jnp.stack(h_outs, axis=0)
+    if layout == 1:
+        y = jnp.transpose(y, (2, 0, 1, 3))
+        y_h = jnp.swapaxes(y_h, 0, 1)
+    return y, y_h
+
+
+@op("GRU", foldable=False, static_args=(4,))
 def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
-    """ONNX GRU via lax.scan; gates z,r,h; supports linear_before_reset.
+    """ONNX GRU via lax.scan; gates z,r,h; supports linear_before_reset and
+    ragged batches via sequence_lens masking (ORT semantics).
 
     Reference: kernels/rnn.rs:246 (+ linear_before_reset regression test
     tests/regression_kernels.rs:687).
@@ -511,6 +618,8 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
     lbr = bool(ctx.attr("linear_before_reset", 0))
     S, B = np.shape(x)[0], np.shape(x)[1]
+    lens = _ragged_lens(seq_lens, S)
+    msk = _seq_mask(lens, S) if lens is not None else None
     outs, h_outs = [], []
     for d, rev in enumerate(_directions(direction)):
         wd, rd = w[d].astype(x.dtype), r[d].astype(x.dtype)  # [3H, I], [3H, H]
@@ -519,12 +628,15 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
             wb = b[d, : 3 * hidden].astype(x.dtype)
             rb = b[d, 3 * hidden :].astype(x.dtype)
         h0 = jnp.zeros((B, hidden), x.dtype) if init_h is None else init_h[d]
-        xs = jnp.flip(x, 0) if rev else x
+        if lens is not None:
+            xs = _seq_reverse(x, lens) if rev else x
+        else:
+            xs = jnp.flip(x, 0) if rev else x
         xproj = jnp.einsum("sbi,gi->sbg", xs, wd, precision=_prec())
         if wb is not None:
             xproj = xproj + wb
 
-        if _use_pallas_rnn(S, B, hidden):
+        if lens is None and _use_pallas_rnn(S, B, hidden):
             from ..kernels.gru import gru_seq_pallas
 
             rb_full = (
@@ -542,7 +654,8 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
         rbz = rb[: 2 * hidden] if rb is not None else None
         rbh = rb[2 * hidden :] if rb is not None else None
 
-        def step(h_prev, xp_t):
+        def step(h_prev, inp):
+            xp_t, m_t = inp if msk is not None else (inp, None)
             gzr = xp_t[:, : 2 * hidden] + jnp.matmul(h_prev, rz.T, precision=_prec())
             if rbz is not None:
                 gzr = gzr + rbz
@@ -561,11 +674,15 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
                     g_h = g_h + rbh
             ht = jnp.tanh(g_h)
             h_new = (1 - z) * ht + z * h_prev
-            return h_new, h_new
+            if m_t is None:
+                return h_new, h_new
+            kept = jnp.where(m_t, h_new, h_prev)
+            return kept, jnp.where(m_t, h_new, jnp.zeros_like(h_new))
 
-        h_f, hs = jax.lax.scan(step, h0, xproj)
+        scan_xs = xproj if msk is None else (xproj, msk)
+        h_f, hs = jax.lax.scan(step, h0, scan_xs)
         if rev:
-            hs = jnp.flip(hs, 0)
+            hs = _seq_reverse(hs, lens) if lens is not None else jnp.flip(hs, 0)
         outs.append(hs)
         h_outs.append(h_f)
     y = jnp.stack(outs, axis=1)

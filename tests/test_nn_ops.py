@@ -459,6 +459,98 @@ def test_lstm_peepholes():
     assert_close(yc[0], c, tol=1e-4)
 
 
+def test_lstm_ragged_sequence_lens():
+    """sequence_lens masking (ORT semantics): Y rows past each length are
+    zero; Y_h/Y_c hold the last valid step's states. Checked per-batch
+    against the full-length oracle truncated to that batch's length."""
+    S, B, I, H = 6, 3, 4, 5
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = rng.standard_normal((1, 4 * H, I)).astype(np.float32) * 0.3
+    r = rng.standard_normal((1, 4 * H, H)).astype(np.float32) * 0.3
+    b = rng.standard_normal((1, 8 * H)).astype(np.float32) * 0.1
+    lens = np.array([6, 3, 1], np.int32)
+    y, yh, yc = run_op(
+        "LSTM", {"x": x}, n_outputs=3,
+        initializers={"w": w, "r": r, "b": b, "sl": lens},
+        hidden_size=H,
+    )
+    for bi, L in enumerate(lens):
+        ys, h, c = lstm_oracle(
+            x[:L, bi : bi + 1].astype(np.float64), w[0].astype(np.float64),
+            r[0].astype(np.float64), b[0].astype(np.float64),
+            np.zeros((1, H)), np.zeros((1, H)),
+        )
+        assert_close(y[:L, 0, bi], ys[:, 0], tol=1e-4)
+        assert_close(y[L:, 0, bi], np.zeros((S - L, H)))
+        assert_close(yh[0, bi], h[0], tol=1e-4)
+        assert_close(yc[0, bi], c[0], tol=1e-4)
+
+
+def test_lstm_ragged_reverse():
+    """Reverse direction with ragged lengths reverses within each valid
+    region (per-batch flip), not the padded window."""
+    S, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = rng.standard_normal((1, 4 * H, I)).astype(np.float32) * 0.3
+    r = rng.standard_normal((1, 4 * H, H)).astype(np.float32) * 0.3
+    b = np.zeros((1, 8 * H), np.float32)
+    lens = np.array([5, 2], np.int32)
+    y, yh, yc = run_op(
+        "LSTM", {"x": x}, n_outputs=3,
+        initializers={"w": w, "r": r, "b": b, "sl": lens},
+        hidden_size=H, direction="reverse",
+    )
+    for bi, L in enumerate(lens):
+        ys, h, c = lstm_oracle(
+            x[:L, bi : bi + 1][::-1].astype(np.float64), w[0].astype(np.float64),
+            r[0].astype(np.float64), b[0].astype(np.float64),
+            np.zeros((1, H)), np.zeros((1, H)),
+        )
+        assert_close(y[:L, 0, bi], ys[::-1, 0], tol=1e-4)
+        assert_close(y[L:, 0, bi], np.zeros((S - L, H)))
+        assert_close(yh[0, bi], h[0], tol=1e-4)
+
+
+def test_rnn_vanilla_bidirectional_ragged():
+    """ONNX vanilla RNN (beyond the reference): tanh forward + relu reverse,
+    bidirectional, with sequence_lens."""
+    S, B, I, H = 4, 2, 3, 4
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = rng.standard_normal((2, H, I)).astype(np.float32) * 0.4
+    r = rng.standard_normal((2, H, H)).astype(np.float32) * 0.4
+    b = rng.standard_normal((2, 2 * H)).astype(np.float32) * 0.1
+    lens = np.array([4, 2], np.int32)
+    y, yh = run_op(
+        "RNN", {"x": x}, n_outputs=2,
+        initializers={"w": w, "r": r, "b": b, "sl": lens},
+        hidden_size=H, direction="bidirectional",
+        activations=["Tanh", "Relu"],
+    )
+    assert y.shape == (S, 2, B, H)
+    relu = lambda v: np.maximum(v, 0)
+    for bi, L in enumerate(lens):
+        xs = x[:L, bi].astype(np.float64)
+        # forward tanh
+        h = np.zeros(H)
+        fw = []
+        for t in range(L):
+            h = np.tanh(xs[t] @ w[0].T.astype(np.float64) + h @ r[0].T + (b[0, :H] + b[0, H:]))
+            fw.append(h.copy())
+        assert_close(y[:L, 0, bi], np.stack(fw), tol=1e-4)
+        assert_close(y[L:, 0, bi], np.zeros((S - L, H)))
+        assert_close(yh[0, bi], fw[-1], tol=1e-4)
+        # reverse relu
+        h = np.zeros(H)
+        bw = []
+        for t in reversed(range(L)):
+            h = relu(xs[t] @ w[1].T.astype(np.float64) + h @ r[1].T + (b[1, :H] + b[1, H:]))
+            bw.append(h.copy())
+        bw = bw[::-1]  # re-ordered to input time order
+        assert_close(y[:L, 1, bi], np.stack(bw), tol=1e-4)
+        assert_close(y[L:, 1, bi], np.zeros((S - L, H)))
+        assert_close(yh[1, bi], bw[0], tol=1e-4)
+
+
 def gru_oracle(x, w, r, b, h0, lbr):
     S, B, I = x.shape
     H = r.shape[1]
@@ -479,6 +571,32 @@ def gru_oracle(x, w, r, b, h0, lbr):
         h = (1 - z) * ht + z * h
         ys.append(h.copy())
     return np.stack(ys), h
+
+
+def test_gru_ragged_sequence_lens_dynamic_input():
+    """GRU ragged masking with sequence_lens as a DYNAMIC graph input
+    (traced, not folded)."""
+    S, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((S, B, I)).astype(np.float32)
+    w = rng.standard_normal((1, 3 * H, I)).astype(np.float32) * 0.3
+    r = rng.standard_normal((1, 3 * H, H)).astype(np.float32) * 0.3
+    b = rng.standard_normal((1, 6 * H)).astype(np.float32) * 0.1
+    lens = np.array([5, 2], np.int32)
+    y, yh = run_op(
+        "GRU", {"x": x, "sl": lens}, n_outputs=2,
+        initializers={"w": w, "r": r, "b": b},
+        input_names=["x", "w", "r", "b", "sl"],
+        hidden_size=H,
+    )
+    for bi, L in enumerate(lens):
+        ys, h = gru_oracle(
+            x[:L, bi : bi + 1].astype(np.float64), w[0].astype(np.float64),
+            r[0].astype(np.float64), b[0].astype(np.float64),
+            np.zeros((1, H)), False,
+        )
+        assert_close(y[:L, 0, bi], ys[:, 0], tol=1e-4)
+        assert_close(y[L:, 0, bi], np.zeros((S - L, H)))
+        assert_close(yh[0, bi], h[0], tol=1e-4)
 
 
 @pytest.mark.parametrize("lbr", [0, 1])
