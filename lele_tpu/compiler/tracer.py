@@ -129,7 +129,11 @@ class GraphTracer:
             outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
             return outs if len(node.output) > 1 else outs[0]
 
-        all_static = all(_is_static(v) for v in ins)
+        from ..ops.extra_ops import TensorSeq
+
+        all_static = all(_is_static(v) for v in ins) and not any(
+            isinstance(v, TensorSeq) for v in ins
+        )
         foldable = opdef.foldable if opdef is not None else False
         state.n_nodes += 1
         if all_static:
@@ -149,6 +153,8 @@ class GraphTracer:
                 for v in ins
             ]
             out = emitter(ctx, *conv_ins)
+            if isinstance(out, TensorSeq):
+                return out  # sequence values stay host-level lists
             return _np_ify(out)
         # dynamic: convert static inputs, hoisting large ones to params;
         # shape-position args (static_args) stay host-static for the emitter

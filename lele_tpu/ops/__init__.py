@@ -7,5 +7,5 @@ activation_ops ↔ ops/activations.rs, quant_ops ↔ kernels/quantization.rs.
 Control flow (If) lives in the tracer, which owns subgraph scoping.
 """
 
-from . import activation_ops, math_ops, nn_ops, quant_ops, tensor_ops  # noqa: F401
+from . import activation_ops, extra_ops, math_ops, nn_ops, quant_ops, tensor_ops  # noqa: F401
 from .registry import OPS, OpContext, make_ctx, op  # noqa: F401

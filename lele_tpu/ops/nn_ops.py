@@ -135,20 +135,20 @@ def conv_transpose(ctx: OpContext, x, w, b=None):
     return out
 
 
-def _pool(ctx: OpContext, x, reducer, init, is_avg=False):
-    import jax
-
-    rank = np.ndim(x) - 2
+def _pool_geometry(ctx: OpContext, xshape):
+    """kernel/strides/dilations/pads shared by the pooling family,
+    including ceil_mode tail-pad extension."""
+    rank = len(xshape) - 2
     kshape = ctx.attr_ints("kernel_shape")
     strides = ctx.attr_ints("strides", [1] * len(kshape))
     dilations = ctx.attr_ints("dilations", [1] * len(kshape))
     ceil_mode = bool(ctx.attr("ceil_mode", 0))
-    pads = _resolve_pads(ctx, np.shape(x), kshape, strides, dilations)
+    pads = _resolve_pads(ctx, xshape, kshape, strides, dilations)
     if ceil_mode:
         # extend tail padding so the last partial window is included
         new_pads = []
         for i in range(rank):
-            in_dim = np.shape(x)[2 + i]
+            in_dim = xshape[2 + i]
             eff_k = (kshape[i] - 1) * dilations[i] + 1
             padded = in_dim + pads[i][0] + pads[i][1]
             out_f = (padded - eff_k) / strides[i] + 1
@@ -156,6 +156,13 @@ def _pool(ctx: OpContext, x, reducer, init, is_avg=False):
             extra = (out_c - 1) * strides[i] + eff_k - padded if out_c > out_f else 0
             new_pads.append((pads[i][0], pads[i][1] + max(0, extra)))
         pads = new_pads
+    return kshape, strides, dilations, pads
+
+
+def _pool(ctx: OpContext, x, reducer, init, is_avg=False):
+    import jax
+
+    kshape, strides, dilations, pads = _pool_geometry(ctx, np.shape(x))
     window = (1, 1) + tuple(kshape)
     w_strides = (1, 1) + tuple(strides)
     w_dil = (1, 1) + tuple(dilations)
@@ -182,8 +189,59 @@ def _pool(ctx: OpContext, x, reducer, init, is_avg=False):
 def max_pool(ctx: OpContext, x):
     import jax
 
-    return _pool(ctx, x, jax.lax.max, -np.inf if np.issubdtype(
+    out = _pool(ctx, x, jax.lax.max, -np.inf if np.issubdtype(
         np.dtype(str(x.dtype)), np.floating) else np.iinfo(np.int32).min)
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out > 1 and ctx.node.output[1]:
+        return out, _max_pool_indices(ctx, x)
+    return out
+
+
+def _max_pool_indices(ctx: OpContext, x):
+    """ONNX MaxPool Indices output: within-window argmax (first max wins,
+    matching ORT's scan order) mapped to flat row-major [N,C,*spatial]
+    positions. Windows are extracted with conv_general_dilated_patches on a
+    -inf-padded input; the argmax offset is converted back to input
+    coordinates arithmetically (no giant iota gathers)."""
+    import jax
+    import jax.numpy as jnp
+
+    if int(ctx.attr("storage_order", 0)):
+        raise NotImplementedError("MaxPool: storage_order=1 (col-major)")
+    xshape = np.shape(x)
+    nd = len(xshape) - 2
+    N, C = xshape[0], xshape[1]
+    kshape, strides, dilations, pads = _pool_geometry(ctx, xshape)
+    K = int(np.prod(kshape))
+    # finite lowest value, NOT -inf: patches extraction is a convolution, and
+    # -inf * 0 kernel taps would poison whole windows with NaN
+    dt = np.dtype(str(np.asarray(x).dtype) if ctx.is_fold else str(x.dtype))
+    lowest = np.finfo(dt).min if np.issubdtype(dt, np.floating) else np.iinfo(dt).min
+    xpad = jnp.pad(
+        jnp.asarray(x), [(0, 0), (0, 0)] + [tuple(p) for p in pads],
+        constant_values=lowest,
+    )
+    patches = jax.lax.conv_general_dilated_patches(
+        xpad, tuple(kshape), tuple(strides), "VALID",
+        rhs_dilation=tuple(dilations),
+    )  # [N, C*K, *out] with feature dim ordered (C slow, K fast)
+    out_sp = patches.shape[2:]
+    patches = patches.reshape((N, C, K) + out_sp)
+    k_idx = jnp.argmax(patches, axis=2)  # [N, C, *out]
+    # unravel window offset and rebuild input coordinates
+    offs = np.stack(np.unravel_index(np.arange(K), kshape))  # [nd, K]
+    flat = jnp.zeros_like(k_idx)
+    for i in range(nd):
+        o_i = jnp.arange(out_sp[i]).reshape(
+            (1, 1) + (1,) * i + (-1,) + (1,) * (nd - 1 - i)
+        )
+        off_i = jnp.take(jnp.asarray(offs[i]), k_idx)
+        coord = o_i * strides[i] - pads[i][0] + off_i * dilations[i]
+        flat = flat * xshape[2 + i] + coord
+    nc = (jnp.arange(N).reshape((-1, 1) + (1,) * nd) * C
+          + jnp.arange(C).reshape((1, -1) + (1,) * nd))
+    spatial_total = int(np.prod(xshape[2:]))
+    return (nc * spatial_total + flat).astype(jnp.int32)
 
 
 @op("AveragePool", foldable=False)
