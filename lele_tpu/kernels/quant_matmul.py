@@ -158,6 +158,94 @@ def fused_dq_matmul_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Weight-only int8 GEMM (w8a16): int8 weights stream from HBM at HALF the
+# bytes of bf16 and are dequantized in-register (VPU convert) ahead of a
+# bf16 MXU dot. For skinny-M inference (batch-1 encoders) the weight stream
+# IS the roofline, so this halves the floor without quantizing activations
+# (no DynamicQuantizeLinear overhead, no activation error). Per-output-
+# channel scales commute with the K-contraction and apply in the epilogue.
+
+
+def w8_matmul_pallas(
+    x, wq, w_scale, tn: int = 512, tk: int = 1024, interpret: bool = False
+):
+    """x: bf16/f32 [M, K]; wq: i8 [K, N]; w_scale: f32 [N] (per-channel) or
+    scalar. → f32 [M, N] ≈ x @ (wq * w_scale).
+
+    M is kept whole (padded to 8/16 rows) — inference M is small; N and K
+    are tiled. K-tiles accumulate in an f32 VMEM scratch.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k = x.shape
+    _, n = wq.shape
+    tn, tk = min(tn, n), min(tk, k)
+    sublane = 16 if x.dtype == jnp.bfloat16 else 8
+    mp = -(-m // sublane) * sublane
+    kp, np_ = -(-k // tk) * tk, -(-n // tn) * tn
+    if (mp, kp) != (m, k):
+        x = jnp.pad(x, ((0, mp - m), (0, kp - k)))
+    if (kp, np_) != (k, n):
+        wq = jnp.pad(wq, ((0, kp - k), (0, np_ - n)))
+    ws = jnp.broadcast_to(jnp.asarray(w_scale, jnp.float32).reshape(1, -1), (1, n))
+    if np_ != n:
+        ws = jnp.pad(ws, ((0, 0), (0, np_ - n)))
+    grid = (np_ // tn, kp // tk)
+
+    def kernel(x_ref, w_ref, ws_ref, out_ref, acc_ref):
+        k_idx = pl.program_id(1)
+
+        @pl.when(k_idx == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        wf = w_ref[:].astype(x_ref.dtype)  # i8 → bf16 in VMEM
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], wf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k_idx == grid[1] - 1)
+        def _():
+            out_ref[:] = acc_ref[:] * ws_ref[:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((mp, tk), lambda j, kk: (0, kk)),
+            pl.BlockSpec((tk, tn), lambda j, kk: (kk, j)),
+            pl.BlockSpec((1, tn), lambda j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((mp, tn), lambda j, kk: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mp, tn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=2 * m * k + k * n + 4 * m * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, wq, ws)
+    return out[:m, :n]
+
+
+def quantize_weight_int8(w, axis: int = 0):
+    """Per-output-channel symmetric int8 quantization of a [K, N] weight
+    (reduce over `axis`): returns (wq i8, scale f32 [N])."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
 # Pallas tiled int8 matmul (used by the runtime on TPU for large static-shape
 # quantized linears; jnp path remains the oracle)
 

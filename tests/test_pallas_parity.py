@@ -120,3 +120,36 @@ def test_fused_dq_matmul_pallas_matches_composed_ops():
     want = mm * (float(np.asarray(a_scale)) * ws)
     np.testing.assert_allclose(np.asarray(out), want,
                                rtol=1e-5, atol=np.abs(want).max() * 1e-6)
+
+
+def test_w8_matmul_pallas_matches_dequant_matmul():
+    """Weight-only int8 GEMM (w8a16): int8 weights stream at half the bf16
+    bytes and dequantize in-register. Parity vs explicit dequant + matmul,
+    including ragged M/N/K and per-channel scales."""
+    from lele_tpu.kernels.quant_matmul import (
+        quantize_weight_int8,
+        w8_matmul_pallas,
+    )
+
+    for (M, K, N) in [(37, 64, 50), (96, 512, 200), (7, 130, 513)]:
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+        wq, sc = quantize_weight_int8(w)
+        want = x @ (np.asarray(wq, np.float32) * np.asarray(sc)[None, :])
+        out = w8_matmul_pallas(
+            jnp.asarray(x), wq, sc, tn=128, tk=64, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), want, rtol=1e-4,
+            atol=np.abs(want).max() * 1e-5,
+        )
+
+
+def test_quantize_weight_int8_roundtrip_error_bound():
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    from lele_tpu.kernels.quant_matmul import quantize_weight_int8
+
+    wq, sc = quantize_weight_int8(w)
+    deq = np.asarray(wq, np.float32) * np.asarray(sc)[None, :]
+    # per-channel symmetric: error ≤ scale/2 per element
+    assert (np.abs(deq - w) <= np.asarray(sc)[None, :] / 2 + 1e-7).all()
