@@ -224,6 +224,8 @@ def _max_pool_indices(ctx: OpContext, x):
     patches = jax.lax.conv_general_dilated_patches(
         xpad, tuple(kshape), tuple(strides), "VALID",
         rhs_dilation=tuple(dilations),
+        precision=jax.lax.Precision.HIGHEST,  # exact one-hot taps: TPU's
+        # default bf16 conv would round values and overflow the pad constant
     )  # [N, C*K, *out] with feature dim ordered (C slow, K fast)
     out_sp = patches.shape[2:]
     patches = patches.reshape((N, C, K) + out_sp)
