@@ -1,0 +1,156 @@
+"""Autoregressive decoding over compiled ONNX decoder-step graphs.
+
+A capability with no reference counterpart (miuda-ai/lele ships only
+encoder-style pipelines — SURVEY.md §2.5): generative decode on XLA's
+static-shape model. The trick is a STATIC KV cache: instead of the usual
+exported "past/present" graphs whose cache grows one slot per step (a new
+shape — and a new XLA program — every token), the step graph keeps a
+fixed-capacity cache and returns only the new slot, which the host writes
+at the current position. One program serves every step.
+
+Step-graph contract (see tests/test_torch_onnx.py::test_torch_decoder_kv_cache
+for a real torch-exported instance):
+
+  inputs (in graph order):
+    ids      int64  [B, 1]           current token
+    pos      int64  [B, 1]           its absolute position
+    cache_k  f32    [L, B, H, P, D]  static key cache (P = max length - 1)
+    cache_v  f32    [L, B, H, P, D]  static value cache
+    mask     f32    [B, 1, 1, P+1]   additive attention mask (0 / -inf);
+                                     slot P is the current token
+  outputs:
+    logits   f32    [B, V] or [B, 1, V]
+    new_k    f32    [L, B, H, 1, D]  this step's key, one slot
+    new_v    f32    [L, B, H, 1, D]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class StaticKVDecoder:
+    """Greedy/temperature decoding loop around a CompiledModel step graph."""
+
+    def __init__(self, cm, num_layers: int, num_heads: int, head_dim: int,
+                 max_len: int, batch: int = 1, neg: float = -1e9):
+        self.cm = cm
+        self.L, self.H, self.D = num_layers, num_heads, head_dim
+        self.P = max_len - 1  # cache slots; slot P rides in the step itself
+        self.B = batch
+        self.neg = np.float32(neg)
+
+    def _mask(self, pos: int) -> np.ndarray:
+        """Additive mask: allow cache slots < pos and the current slot P."""
+        m = np.full((self.B, 1, 1, self.P + 1), self.neg, np.float32)
+        m[..., :pos] = 0.0
+        m[..., self.P] = 0.0
+        return m
+
+    def generate(self, prompt_ids, steps: int, rng=None, temperature: float = 0.0):
+        """Feed the prompt token-by-token (prefill), then sample `steps`
+        tokens. Returns (generated_ids list, last_logits)."""
+        B, L, H, P, D = self.B, self.L, self.H, self.P, self.D
+        ck = np.zeros((L, B, H, P, D), np.float32)
+        cv = np.zeros((L, B, H, P, D), np.float32)
+        logits = None
+        pos = 0
+        out_ids: list[int] = []
+
+        def step(tok: int):
+            nonlocal ck, cv, logits, pos
+            if pos >= P:
+                raise ValueError(f"decode length exceeds max_len={P + 1}")
+            ids = np.full((B, 1), tok, np.int64)
+            ppos = np.full((B, 1), pos, np.int64)
+            outs = self.cm.run_np(ids, ppos, ck, cv, self._mask(pos))
+            logits, nk, nv = outs[0], outs[1], outs[2]
+            ck[:, :, :, pos] = nk[:, :, :, 0]
+            cv[:, :, :, pos] = nv[:, :, :, 0]
+            pos += 1
+
+        for tok in prompt_ids:
+            step(int(tok))
+        for _ in range(steps):
+            lg = np.asarray(logits).reshape(B, -1)[0]
+            if temperature > 0.0:
+                rng = rng or np.random.default_rng(0)
+                p = np.exp((lg - lg.max()) / temperature)
+                nxt = int(rng.choice(len(p), p=p / p.sum()))
+            else:
+                nxt = int(np.argmax(lg))
+            out_ids.append(nxt)
+            step(nxt)
+        return out_ids, np.asarray(logits)
+
+    def generate_fused(self, prompt_ids, steps: int):
+        """Whole-generation-as-ONE-program greedy decode: prefill scan +
+        decode scan with the KV cache, slot writes, mask build, and argmax
+        all on device — a single dispatch returns `steps` token ids. This is
+        the TPU-native decode loop (the host loop in `generate` pays one
+        tunnel round trip per token; this pays one per utterance).
+        Prompt length and step count are static (one program per (len,
+        steps) pair, cached by jit)."""
+        import jax
+        import jax.numpy as jnp
+
+        cm = self.cm
+        B, L, H, P, D = self.B, self.L, self.H, self.P, self.D
+        if len(prompt_ids) + steps > P + 1:
+            raise ValueError(f"decode length exceeds max_len={P + 1}")
+        names = cm.input_order
+        neg = float(self.neg)
+
+        def one_step(params, ck, cv, tok, pos):
+            ids = jnp.broadcast_to(tok.astype(jnp.int32), (B, 1))
+            pp = jnp.broadcast_to(pos.astype(jnp.int32), (B, 1))
+            slots = jnp.arange(P + 1)
+            mask = jnp.where(
+                (slots < pos) | (slots == P), 0.0, neg
+            ).astype(jnp.float32).reshape(1, 1, 1, P + 1)
+            mask = jnp.broadcast_to(mask, (B, 1, 1, P + 1))
+            outs = cm._walk_fn(params, dict(zip(names, [ids, pp, ck, cv, mask])))
+            logits, nk, nv = outs[0], outs[1], outs[2]
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, nk, pos, axis=3)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, nv, pos, axis=3)
+            return ck, cv, jnp.reshape(logits, (B, -1))
+
+        n_prompt = len(prompt_ids)
+
+        def run(params, prompt):
+            ck = jnp.zeros((L, B, H, P, D), jnp.float32)
+            cv = jnp.zeros((L, B, H, P, D), jnp.float32)
+
+            def prefill(carry, tp):
+                ck, cv = carry
+                tok, pos = tp
+                ck, cv, logits = one_step(params, ck, cv, tok, pos)
+                return (ck, cv), logits
+
+            (ck, cv), lg = jax.lax.scan(
+                prefill, (ck, cv),
+                (prompt, jnp.arange(n_prompt, dtype=jnp.int32)),
+            )
+            logits = lg[-1]
+
+            def decode(carry, pos):
+                ck, cv, logits = carry
+                tok = jnp.argmax(logits[0]).astype(jnp.int32)
+                ck, cv, logits = one_step(params, ck, cv, tok, pos)
+                return (ck, cv, logits), tok
+
+            (_, _, logits), toks = jax.lax.scan(
+                decode, (ck, cv, logits),
+                jnp.arange(n_prompt, n_prompt + steps, dtype=jnp.int32),
+            )
+            # toks[i] is the argmax before step i ran — the greedy sequence
+            return toks, logits
+
+        key = ("fused", n_prompt, steps)
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(run)
+        ids, logits = cache[key](cm.params, jnp.asarray(prompt_ids, jnp.int32))
+        return [int(t) for t in np.asarray(ids)], np.asarray(logits)

@@ -329,3 +329,148 @@ def test_torch_interpolate_nearest(tmp_path):
             return nn.functional.interpolate(x, scale_factor=2.0, mode="nearest")
 
     roundtrip(I(), (torch.randn(1, 2, 5, 5),), tmp_path)
+
+
+class TinyDecoderStep(nn.Module):
+    """Transformer decoder STEP with a static KV cache: takes the fixed-size
+    cache + one token, returns logits and the step's new K/V slot only (so
+    every step is the same XLA program — see lele_tpu/runtime/decode.py)."""
+
+    def __init__(self, vocab=97, d=64, heads=4, layers=2, max_len=24):
+        super().__init__()
+        self.V, self.d, self.H, self.L = vocab, d, heads, layers
+        self.hd = d // heads
+        self.tok = nn.Embedding(vocab, d)
+        self.posemb = nn.Embedding(max_len, d)
+        self.ln1 = nn.ModuleList([nn.LayerNorm(d) for _ in range(layers)])
+        self.ln2 = nn.ModuleList([nn.LayerNorm(d) for _ in range(layers)])
+        self.qkv = nn.ModuleList([nn.Linear(d, 3 * d) for _ in range(layers)])
+        self.proj = nn.ModuleList([nn.Linear(d, d) for _ in range(layers)])
+        self.up = nn.ModuleList([nn.Linear(d, 4 * d) for _ in range(layers)])
+        self.down = nn.ModuleList([nn.Linear(4 * d, d) for _ in range(layers)])
+        self.lnf = nn.LayerNorm(d)
+        self.head = nn.Linear(d, vocab, bias=False)
+
+    def forward(self, ids, pos, cache_k, cache_v, mask):
+        B = ids.shape[0]
+        x = self.tok(ids) + self.posemb(pos)  # [B, 1, d]
+        nks, nvs = [], []
+        for i in range(self.L):
+            h = self.ln1[i](x)
+            q, k, v = self.qkv[i](h).split(self.d, dim=-1)
+            q = q.view(B, 1, self.H, self.hd).transpose(1, 2)  # [B,H,1,hd]
+            k = k.view(B, 1, self.H, self.hd).transpose(1, 2)
+            v = v.view(B, 1, self.H, self.hd).transpose(1, 2)
+            nks.append(k)
+            nvs.append(v)
+            K = torch.cat([cache_k[i], k], dim=2)  # [B,H,P+1,hd]
+            Vv = torch.cat([cache_v[i], v], dim=2)
+            att = (q @ K.transpose(-1, -2)) / (self.hd ** 0.5) + mask
+            att = torch.softmax(att, dim=-1)
+            o = (att @ Vv).transpose(1, 2).reshape(B, 1, self.d)
+            x = x + self.proj[i](o)
+            h2 = self.ln2[i](x)
+            x = x + self.down[i](torch.nn.functional.gelu(self.up[i](h2)))
+        logits = self.head(self.lnf(x))[:, 0]  # [B, V]
+        return logits, torch.stack(nks), torch.stack(nvs)
+
+
+def test_torch_decoder_kv_cache_greedy_decode(tmp_path):
+    """Full autoregressive greedy decode through the compiled ONNX step
+    graph vs the identical torch loop: token-for-token agreement."""
+    torch.manual_seed(21)
+    V, d, H, L, MAXLEN = 97, 64, 4, 2, 24
+    P = MAXLEN - 1
+    m = TinyDecoderStep(V, d, H, L, MAXLEN).eval()
+    hd = d // H
+    B = 1
+    args = (
+        torch.zeros(B, 1, dtype=torch.long),
+        torch.zeros(B, 1, dtype=torch.long),
+        torch.zeros(L, B, H, P, hd),
+        torch.zeros(L, B, H, P, hd),
+        torch.zeros(B, 1, 1, P + 1),
+    )
+    path = str(tmp_path / "dec.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, args, path, opset_version=17, dynamo=False,
+                          input_names=["ids", "pos", "ck", "cv", "mask"],
+                          output_names=["logits", "nk", "nv"])
+    cm = compile_model(path)
+
+    from lele_tpu.runtime.decode import StaticKVDecoder
+
+    dec = StaticKVDecoder(cm, num_layers=L, num_heads=H, head_dim=hd,
+                          max_len=MAXLEN)
+    prompt = [5, 17, 3]
+    steps = 12
+    got_ids, got_logits = dec.generate(prompt, steps)
+
+    # torch oracle: growing-cache loop with the same module
+    with torch.no_grad():
+        ck = torch.zeros(L, B, H, 0, hd)
+        cv = torch.zeros(L, B, H, 0, hd)
+        seq = list(prompt)
+        want_ids = []
+        logits = None
+        for t in range(len(prompt) + steps):
+            tok = seq[t] if t < len(seq) else want_ids[-1]
+            if t >= len(prompt):
+                pass
+            n = ck.shape[3]
+            mask = torch.zeros(B, 1, 1, n + 1)
+            x = m.tok(torch.tensor([[tok]])) + m.posemb(torch.tensor([[t]]))
+            nks, nvs = [], []
+            for i in range(L):
+                h = m.ln1[i](x)
+                q, k, v = m.qkv[i](h).split(d, dim=-1)
+                q = q.view(B, 1, H, hd).transpose(1, 2)
+                k = k.view(B, 1, H, hd).transpose(1, 2)
+                v = v.view(B, 1, H, hd).transpose(1, 2)
+                nks.append(k); nvs.append(v)
+                K = torch.cat([ck[i], k], dim=2)
+                Vv = torch.cat([cv[i], v], dim=2)
+                att = torch.softmax((q @ K.transpose(-1, -2)) / (hd ** 0.5) + mask, -1)
+                o = (att @ Vv).transpose(1, 2).reshape(B, 1, d)
+                x = x + m.proj[i](o)
+                x = x + m.down[i](torch.nn.functional.gelu(m.up[i](m.ln2[i](x))))
+            logits = m.head(m.lnf(x))[:, 0]
+            ck = torch.cat([ck, torch.stack(nks)], dim=3)
+            cv = torch.cat([cv, torch.stack(nvs)], dim=3)
+            if t >= len(prompt) - 1 and len(want_ids) < steps:
+                want_ids.append(int(logits[0].argmax()))
+    assert got_ids == want_ids, (got_ids, want_ids)
+    np.testing.assert_allclose(got_logits.reshape(-1), logits[0].numpy(),
+                               atol=5e-4, rtol=1e-3)
+
+
+def test_torch_decoder_fused_device_decode(tmp_path):
+    """generate_fused (whole generation as ONE program: prefill scan +
+    decode scan + cache writes + argmax on device) must reproduce the
+    host-loop decode token-for-token."""
+    torch.manual_seed(22)
+    V, d, H, L, MAXLEN = 61, 32, 2, 2, 20
+    P = MAXLEN - 1
+    hd = d // H
+    m = TinyDecoderStep(V, d, H, L, MAXLEN).eval()
+    args = (
+        torch.zeros(1, 1, dtype=torch.long),
+        torch.zeros(1, 1, dtype=torch.long),
+        torch.zeros(L, 1, H, P, hd),
+        torch.zeros(L, 1, H, P, hd),
+        torch.zeros(1, 1, 1, P + 1),
+    )
+    path = str(tmp_path / "dec2.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, args, path, opset_version=17, dynamo=False)
+    cm = compile_model(path)
+
+    from lele_tpu.runtime.decode import StaticKVDecoder
+
+    dec = StaticKVDecoder(cm, num_layers=L, num_heads=H, head_dim=hd,
+                          max_len=MAXLEN)
+    prompt, steps = [7, 11], 10
+    want_ids, want_logits = dec.generate(prompt, steps)
+    got_ids, got_logits = dec.generate_fused(prompt, steps)
+    assert got_ids == want_ids, (got_ids, want_ids)
+    np.testing.assert_allclose(got_logits, want_logits, atol=1e-4, rtol=1e-4)
