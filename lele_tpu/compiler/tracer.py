@@ -131,9 +131,8 @@ class GraphTracer:
 
         from ..ops.extra_ops import TensorSeq
 
-        all_static = all(_is_static(v) for v in ins) and not any(
-            isinstance(v, TensorSeq) for v in ins
-        )
+        # (TensorSeq inputs are never static: _is_static rejects list values)
+        all_static = all(_is_static(v) for v in ins)
         foldable = opdef.foldable if opdef is not None else False
         state.n_nodes += 1
         if all_static:
@@ -410,6 +409,11 @@ class GraphTracer:
             or (not isinstance(cond_in, bool) and _is_static(cond_in))
         )
         M = int(np.asarray(m_in))
+        if cond_in is False:
+            # statically never runs: a zero-length scan traces the body once
+            # for output shapes but executes nothing — exact ONNX semantics
+            # ([0, ...] scan outputs, carried values = inits)
+            M, pure_for = 0, True
         body_in_names = [vi.name for vi in body.input]
         loop_scope = scope + (node.name or f"Loop_{tag}") + "/"
         v_init = [env[n] for n in node.input[2:]]

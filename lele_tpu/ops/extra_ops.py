@@ -172,20 +172,16 @@ def mean_variance_normalization(ctx: OpContext, x):
 
 @op("ReverseSequence", foldable=False)
 def reverse_sequence(ctx: OpContext, x, seq_lens):
-    """Per-batch reversal within [0, seq_lens[b]) along time_axis."""
+    """Per-batch reversal within [0, seq_lens[b]) along time_axis (shares
+    nn_ops._seq_reverse, the same gather the ragged RNNs use)."""
     import jax.numpy as jnp
+
+    from .nn_ops import _seq_reverse
 
     batch_axis = int(ctx.attr("batch_axis", 1))
     time_axis = int(ctx.attr("time_axis", 0))
-    x = jnp.asarray(x)
-    # normalize to [S, B, ...]
-    xt = jnp.moveaxis(x, (time_axis, batch_axis), (0, 1))
-    S = xt.shape[0]
-    t = jnp.arange(S, dtype=jnp.int32)[:, None]
-    L = jnp.asarray(seq_lens).astype(jnp.int32)[None, :]
-    src = jnp.where(t < L, L - 1 - t, t)
-    idx = src.reshape(src.shape + (1,) * (xt.ndim - 2))
-    out = jnp.take_along_axis(xt, idx, axis=0)
+    xt = jnp.moveaxis(jnp.asarray(x), (time_axis, batch_axis), (0, 1))
+    out = _seq_reverse(xt, seq_lens)
     return jnp.moveaxis(out, (0, 1), (time_axis, batch_axis))
 
 
@@ -273,7 +269,8 @@ def dft(ctx: OpContext, x, dft_length=None, axis_in=None):
     onesided = int(ctx.attr("onesided", 0))
     axis = int(np.asarray(axis_in)) if axis_in is not None else int(ctx.attr("axis", 1))
     if axis < 0:
-        axis += x.ndim - 1  # component dim excluded from axis numbering
+        axis += x.ndim  # spec: negative axis counts from the FULL rank
+        # (including the trailing component dim), so -2 on [B, n, 2] → 1
     if x.shape[-1] == 2:
         sig = x[..., 0].astype(jnp.float32) + 1j * x[..., 1].astype(jnp.float32)
     else:
@@ -319,7 +316,8 @@ def multinomial(ctx: OpContext, x):
     n = int(ctx.attr("sample_size", 1))
     dt = ctx.attr("dtype", 6)  # default int32
     dtype = canonical_dtype(DTYPE_MAP[int(dt)], device=True)
-    logits = jnp.log(jnp.maximum(jnp.asarray(x), 1e-30))
+    # spec: input IS unnormalized log-probabilities — no log() here
+    logits = jnp.asarray(x)
     out = jax.random.categorical(_rng_key(ctx), logits, axis=-1, shape=(n,) + np.shape(x)[:1])
     return jnp.swapaxes(out, 0, 1).astype(dtype)  # [batch, sample_size]
 

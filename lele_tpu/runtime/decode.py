@@ -57,16 +57,18 @@ class StaticKVDecoder:
         pos = 0
         out_ids: list[int] = []
 
+        if len(prompt_ids) + steps > P + 1:
+            raise ValueError(f"decode length exceeds max_len={P + 1}")
+
         def step(tok: int):
             nonlocal ck, cv, logits, pos
-            if pos >= P:
-                raise ValueError(f"decode length exceeds max_len={P + 1}")
             ids = np.full((B, 1), tok, np.int64)
             ppos = np.full((B, 1), pos, np.int64)
             outs = self.cm.run_np(ids, ppos, ck, cv, self._mask(pos))
             logits, nk, nv = outs[0], outs[1], outs[2]
-            ck[:, :, :, pos] = nk[:, :, :, 0]
-            cv[:, :, :, pos] = nv[:, :, :, 0]
+            if pos < P:  # the final (pos == P) token rides in-step only;
+                ck[:, :, :, pos] = nk[:, :, :, 0]  # nothing attends after it
+                cv[:, :, :, pos] = nv[:, :, :, 0]
             pos += 1
 
         for tok in prompt_ids:
@@ -111,8 +113,13 @@ class StaticKVDecoder:
             mask = jnp.broadcast_to(mask, (B, 1, 1, P + 1))
             outs = cm._walk_fn(params, dict(zip(names, [ids, pp, ck, cv, mask])))
             logits, nk, nv = outs[0], outs[1], outs[2]
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, nk, pos, axis=3)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, nv, pos, axis=3)
+            # pos == P only on the very last step (entry guard): its KV rides
+            # in-step and must NOT clamp-write into slot P-1
+            wp = jnp.minimum(pos, P - 1)
+            ck = jnp.where(pos < P,
+                           jax.lax.dynamic_update_slice_in_dim(ck, nk, wp, axis=3), ck)
+            cv = jnp.where(pos < P,
+                           jax.lax.dynamic_update_slice_in_dim(cv, nv, wp, axis=3), cv)
             return ck, cv, jnp.reshape(logits, (B, -1))
 
         n_prompt = len(prompt_ids)

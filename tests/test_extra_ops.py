@@ -215,6 +215,11 @@ def test_dft_forward_inverse_onesided():
     (y,) = run_op("DFT", {"x": xc}, inverse=1)
     assert_close(y[..., 0], x[..., 0], tol=1e-4)
     assert_close(y[..., 1], np.zeros_like(x[..., 0]), tol=1e-4)
+    # negative axis counts from the FULL rank incl. the component dim:
+    # axis=-2 on [2, 16, 1] is the signal dim (1)
+    (y,) = run_op("DFT", {"x": x}, axis=-2)
+    assert_close(y[..., 0], want.real, tol=1e-4)
+    assert_close(y[..., 1], want.imag, tol=1e-4)
 
 
 # -- random --------------------------------------------------------------------
@@ -224,8 +229,9 @@ def test_bernoulli_and_multinomial():
     p = np.concatenate([np.zeros(50), np.ones(50)]).astype(np.float32)
     (y,) = run_op("Bernoulli", {"p": p})
     assert (y[:50] == 0).all() and (y[50:] == 1).all()
-    probs = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]], np.float32)
-    (y,) = run_op("Multinomial", {"p": probs}, sample_size=16)
+    # spec: input is UNNORMALIZED LOG probabilities (logits)
+    logits = np.array([[-1e9, 0.0, -1e9], [0.0, -1e9, -1e9]], np.float32)
+    (y,) = run_op("Multinomial", {"p": logits}, sample_size=16)
     assert y.shape == (2, 16)
     assert (y[0] == 1).all() and (y[1] == 0).all()
 

@@ -140,6 +140,19 @@ def test_loop_scan_outputs_dynamic_initial_cond():
     assert_close(ys, np.zeros((3, 2), np.float32))
 
 
+def test_loop_scan_outputs_statically_false_cond():
+    """cond statically false → zero iterations: carried values are the
+    inits and scan outputs are exact empty [0, ...] (no device work)."""
+    nodes = [ob.node("Loop", ["M", "c0", "x"], ["y", "ys"],
+                     body=_dyn_exit_scan_body())]
+    x = np.ones(2, np.float32) * 3
+    inits = {"M": np.array(5, np.int64), "c0": np.array(False),
+             "lim": np.float32(100.0)}
+    y, ys = run_graph(nodes, {"x": x}, ["y", "ys"], initializers=inits)
+    assert_close(y, x)
+    assert ys.shape == (0, 2)
+
+
 def test_loop_scan_outputs_no_trip_bound_falls_back():
     # no M input → no static bound for the padded scan: warned fallback
     nodes = [ob.node("Loop", ["", "c0", "x"], ["y", "ys"],

@@ -474,3 +474,35 @@ def test_torch_decoder_fused_device_decode(tmp_path):
     got_ids, got_logits = dec.generate_fused(prompt, steps)
     assert got_ids == want_ids, (got_ids, want_ids)
     np.testing.assert_allclose(got_logits, want_logits, atol=1e-4, rtol=1e-4)
+
+
+def test_decoder_exact_capacity_and_guard(tmp_path):
+    """prompt+steps == max_len is allowed on BOTH decode paths (the final
+    token's KV rides in-step); one past it raises on both."""
+    torch.manual_seed(23)
+    V, d, H, L, MAXLEN = 31, 16, 2, 1, 8
+    P = MAXLEN - 1
+    hd = d // H
+    m = TinyDecoderStep(V, d, H, L, MAXLEN).eval()
+    args = (torch.zeros(1, 1, dtype=torch.long),
+            torch.zeros(1, 1, dtype=torch.long),
+            torch.zeros(L, 1, H, P, hd), torch.zeros(L, 1, H, P, hd),
+            torch.zeros(1, 1, 1, P + 1))
+    path = str(tmp_path / "dec3.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, args, path, opset_version=17, dynamo=False)
+    cm = compile_model(path)
+
+    from lele_tpu.runtime.decode import StaticKVDecoder
+
+    dec = StaticKVDecoder(cm, num_layers=L, num_heads=H, head_dim=hd,
+                          max_len=MAXLEN)
+    prompt = [3, 5]
+    steps = MAXLEN - len(prompt)  # fills every position
+    want_ids, _ = dec.generate(prompt, steps)
+    got_ids, _ = dec.generate_fused(prompt, steps)
+    assert got_ids == want_ids
+    with pytest.raises(ValueError):
+        dec.generate(prompt, steps + 1)
+    with pytest.raises(ValueError):
+        dec.generate_fused(prompt, steps + 1)
