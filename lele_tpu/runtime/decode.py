@@ -85,26 +85,38 @@ class StaticKVDecoder:
             step(nxt)
         return out_ids, np.asarray(logits)
 
-    def generate_fused(self, prompt_ids, steps: int):
-        """Whole-generation-as-ONE-program greedy decode: prefill scan +
-        decode scan with the KV cache, slot writes, mask build, and argmax
+    def generate_fused(self, prompt_ids, steps: int, temperature: float = 0.0,
+                       seed: int = 0):
+        """Whole-generation-as-ONE-program decode: prefill scan + decode
+        scan with the KV cache, slot writes, mask build, and token selection
         all on device — a single dispatch returns `steps` token ids. This is
         the TPU-native decode loop (the host loop in `generate` pays one
         tunnel round trip per token; this pays one per utterance).
         Prompt length and step count are static (one program per (len,
-        steps) pair, cached by jit)."""
+        steps, temperature>0) tuple, cached by jit).
+
+        Batched rows: `prompt_ids` may be [n] (shared prompt, or B=1) or
+        [B, n] — rows decode independently in one program. temperature > 0
+        samples with jax.random.categorical (deterministic per `seed`).
+        Returns a flat id list for B=1, else a list of B lists."""
         import jax
         import jax.numpy as jnp
 
         cm = self.cm
         B, L, H, P, D = self.B, self.L, self.H, self.P, self.D
-        if len(prompt_ids) + steps > P + 1:
+        prompt = np.asarray(prompt_ids, np.int32)
+        if prompt.ndim == 1:
+            prompt = np.broadcast_to(prompt, (B, prompt.shape[0]))
+        if prompt.shape[0] != B:
+            raise ValueError(f"prompt batch {prompt.shape[0]} != decoder batch {B}")
+        if prompt.shape[1] + steps > P + 1:
             raise ValueError(f"decode length exceeds max_len={P + 1}")
         names = cm.input_order
         neg = float(self.neg)
 
         def one_step(params, ck, cv, tok, pos):
-            ids = jnp.broadcast_to(tok.astype(jnp.int32), (B, 1))
+            tok = jnp.broadcast_to(jnp.asarray(tok).reshape(-1), (B,))
+            ids = tok.astype(jnp.int32).reshape(B, 1)
             pp = jnp.broadcast_to(pos.astype(jnp.int32), (B, 1))
             slots = jnp.arange(P + 1)
             mask = jnp.where(
@@ -122,9 +134,19 @@ class StaticKVDecoder:
                            jax.lax.dynamic_update_slice_in_dim(cv, nv, wp, axis=3), cv)
             return ck, cv, jnp.reshape(logits, (B, -1))
 
-        n_prompt = len(prompt_ids)
+        n_prompt = prompt.shape[1]
+        sample = temperature > 0.0
 
-        def run(params, prompt):
+        def pick(logits, pos, key0):
+            """next token per row: argmax, or categorical at temperature."""
+            if not sample:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            k = jax.random.fold_in(key0, pos)
+            return jax.random.categorical(
+                k, logits / jnp.float32(temperature), axis=-1
+            ).astype(jnp.int32)
+
+        def run(params, prompt, key0):
             ck = jnp.zeros((L, B, H, P, D), jnp.float32)
             cv = jnp.zeros((L, B, H, P, D), jnp.float32)
 
@@ -136,13 +158,13 @@ class StaticKVDecoder:
 
             (ck, cv), lg = jax.lax.scan(
                 prefill, (ck, cv),
-                (prompt, jnp.arange(n_prompt, dtype=jnp.int32)),
+                (prompt.T, jnp.arange(n_prompt, dtype=jnp.int32)),
             )
             logits = lg[-1]
 
             def decode(carry, pos):
                 ck, cv, logits = carry
-                tok = jnp.argmax(logits[0]).astype(jnp.int32)
+                tok = pick(logits, pos, key0)
                 ck, cv, logits = one_step(params, ck, cv, tok, pos)
                 return (ck, cv, logits), tok
 
@@ -150,14 +172,21 @@ class StaticKVDecoder:
                 decode, (ck, cv, logits),
                 jnp.arange(n_prompt, n_prompt + steps, dtype=jnp.int32),
             )
-            # toks[i] is the argmax before step i ran — the greedy sequence
-            return toks, logits
+            # toks[i] is the pick BEFORE step i ran — the generated sequence
+            return toks.T, logits  # [B, steps]
 
-        key = ("fused", n_prompt, steps)
+        key = ("fused", n_prompt, steps, sample, float(temperature))
         cache = getattr(self, "_fused_cache", None)
         if cache is None:
             cache = self._fused_cache = {}
         if key not in cache:
             cache[key] = jax.jit(run)
-        ids, logits = cache[key](cm.params, jnp.asarray(prompt_ids, jnp.int32))
-        return [int(t) for t in np.asarray(ids)], np.asarray(logits)
+        import jax.random as jrandom
+
+        ids, logits = cache[key](
+            cm.params, jnp.asarray(prompt), jrandom.PRNGKey(seed)
+        )
+        ids = np.asarray(ids)
+        if B == 1:
+            return [int(t) for t in ids[0]], np.asarray(logits)
+        return [[int(t) for t in row] for row in ids], np.asarray(logits)

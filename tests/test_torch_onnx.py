@@ -506,3 +506,42 @@ def test_decoder_exact_capacity_and_guard(tmp_path):
         dec.generate(prompt, steps + 1)
     with pytest.raises(ValueError):
         dec.generate_fused(prompt, steps + 1)
+
+
+def test_decoder_batched_rows_and_sampling(tmp_path):
+    """B=2 fused decode: rows decode independently (each row matches the
+    B=1 run of its own prompt); temperature sampling is seed-deterministic
+    and tiny-temperature converges to greedy."""
+    torch.manual_seed(24)
+    V, d, H, L, MAXLEN = 53, 32, 2, 2, 16
+    P = MAXLEN - 1
+    hd = d // H
+    m = TinyDecoderStep(V, d, H, L, MAXLEN).eval()
+
+    def export(B):
+        args = (torch.zeros(B, 1, dtype=torch.long),
+                torch.zeros(B, 1, dtype=torch.long),
+                torch.zeros(L, B, H, P, hd), torch.zeros(L, B, H, P, hd),
+                torch.zeros(B, 1, 1, P + 1))
+        path = str(tmp_path / f"dec_b{B}.onnx")
+        with torch.no_grad():
+            torch.onnx.export(m, args, path, opset_version=17, dynamo=False)
+        return compile_model(path)
+
+    from lele_tpu.runtime.decode import StaticKVDecoder
+
+    cm1, cm2 = export(1), export(2)
+    d1 = StaticKVDecoder(cm1, L, H, hd, MAXLEN, batch=1)
+    d2 = StaticKVDecoder(cm2, L, H, hd, MAXLEN, batch=2)
+    pa, pb = [3, 7], [11, 2]
+    steps = 8
+    ids_a, _ = d1.generate_fused(pa, steps)
+    ids_b, _ = d1.generate_fused(pb, steps)
+    ids2, _ = d2.generate_fused(np.array([pa, pb]), steps)
+    assert ids2[0] == ids_a and ids2[1] == ids_b, (ids2, ids_a, ids_b)
+
+    s1, _ = d1.generate_fused(pa, steps, temperature=1.5, seed=7)
+    s2, _ = d1.generate_fused(pa, steps, temperature=1.5, seed=7)
+    assert s1 == s2 and all(0 <= t < V for t in s1)
+    cold, _ = d1.generate_fused(pa, steps, temperature=1e-4, seed=7)
+    assert cold == ids_a  # tiny temperature → greedy
