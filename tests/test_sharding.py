@@ -321,3 +321,58 @@ def test_onnx_model_tensor_parallel_param_rules():
     assert {s.data.shape for s in w1_dev.addressable_shards} == {(16, 128)}
     (y,) = cm.run_np(x)
     np.testing.assert_allclose(y, ref, atol=1e-3)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe inference pipeline over a 4-device "pipe" mesh: stacked stage
+    params shard one-stage-per-device, microbatches stream via ppermute,
+    and the result matches the plain sequential stack."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from lele_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+
+    rng = np.random.default_rng(0)
+    S, D, batch, M = 4, 16, 8, 4
+    per_stage = [
+        {"w": jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.3),
+         "b": jnp.asarray(rng.standard_normal(D).astype(np.float32) * 0.1)}
+        for _ in range(S)
+    ]
+    stacked = stack_stage_params(per_stage)
+
+    def stage_fn(p, mb):
+        return jnp.tanh(mb @ p["w"] + p["b"])
+
+    x = rng.standard_normal((batch, D)).astype(np.float32)
+    want = x
+    for p in per_stage:
+        want = np.tanh(want @ np.asarray(p["w"]) + np.asarray(p["b"]))
+
+    mesh = Mesh(np.array(jax.devices()[:S]), ("pipe",))
+    got = pipeline_apply(stage_fn, stacked, jnp.asarray(x), mesh, n_microbatch=M)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_pipeline_parallel_single_microbatch_and_ragged_guard():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from lele_tpu.parallel.pipeline import pipeline_apply, stack_stage_params
+
+    rng = np.random.default_rng(1)
+    S, D = 2, 8
+    per_stage = [{"w": jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.2)}
+                 for _ in range(S)]
+    stacked = stack_stage_params(per_stage)
+    stage_fn = lambda p, mb: mb @ p["w"]
+    x = rng.standard_normal((3, D)).astype(np.float32)
+    mesh = Mesh(np.array(jax.devices()[:S]), ("pipe",))
+    # M=1 degenerates to plain staged execution
+    got = pipeline_apply(stage_fn, stacked, jnp.asarray(x), mesh, n_microbatch=1)
+    want = x @ np.asarray(per_stage[0]["w"]) @ np.asarray(per_stage[1]["w"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+    with pytest.raises(ValueError):
+        pipeline_apply(stage_fn, stacked, jnp.asarray(x), mesh, n_microbatch=2)
