@@ -205,6 +205,10 @@ def w8_matmul_pallas(
             x_ref[:], wf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # f32 inputs must not drop to the TPU default bf16 multiply
+            # (bf16 inputs are already the intended MXU mode)
+            precision=(jax.lax.Precision.HIGHEST
+                       if x_ref.dtype == jnp.float32 else None),
         )
 
         @pl.when(k_idx == grid[1] - 1)
