@@ -439,7 +439,14 @@ class SenseVoiceModel:
 
         The per-frame argmax happens ON DEVICE: the readback is [T] i32
         instead of [T, vocab] logits — on a remote TPU that's the difference
-        between kilobytes and tens of megabytes per utterance."""
+        between kilobytes and tens of megabytes per utterance.
+
+        Audio longer than the largest bucket routes automatically to the
+        long-form window-stitching path."""
+        from ..runtime.bucketing import max_bucket_samples
+
+        if len(pcm) > max_bucket_samples():
+            return self.transcribe_long(pcm, blank_id)
         frame_ids, valid = self._bucketed_argmax(pcm)
         return _collapse_ids(frame_ids[:valid], blank_id)
 
@@ -483,6 +490,11 @@ class SenseVoiceModel:
             self.init()
         if not pcms:
             return []
+        from ..runtime.bucketing import max_bucket_samples
+
+        if max(len(p) for p in pcms) > max_bucket_samples():
+            # long-form items can't share a bucket: stitch each individually
+            return [self.transcribe_long(p, blank_id) for p in pcms]
         longest = max(len(p) for p in pcms)
         padded0, _ = pad_pcm(np.zeros(longest, np.float32))
         bucket = len(padded0)

@@ -52,8 +52,18 @@ def softmax(ctx: OpContext, x):
 def log_softmax(ctx: OpContext, x):
     import jax
 
-    axis = ctx.attr("axis", -1 if ctx.opset >= 13 else 1)
-    return jax.nn.log_softmax(x, axis=axis)
+    if ctx.opset >= 13:
+        return jax.nn.log_softmax(x, axis=ctx.attr("axis", -1))
+    # opset < 13: like Softmax, flatten to 2D at axis and normalize the
+    # whole trailing block (matches ORT for rank>2 inputs)
+    import jax.numpy as jnp
+
+    axis = ctx.attr("axis", 1)
+    shape = np.shape(x)
+    axis = axis if axis >= 0 else axis + len(shape)
+    lead = int(np.prod(shape[:axis])) if axis else 1
+    flat = jnp.reshape(x, (lead, -1))
+    return jnp.reshape(jax.nn.log_softmax(flat, axis=-1), shape)
 
 
 @op("LeakyRelu", foldable=False)

@@ -24,12 +24,26 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return int(buckets[-1])
 
 
+def max_bucket_samples(
+    sr: int = 16000, buckets_s: Sequence[int] = DEFAULT_AUDIO_BUCKETS_S
+) -> int:
+    return int(buckets_s[-1]) * sr
+
+
 def pad_pcm(
     pcm: np.ndarray, sr: int = 16000, buckets_s: Sequence[int] = DEFAULT_AUDIO_BUCKETS_S
 ) -> tuple[np.ndarray, int]:
     """→ (padded_pcm, true_len). Zero-padding; the fbank mask downstream
-    excludes padded frames."""
+    excludes padded frames. Audio longer than the largest bucket is the
+    long-form path's job (SenseVoiceModel.transcribe_long) — raise clearly
+    rather than clamping into a broken assignment."""
     n = len(pcm)
+    limit = max_bucket_samples(sr, buckets_s)
+    if n > limit:
+        raise ValueError(
+            f"audio of {n} samples ({n / sr:.1f}s) exceeds the largest bucket "
+            f"({buckets_s[-1]}s); use transcribe_long for long-form audio"
+        )
     target = bucket_for(n, [b * sr for b in buckets_s])
     if n == target:
         return np.asarray(pcm, np.float32), n

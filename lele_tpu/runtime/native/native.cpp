@@ -41,11 +41,22 @@ struct Reader {
     return 0;
   }
 
+  // Checked length-delimited read: returns payload length only if the whole
+  // payload fits in the remaining buffer; marks the reader bad otherwise.
+  uint64_t ld_len() {
+    uint64_t n = varint();
+    if (!ok || n > len - pos) {
+      ok = false;
+      return 0;
+    }
+    return n;
+  }
+
   void skip(uint32_t wt) {
     switch (wt) {
       case 0: varint(); break;
       case 1: pos += 8; break;
-      case 2: { uint64_t n = varint(); pos += n; break; }
+      case 2: { uint64_t n = ld_len(); pos += n; break; }
       case 5: pos += 4; break;
       default: ok = false;
     }
@@ -60,6 +71,7 @@ struct TensorMeta {
   size_t data_off = 0;   // absolute offset of raw_data payload
   size_t data_len = 0;
   bool has_raw = false;
+  bool ok = true;
 };
 
 // Parse one TensorProto body at [base, base+n); offsets absolute into file.
@@ -72,17 +84,19 @@ TensorMeta parse_tensor(const uint8_t* file, size_t base, size_t n) {
     if (fnum == 1 && wt == 0) {            // dims (unpacked)
       t.dims.push_back((int64_t)r.varint());
     } else if (fnum == 1 && wt == 2) {     // dims (packed)
-      uint64_t ln = r.varint();
+      uint64_t ln = r.ld_len();
       size_t end = r.pos + ln;
       while (r.ok && r.pos < end) t.dims.push_back((int64_t)r.varint());
     } else if (fnum == 2 && wt == 0) {     // data_type
       t.dtype = (int32_t)r.varint();
     } else if (fnum == 8 && wt == 2) {     // name
-      uint64_t ln = r.varint();
+      uint64_t ln = r.ld_len();
+      if (!r.ok) break;
       t.name.assign((const char*)r.p + r.pos, ln);
       r.pos += ln;
     } else if (fnum == 9 && wt == 2) {     // raw_data
-      uint64_t ln = r.varint();
+      uint64_t ln = r.ld_len();
+      if (!r.ok) break;
       t.data_off = base + r.pos;
       t.data_len = ln;
       t.has_raw = true;
@@ -92,25 +106,30 @@ TensorMeta parse_tensor(const uint8_t* file, size_t base, size_t n) {
     }
     if (r.pos > r.len) break;
   }
+  t.ok = r.ok;
   return t;
 }
 
 // Walk ModelProto → graph(7) → initializer(5); nested subgraphs skipped
 // (subgraph initializers are rare; Python path covers them).
-void scan_graph(const uint8_t* file, size_t base, size_t n,
+bool scan_graph(const uint8_t* file, size_t base, size_t n,
                 std::vector<TensorMeta>* out) {
   Reader r{file + base, n};
   while (r.ok && r.pos < r.len) {
     uint64_t tag = r.varint();
     uint32_t fnum = (uint32_t)(tag >> 3), wt = (uint32_t)(tag & 7);
     if (fnum == 5 && wt == 2) {  // initializer: TensorProto
-      uint64_t ln = r.varint();
-      out->push_back(parse_tensor(file, base + r.pos, ln));
+      uint64_t ln = r.ld_len();
+      if (!r.ok) break;
+      TensorMeta t = parse_tensor(file, base + r.pos, ln);
+      if (!t.ok) return false;
+      out->push_back(std::move(t));
       r.pos += ln;
     } else {
       r.skip(wt);
     }
   }
+  return r.ok;
 }
 
 PyObject* py_scan_initializers(PyObject*, PyObject* args) {
@@ -121,19 +140,25 @@ PyObject* py_scan_initializers(PyObject*, PyObject* args) {
 
   std::vector<TensorMeta> metas;
   Reader r{file, len};
+  bool graphs_ok = true;
   while (r.ok && r.pos < r.len) {
     uint64_t tag = r.varint();
     uint32_t fnum = (uint32_t)(tag >> 3), wt = (uint32_t)(tag & 7);
     if (fnum == 7 && wt == 2) {  // ModelProto.graph
-      uint64_t ln = r.varint();
-      scan_graph(file, r.pos, ln, &metas);
+      uint64_t ln = r.ld_len();
+      if (!r.ok) break;
+      graphs_ok = scan_graph(file, r.pos, ln, &metas) && graphs_ok;
       r.pos += ln;
     } else {
       r.skip(wt);
     }
   }
+  // Reject any raw_data record whose payload would extend past the file.
+  for (const TensorMeta& t : metas)
+    if (t.has_raw && (t.data_off > len || t.data_len > len - t.data_off))
+      graphs_ok = false;
   PyBuffer_Release(&view);
-  if (!r.ok) {
+  if (!r.ok || !graphs_ok) {
     PyErr_SetString(PyExc_ValueError, "malformed protobuf");
     return nullptr;
   }
@@ -178,7 +203,9 @@ PyObject* py_decode_wav(PyObject*, PyObject* args) {
     uint32_t size;
     memcpy(&size, d + pos + 4, 4);
     const uint8_t* body = d + pos + 8;
+    size_t avail = n - pos - 8;  // bytes actually present for this chunk body
     if (!memcmp(d + pos, "fmt ", 4) && size >= 16) {
+      if (avail < 16) return fail("truncated fmt chunk");
       memcpy(&fmt, body, 2);
       memcpy(&n_ch, body + 2, 2);
       memcpy(&sr, body + 4, 4);
@@ -186,10 +213,11 @@ PyObject* py_decode_wav(PyObject*, PyObject* args) {
       if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM
     } else if (!memcmp(d + pos, "data", 4)) {
       pcm = body;
-      pcm_len = size;
-      if (pcm + pcm_len > d + n) pcm_len = (size_t)(d + n - pcm);
+      pcm_len = size < avail ? size : avail;
     }
-    pos += 8 + size + (size & 1);
+    size_t step = (size_t)size + (size & 1);
+    if (step >= avail) break;  // declared size runs past the buffer: stop
+    pos += 8 + step;
   }
   if (!pcm || !n_ch || !sr) return fail("missing fmt/data chunk");
 

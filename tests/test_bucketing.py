@@ -32,6 +32,33 @@ def test_pad_pcm():
     assert (padded[n:] == 0).all()
 
 
+def test_pad_pcm_rejects_over_max_bucket():
+    """>60 s audio must raise a clear error, not a broadcast crash
+    (ADVICE r1 medium)."""
+    import pytest
+
+    x = np.zeros(16000 * 61, np.float32)
+    with pytest.raises(ValueError, match="transcribe_long"):
+        pad_pcm(x, sr=16000)
+
+
+def test_transcribe_ids_routes_long_audio():
+    """Audio past the largest bucket auto-routes to the long-form path."""
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    # shrink the notion of "max bucket" indirectly: just verify the public
+    # path completes on >60s audio (quiet signal keeps windows cheap)
+    pcm = np.zeros(16000 * 61, np.float32)
+    ids = m.transcribe_ids(pcm)
+    assert isinstance(ids, list)
+    batch = m.transcribe_batch([pcm])
+    assert isinstance(batch, list) and len(batch) == 1
+
+
 def test_feat_mask():
     m = feat_mask_for(16000, 32000)
     t_true = -(-frames_for_samples(16000) // 6)

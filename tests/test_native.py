@@ -46,6 +46,51 @@ def test_scan_rejects_garbage():
         nat.scan_initializers(b"\xff\xff\xff\xff not a proto")
 
 
+def test_scan_rejects_truncated_model():
+    """Truncation anywhere in a valid model must raise, never read OOB
+    (ADVICE r1: unvalidated varint length segfaulted on a 20-byte input)."""
+    from lele_tpu.onnx import builder as ob
+
+    w = np.arange(64, dtype=np.float32).reshape(8, 8)
+    bs = ob.build_model_bytes(
+        [ob.node("Identity", ["x"], ["y"])],
+        inputs=[ob.value_info("x", 1, [1])],
+        outputs=[ob.value_info("y", 1, [1])],
+        initializers=[ob.tensor_from_array(w, "weight_with_a_long_name")],
+    )
+    for cut in [5, 10, 20, len(bs) // 2, len(bs) - 7, len(bs) - 1]:
+        try:
+            metas = nat.scan_initializers(bs[:cut])
+        except ValueError:
+            continue  # rejected: good
+        # if accepted, every reported span must lie inside the buffer
+        for _name, _dt, _dims, off, ln in metas:
+            assert off + ln <= cut
+
+
+def test_scan_rejects_oversized_raw_data_claim():
+    """raw_data whose declared length runs past EOF must raise."""
+    from lele_tpu.onnx import builder as ob
+
+    w = np.ones(16, dtype=np.float32)
+    bs = bytearray(
+        ob.build_model_bytes(
+            [ob.node("Identity", ["x"], ["y"])],
+            inputs=[ob.value_info("x", 1, [1])],
+            outputs=[ob.value_info("y", 1, [1])],
+            initializers=[ob.tensor_from_array(w, "w")],
+        )
+    )
+    # find the raw_data payload (64 bytes of 1.0f) and inflate the varint
+    # length byte that precedes it (64 = 0x40)
+    payload = w.tobytes()
+    idx = bytes(bs).find(payload)
+    assert idx > 0 and bs[idx - 1] == 64
+    bs[idx - 1] = 0x7F  # claim 127 bytes; only 64 remain
+    with pytest.raises(ValueError):
+        nat.scan_initializers(bytes(bs[: idx + 64]))
+
+
 def test_wav_decode_parity_16bit_stereo():
     import struct
 
@@ -81,6 +126,31 @@ def test_wav_decode_float32():
 def test_wav_decode_garbage_raises():
     with pytest.raises(ValueError):
         nat.decode_wav(b"definitely not a wav file" * 10)
+
+
+def test_wav_decode_truncated_fmt_raises():
+    """fmt chunk claiming size>=16 but truncated must raise, not read OOB
+    (ADVICE r1: reachable from the HTTP /recognize endpoint)."""
+    import struct
+
+    hdr = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+    fmt_hdr = b"fmt " + struct.pack("<I", 16)  # claims 16-byte body...
+    blob = hdr + fmt_hdr + b"\x01\x00\x02\x00"  # ...provides 4
+    with pytest.raises(ValueError):
+        nat.decode_wav(blob)
+
+
+def test_wav_decode_truncated_data_clamps():
+    """data chunk claiming more bytes than present decodes what exists."""
+    import struct
+
+    x = np.linspace(-1, 1, 64).astype(np.float32)
+    pcm = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+    dat = b"data" + struct.pack("<I", len(pcm) * 4)  # lies: 4x actual
+    raw, _sr = nat.decode_wav(hdr + fmt + dat + pcm)
+    np.testing.assert_allclose(np.frombuffer(raw, np.float32), x)
 
 
 def test_read_wav_uses_native_and_matches_python(tmp_path):

@@ -24,6 +24,20 @@ def test_logsoftmax():
     assert_close(y, want, tol=1e-5)
 
 
+def test_logsoftmax_opset12_flattens_trailing_block():
+    """Pre-13 semantics: flatten to 2D at axis, normalize the whole trailing
+    block (matches ORT; ADVICE r1 low)."""
+    x = rng.standard_normal((2, 3, 5)).astype(np.float32)
+    (y,) = run_op("LogSoftmax", {"x": x}, opset=12, axis=1)
+    flat = x.reshape(2, 15).astype(np.float64)
+    e = flat - flat.max(-1, keepdims=True)
+    want = (e - np.log(np.exp(e).sum(-1, keepdims=True))).reshape(2, 3, 5)
+    assert_close(y, want, tol=1e-5)
+    # default axis=1 as well
+    (y2,) = run_op("LogSoftmax", {"x": x}, opset=12)
+    assert_close(y2, want, tol=1e-5)
+
+
 def test_leaky_elu_selu_celu():
     x = rng.standard_normal((32,)).astype(np.float32) * 2
     assert_close(run_op("LeakyRelu", {"x": x}, alpha=0.1)[0],
