@@ -1,0 +1,305 @@
+"""Fully fused SAN-M encoder layer as ONE Pallas TPU kernel.
+
+Batch-1 encoder inference is op-latency + weight-stream bound: the XLA
+lowering of a SAN-M block is ~15 fused kernels with HBM round trips for
+every [T, D] intermediate (slope-probe measurement: ~19 µs/layer at
+T≈100, D=512 — docs/PERF.md r2). This kernel keeps the ENTIRE layer
+resident in VMEM:
+
+    LN1 → qkv GEMM (w8a16 int8 weights, dequant in epilogue)
+        → per-head attention (QK^T, mask, softmax, AV)
+        → FSMN depthwise memory conv (k shifted multiply-adds)
+        → out GEMM (w8) → residual → LN2 → FFN (w8 ×2, ReLU) → residual
+
+so HBM traffic per layer is exactly: x in, int8 weights once, y out. The
+reference's analogous move is its fused DQ-GEMM + hand-scheduled NEON
+blocks (neon/quantization.rs:751); on TPU the win is fusing ACROSS the
+whole layer, which XLA will not do on its own.
+
+Weights use per-output-channel int8 (kernels/quant_matmul.quantize_weight_
+int8); activations stay f32/bf16 with f32 accumulation. The jnp oracle is
+models/sensevoice.sanm_block with weight_int8 — parity-tested in
+tests/test_pallas_parity.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _ln(x, g, b, eps=1e-12):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _w8dot(x, wq, scale, bias):
+    """x f32 [T, K] @ int8 [K, N] with per-channel dequant epilogue; bf16
+    MXU dot, f32 accumulation."""
+    y = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), wq[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y * scale + bias
+
+
+def _kernel(n_heads, fsmn_k, T_pad,
+            x_ref, mask_ref,
+            g1_ref, b1_ref, wqkv_ref, sqkv_ref, bqkv_ref, fsmn_ref,
+            wo_ref, so_ref, bo_ref, g2_ref, b2_ref,
+            w1_ref, s1_ref, b1f_ref, w2_ref, s2_ref, b2f_ref,
+            out_ref):
+    x = x_ref[:]                       # [Tp, D] f32
+    m = mask_ref[:]                    # [1, Tp] f32 (1 = valid)
+    D = x.shape[-1]
+    hd = D // n_heads
+    pad = (fsmn_k - 1) // 2
+
+    h = _ln(x, g1_ref[:], b1_ref[:])
+    qkv = _w8dot(h, wqkv_ref, sqkv_ref[:], bqkv_ref[:])   # [Tp, 3D]
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    # FSMN: depthwise centered conv as k shifted multiply-adds on the
+    # zero-padded masked values — pure VPU work on VMEM values
+    vm = v * m.reshape(-1, 1)[:T_pad]
+    zpad = jnp.zeros((pad, D), jnp.float32)
+    vp = jnp.concatenate(
+        [zpad, vm, jnp.zeros((fsmn_k - 1 - pad, D), jnp.float32)], axis=0
+    )
+    fw = fsmn_ref[:]                   # [k, D]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(fsmn_k):
+        fsmn = fsmn + vp[kk : kk + T_pad] * fw[kk]
+
+    # attention, head by head (static slices; dims contract without
+    # explicit transposes)
+    neg = (m - 1.0) * 1e9              # [1, Tp] bias over the key axis
+    inv = 1.0 / np.sqrt(hd)
+    ctxs = []
+    for hh in range(n_heads):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sc = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv + neg
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc)
+        att = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctxs.append(jax.lax.dot_general(
+            att.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+
+    ao = _w8dot(ctx + fsmn, wo_ref, so_ref[:], bo_ref[:])
+    x1 = x + ao
+    h2 = _ln(x1, g2_ref[:], b2_ref[:])
+    f1 = jnp.maximum(_w8dot(h2, w1_ref, s1_ref[:], b1f_ref[:]), 0.0)
+    f2 = _w8dot(f1, w2_ref, s2_ref[:], b2f_ref[:])
+    out_ref[:] = x1 + f2
+
+
+def sanm_layer_w8_pallas(x, mask, lp, n_heads: int, fsmn_k: int,
+                         interpret: bool = False):
+    """One SAN-M layer, fully fused. x: f32 [T, D]; mask: f32 [T];
+    lp: layer params with w8-prepared linears (wq8/ws8/b) + norms + fsmn.
+    Returns f32 [T, D]."""
+    from jax.experimental import pallas as pl
+
+    T, D = x.shape
+    Tp = -(-T // 16) * 16
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, (0, Tp - T))
+    mask2 = mask.reshape(1, Tp).astype(jnp.float32)
+
+    def row(a):  # 1-D param vectors → [1, N] for clean VMEM layout
+        return jnp.asarray(a, jnp.float32).reshape(1, -1)
+
+    args = (
+        x.astype(jnp.float32), mask2,
+        row(lp["norm1"]["g"]), row(lp["norm1"]["b"]),
+        lp["qkv"]["wq8"], row(lp["qkv"]["ws8"]), row(lp["qkv"]["b"]),
+        jnp.asarray(lp["fsmn"]["w"], jnp.float32),
+        lp["out"]["wq8"], row(lp["out"]["ws8"]), row(lp["out"]["b"]),
+        row(lp["norm2"]["g"]), row(lp["norm2"]["b"]),
+        lp["ffn1"]["wq8"], row(lp["ffn1"]["ws8"]), row(lp["ffn1"]["b"]),
+        lp["ffn2"]["wq8"], row(lp["ffn2"]["ws8"]), row(lp["ffn2"]["b"]),
+    )
+    F = lp["ffn1"]["wq8"].shape[1]
+    flops = 2 * Tp * D * (3 * D + D + 2 * F) + 4 * Tp * Tp * D
+    bytes_acc = (Tp * D * 8 + D * (3 * D + D) + 2 * D * F
+                 + 4 * (6 * D + 2 * F))
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_heads, fsmn_k, Tp),
+        out_shape=jax.ShapeDtypeStruct((Tp, D), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc, transcendentals=Tp * Tp,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:T]
+
+
+# ---------------------------------------------------------------------------
+# Whole-ENCODER kernel: the layer index is the Pallas grid dimension, so
+# Mosaic's revolving buffers DMA layer i+1's int8 weights from HBM while
+# layer i computes — the double-buffered weight stream a single-shot kernel
+# (above) cannot get. The activation lives in a persistent VMEM scratch
+# across grid steps; HBM traffic for the whole stack is x in, each layer's
+# int8 weights exactly once, y out.
+
+
+def _stack_kernel(n_heads, fsmn_k, T_pad, L,
+                  x_ref, mask_ref,
+                  g1_ref, b1_ref, wqkv_ref, sqkv_ref, bqkv_ref, fsmn_ref,
+                  wo_ref, so_ref, bo_ref, g2_ref, b2_ref,
+                  w1_ref, s1_ref, b1f_ref, w2_ref, s2_ref, b2f_ref,
+                  out_ref, xbuf):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        xbuf[:] = x_ref[:]
+
+    x = xbuf[:]
+    m = mask_ref[:]
+    D = x.shape[-1]
+    hd = D // n_heads
+    pad = (fsmn_k - 1) // 2
+
+    h = _ln(x, g1_ref[0], b1_ref[0])
+    qkv = _w8dot(h, wqkv_ref[0], sqkv_ref[0], bqkv_ref[0])
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    vm = v * m.reshape(-1, 1)[:T_pad]
+    vp = jnp.concatenate(
+        [jnp.zeros((pad, D), jnp.float32), vm,
+         jnp.zeros((fsmn_k - 1 - pad, D), jnp.float32)], axis=0
+    )
+    fw = fsmn_ref[0]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(fsmn_k):
+        fsmn = fsmn + vp[kk : kk + T_pad] * fw[kk]
+
+    neg = (m - 1.0) * 1e9
+    inv = 1.0 / np.sqrt(hd)
+    ctxs = []
+    for hh in range(n_heads):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sc = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv + neg
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc)
+        att = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctxs.append(jax.lax.dot_general(
+            att.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+
+    ao = _w8dot(ctx + fsmn, wo_ref[0], so_ref[0], bo_ref[0])
+    x1 = x + ao
+    h2 = _ln(x1, g2_ref[0], b2_ref[0])
+    f1 = jnp.maximum(_w8dot(h2, w1_ref[0], s1_ref[0], b1f_ref[0]), 0.0)
+    f2 = _w8dot(f1, w2_ref[0], s2_ref[0], b2f_ref[0])
+    y = x1 + f2
+    xbuf[:] = y
+
+    @pl.when(i == L - 1)
+    def _():
+        out_ref[:] = y
+
+
+def sanm_stack_w8_pallas(x, mask, stacked, n_heads: int, fsmn_k: int,
+                         interpret: bool = False):
+    """The whole L-layer encoder stack in ONE pallas_call. x: f32 [T, D];
+    mask: f32 [T]; stacked: stack_layer_params output (leading L axis on
+    every leaf, w8-prepared linears). Returns f32 [T, D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, D = x.shape
+    L = stacked["qkv"]["wq8"].shape[0]
+    Tp = -(-T // 16) * 16
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, (0, Tp - T))
+    mask2 = mask.reshape(1, Tp).astype(jnp.float32)
+
+    def row(a):  # [L, N] f32 per-layer vectors → [L, 1, N]
+        return jnp.asarray(a, jnp.float32).reshape(L, 1, -1)
+
+    args = (
+        x.astype(jnp.float32), mask2,
+        row(stacked["norm1"]["g"]), row(stacked["norm1"]["b"]),
+        stacked["qkv"]["wq8"], row(stacked["qkv"]["ws8"]),
+        row(stacked["qkv"]["b"]),
+        jnp.asarray(stacked["fsmn"]["w"], jnp.float32),
+        stacked["out"]["wq8"], row(stacked["out"]["ws8"]),
+        row(stacked["out"]["b"]),
+        row(stacked["norm2"]["g"]), row(stacked["norm2"]["b"]),
+        stacked["ffn1"]["wq8"], row(stacked["ffn1"]["ws8"]),
+        row(stacked["ffn1"]["b"]),
+        stacked["ffn2"]["wq8"], row(stacked["ffn2"]["ws8"]),
+        row(stacked["ffn2"]["b"]),
+    )
+
+    def whole(a):  # same full block every step
+        nd = np.ndim(a) if not hasattr(a, "ndim") else a.ndim
+        return pl.BlockSpec(tuple(a.shape), lambda i: (0,) * nd)
+
+    def per_layer(a):  # leading L axis sliced by the grid index
+        shape = (1,) + tuple(a.shape[1:])
+        nd = a.ndim
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (nd - 1))
+
+    in_specs = [whole(args[0]), whole(args[1])]
+    in_specs += [per_layer(a) for a in args[2:]]
+    F = stacked["ffn1"]["wq8"].shape[-1]
+    flops = L * (2 * Tp * D * (4 * D + 2 * F) + 4 * Tp * Tp * D)
+    bytes_acc = (Tp * D * 8
+                 + L * (D * 4 * D + 2 * D * F + 4 * (6 * D + 2 * F)))
+    out = pl.pallas_call(
+        functools.partial(_stack_kernel, n_heads, fsmn_k, Tp, L),
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Tp, D), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Tp, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc,
+            transcendentals=L * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:T]
+
+
+def fused_layer_available(cfg, params_layer) -> bool:
+    """The fused kernel covers the standard block shape: w8-prepared
+    linears, no MoE, head dim a lane multiple."""
+    return (
+        "wq8" in params_layer.get("qkv", {})
+        and "moe" not in params_layer
+        and cfg.d_model % cfg.n_heads == 0
+        and (cfg.d_model // cfg.n_heads) % 128 == 0
+    )

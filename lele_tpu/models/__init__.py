@@ -29,7 +29,11 @@ from .supertonic import (  # noqa: F401
     load_voice_style,
     normalize_text,
 )
-from .sensevoice import prepare_quantized_params  # noqa: F401
+from .sensevoice import (  # noqa: F401
+    prepare_quantized_params,
+    prepare_w8_params,
+    stack_layer_params,
+)
 from .sensevoice_stream import (  # noqa: F401
     StreamConfig,
     StreamingSenseVoice,

@@ -163,8 +163,8 @@ def cast_big_params(params, dtype) -> Params:
     tiny and feed f32 statistics. At batch 1 inference is bandwidth-bound,
     so this is ~2× on the weight-streaming floor."""
     def cast(a):
-        if a.ndim >= 2:
+        if a.ndim >= 2 and jnp.issubdtype(a.dtype, jnp.floating):
             return a.astype(dtype)
-        return a
+        return a  # int8 prepared weights / small vectors stay as-is
 
     return jax.tree.map(cast, params)

@@ -50,6 +50,13 @@ class SenseVoiceConfig:
     dtype: str = "bfloat16"
     quantized: bool = False  # dynamic-int8 linears (reference parity mode)
     quant_pallas: bool = False  # route int8 dots through the Pallas kernel
+    weight_int8: bool = False  # w8a16: int8 weights stream at half the bf16
+    #   bytes (batch-1 inference is weight-streaming-bound — docs/PERF.md);
+    #   activations stay bf16/f32, per-output-channel scales in the epilogue.
+    #   Mirrors the reference shipping SenseVoiceSmall as its int8 encoder.
+    fused_block: bool = True  # batch-1 + weight_int8 on TPU: run the WHOLE
+    #   layer as one Pallas kernel (kernels/sanm_block.py) — activations
+    #   never leave VMEM between the sub-ops of a layer
     remat: bool = False  # jax.checkpoint each block (training memory)
     n_experts: int = 0  # >0: mixture-of-experts FFN (top-1 routed); experts
     #                      shard over the "model" mesh axis (expert parallel)
@@ -143,11 +150,12 @@ def _quant_linear(p: Params, x, use_pallas: bool = False):
         colsum = jnp.sum(wi.astype(jnp.int32), axis=0, keepdims=True)
     if use_pallas and x.ndim >= 2:
         # fully fused path: quantize + int8 dot + zp-correct + dequant in
-        # one Pallas program (kernels/quant_matmul.fused_dq_matmul_pallas)
-        from ..kernels.quant_matmul import fused_dq_matmul_pallas
+        # one Pallas program; the guarded wrapper falls back to an identical
+        # jnp path when K won't fit VMEM (kernels/quant_matmul.fused_dq_matmul)
+        from ..kernels.quant_matmul import fused_dq_matmul
 
         lead = x.shape[:-1]
-        y2 = fused_dq_matmul_pallas(
+        y2 = fused_dq_matmul(
             x.reshape(-1, x.shape[-1]).astype(jnp.float32),
             wi, colsum.reshape(-1), a_scale, a_zp_f, w_scale,
         )
@@ -161,7 +169,55 @@ def _quant_linear(p: Params, x, use_pallas: bool = False):
     return y
 
 
+def _w8_linear(p: Params, x, dtype):
+    """Weight-only int8 linear (w8a16): per-output-channel dequant fused
+    into the GEMM epilogue (kernels/quant_matmul.w8_matmul — Pallas on TPU,
+    jnp dequant-dot elsewhere)."""
+    from ..kernels.quant_matmul import w8_matmul
+
+    lead = x.shape[:-1]
+    y2 = w8_matmul(
+        x.reshape(-1, x.shape[-1]).astype(dtype), p["wq8"], p["ws8"]
+    )
+    y = y2.reshape(*lead, p["wq8"].shape[-1])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
 _QUANT_LINEAR_KEYS = ("qkv", "out", "ffn1", "ffn2")
+_W8_LINEAR_KEYS = _QUANT_LINEAR_KEYS + ("ctc",)
+
+
+def prepare_w8_params(params: Params, drop_fp: bool = True) -> Params:
+    """Per-output-channel symmetric int8 quantization of every big linear
+    (layer linears + CTC head — together >99% of the weight bytes). With
+    drop_fp the f32 masters are removed, so each forward streams half the
+    bf16 bytes from HBM. The prepared-weights concept of the reference
+    (neon/quantization.rs:24) at w8a16 instead of w8a8."""
+    from ..kernels.quant_matmul import quantize_weight_int8
+
+    def prep(p):
+        wq, scale = quantize_weight_int8(p["w"], axis=0)
+        out = dict(p)
+        out["wq8"] = wq
+        out["ws8"] = scale
+        if drop_fp:
+            del out["w"]
+        return out
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (prep(v) if k in _W8_LINEAR_KEYS and isinstance(v, dict)
+                    and "w" in v else walk(v))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    return jax.jit(walk)(params)
 
 
 def prepare_quantized_params(params: Params, drop_fp: bool = False) -> Params:
@@ -202,17 +258,44 @@ def prepare_quantized_params(params: Params, drop_fp: bool = False) -> Params:
     return jax.jit(walk)(params)
 
 
+def stack_layer_params(params: Params) -> Params:
+    """[{layer}, …] → one stacked pytree (leading layer axis on every leaf)
+    for the lax.scan encoder path. Run once at load time (device-side stack),
+    NOT inside the forward — stacking per call would copy every weight."""
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *params["layers"]
+    )
+    return out
+
+
 def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
     """SAN-M: multi-head self-attention + FSMN memory conv on values.
 
     x: [B, T, D]; mask: [B, T] (1 = valid). Pre-norm residual wiring.
     """
     dt = cfg.compute_dtype
+    B, T, D = x.shape
+    if cfg.weight_int8 and cfg.fused_block and B == 1:
+        from ..kernels.quant_matmul import _on_tpu
+        from ..kernels.sanm_block import (
+            fused_layer_available,
+            sanm_layer_w8_pallas,
+        )
+
+        if fused_layer_available(cfg, p) and _on_tpu():
+            y = sanm_layer_w8_pallas(
+                x[0].astype(jnp.float32), mask[0].astype(jnp.float32), p,
+                cfg.n_heads, cfg.fsmn_kernel,
+            )
+            return y[None].astype(x.dtype)
     if cfg.quantized:
         lin = lambda pp, v: _quant_linear(pp, v, use_pallas=cfg.quant_pallas)
+    elif cfg.weight_int8:
+        lin = lambda pp, v: (_w8_linear(pp, v, dt) if "wq8" in pp
+                             else linear(pp, v, dtype=dt))
     else:
         lin = lambda pp, v: linear(pp, v, dtype=dt)
-    B, T, D = x.shape
     H = cfg.n_heads
     hd = D // H
 
@@ -220,32 +303,37 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
     qkv = lin(p["qkv"], h)
     q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
 
-    # FSMN memory branch: depthwise centered conv over values, written as
-    # K shifted multiply-adds — pure VPU work that XLA fuses, faster and
-    # more accurate (full f32) than the generic depthwise conv lowering
+    # FSMN memory branch: depthwise centered conv over masked values as ONE
+    # conv op — at batch-1 the block is op-latency-bound, so op count beats
+    # clever unrolls (slope-probe measurement, docs/PERF.md r2)
     pad = (cfg.fsmn_kernel - 1) // 2
     vm = v * mask[..., None]
-    vp = jnp.pad(vm, ((0, 0), (pad, cfg.fsmn_kernel - 1 - pad), (0, 0)))
-    fw = p["fsmn"]["w"]
-    fsmn = jnp.zeros_like(vm)
-    for kk in range(cfg.fsmn_kernel):
-        fsmn = fsmn + vp[:, kk : kk + T, :] * fw[kk]
+    fsmn = jax.lax.conv_general_dilated(
+        vm,
+        p["fsmn"]["w"][:, None, :].astype(vm.dtype),  # [k, 1, D]
+        window_strides=(1,),
+        padding=[(pad, cfg.fsmn_kernel - 1 - pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=D,
+        preferred_element_type=jnp.float32,
+    )
 
-    qh = q.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+    # transpose-free attention: head split via reshape, contractions carry
+    # the head axis inside einsum (XLA fuses the layout moves into the dots)
+    qh = q.reshape(B, T, H, hd)
+    kh = k.reshape(B, T, H, hd)
+    vh = v.reshape(B, T, H, hd)
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qh.astype(dt), kh.astype(dt),
+        "bqhd,bkhd->bhqk", qh.astype(dt), kh.astype(dt),
         preferred_element_type=jnp.float32,
     ) / np.sqrt(hd)
     neg = jnp.asarray(-1e9, jnp.float32)
     scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
     attn = jax.nn.softmax(scores, axis=-1)
     ctx_ = jnp.einsum(
-        "bhqk,bhkd->bhqd", attn.astype(dt), vh.astype(dt),
+        "bhqk,bkhd->bqhd", attn.astype(dt), vh.astype(dt),
         preferred_element_type=jnp.float32,
-    )
-    ctx_ = ctx_.transpose(0, 2, 1, 3).reshape(B, T, D)
+    ).reshape(B, T, D)
     att_out = lin(p["out"], ctx_ + fsmn)
     x = x + att_out.astype(x.dtype)
 
@@ -279,10 +367,42 @@ def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
         # rematerialize activations in backward (SURVEY brief: trade FLOPs
         # for HBM when fine-tuning deep stacks)
         block = jax.checkpoint(block)
-    for lp in p["layers"]:
-        x = block(lp, x, mask)
+    if "layers_stacked" in p:
+        stacked = p["layers_stacked"]
+        hd = cfg.d_model // cfg.n_heads
+        if (cfg.weight_int8 and cfg.fused_block and B == 1
+                and "wq8" in stacked.get("qkv", {})
+                and "moe" not in stacked and hd % 128 == 0):
+            from ..kernels.quant_matmul import _on_tpu
+
+            if _on_tpu():
+                # the whole stack as ONE grid-over-layers Pallas program:
+                # revolving buffers stream layer i+1's int8 weights during
+                # layer i's compute (kernels/sanm_block.py)
+                from ..kernels.sanm_block import sanm_stack_w8_pallas
+
+                y = sanm_stack_w8_pallas(
+                    x[0].astype(jnp.float32), mask[0].astype(jnp.float32),
+                    stacked, cfg.n_heads, cfg.fsmn_kernel,
+                )
+                x = y[None]
+                stacked = None
+        if stacked is not None:
+            # identical-shape layers as ONE lax.scan over stacked params:
+            # one block body instead of N copies — ~N× fewer kernel
+            # launches, ~N× faster compiles, weights stream once/iteration
+            def body(h, lp):
+                return block(lp, h, mask), None
+
+            x, _ = jax.lax.scan(body, x, stacked)
+    else:
+        for lp in p["layers"]:
+            x = block(lp, x, mask)
     x = layer_norm(p["after_norm"], x)
-    logits = linear(p["ctc"], x, dtype=cfg.compute_dtype)
+    if cfg.weight_int8 and "wq8" in p["ctc"]:
+        logits = _w8_linear(p["ctc"], x, cfg.compute_dtype)
+    else:
+        logits = linear(p["ctc"], x, dtype=cfg.compute_dtype)
     return logits.astype(jnp.float32)
 
 

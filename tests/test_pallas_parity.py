@@ -145,6 +145,154 @@ def test_w8_matmul_pallas_matches_dequant_matmul():
         )
 
 
+def test_guarded_wrappers_fall_back_off_tpu():
+    """fused_dq_matmul / w8_matmul must route to the jnp path on CPU (and
+    for oversized K on TPU) instead of erroring in Mosaic — VERDICT r1 #8."""
+    from lele_tpu.kernels.quant_matmul import (
+        _fused_dq_vmem_bytes,
+        _VMEM_BUDGET,
+        fused_dq_matmul,
+        quantize_weight_int8,
+        w8_matmul,
+    )
+
+    # a K so large the fused kernel's whole-K tiles cannot fit VMEM
+    big_k = 1 + _VMEM_BUDGET // (2 * 128 * 4)
+    assert _fused_dq_vmem_bytes(big_k, 128, 256, 4) > _VMEM_BUDGET
+
+    # both wrappers: CPU → jnp path; parity vs explicit composition
+    M, K, N = 9, 160, 40
+    x = rng.standard_normal((M, K)).astype(np.float32)
+    w = (rng.standard_normal((K, N)) * 0.05).astype(np.float32)
+    wq, sc = quantize_weight_int8(w)
+    want = x @ (np.asarray(wq, np.float32) * np.asarray(sc)[None, :])
+    got = np.asarray(w8_matmul(jnp.asarray(x), wq, sc))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    ws_scalar = np.abs(w).max() / 127.0
+    wq_t = np.clip(np.round(w / ws_scalar), -127, 127).astype(np.int8)
+    colsum = jnp.asarray(wq_t.astype(np.int32).sum(0))
+    q, a_scale, a_zp = dynamic_quantize_u8(jnp.asarray(x))
+    out = fused_dq_matmul(
+        jnp.asarray(x), jnp.asarray(wq_t), colsum, a_scale, a_zp,
+        jnp.float32(ws_scalar),
+    )
+    qn = np.asarray(q)
+    mm = (qn.astype(np.int64) - int(np.asarray(a_zp))) @ wq_t.astype(np.int64)
+    want2 = mm * (float(np.asarray(a_scale)) * ws_scalar)
+    np.testing.assert_allclose(np.asarray(out), want2, rtol=1e-5, atol=1e-3)
+
+
+def test_w8_model_forward_parity():
+    """SenseVoice w8a16 mode: logits within the int8 error budget of the f32
+    model (the bench-path parity gate, VERDICT r1 #2)."""
+    from lele_tpu.models import (
+        SenseVoiceConfig,
+        SenseVoiceModel,
+        prepare_w8_params,
+    )
+
+    cfg = SenseVoiceConfig(
+        n_layers=2, d_model=64, ffn_dim=128, vocab_size=60, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    pcm = (rng.standard_normal(8000) * 0.1).astype(np.float32)
+    import jax
+
+    ref = np.asarray(jax.jit(m.forward_fn())(m.params, pcm))
+
+    w8cfg = SenseVoiceConfig(**{**cfg.__dict__, "weight_int8": True})
+    m8 = SenseVoiceModel(w8cfg, params=prepare_w8_params(m.params), fbank=m.fbank)
+    got = np.asarray(jax.jit(m8.forward_fn())(m8.params, pcm))
+    assert got.shape == ref.shape
+    # per-channel int8 weights: small relative error on the logits
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.05
+    # frame argmax agreement (the CTC-decode-visible quantity)
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.95
+
+
+def test_fused_sanm_layer_matches_block():
+    """The whole-layer Pallas kernel (kernels/sanm_block.py) vs the jnp
+    block with the same w8 weights — the backend-equivalence gate for the
+    flagship's hot path."""
+    import jax
+
+    from lele_tpu.kernels.sanm_block import sanm_layer_w8_pallas
+    from lele_tpu.models import (
+        SenseVoiceConfig,
+        init_sensevoice,
+        prepare_w8_params,
+    )
+    from lele_tpu.models.sensevoice import sanm_block
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=256, ffn_dim=384, vocab_size=32, n_heads=2,
+        dtype="float32", weight_int8=True, fused_block=False,
+    )
+    params = prepare_w8_params(init_sensevoice(jax.random.PRNGKey(3), cfg))
+    lp = params["layers"][0]
+    T = 23  # ragged → exercises the Tp padding + mask
+    x = rng.standard_normal((1, T, cfg.d_model)).astype(np.float32) * 0.3
+    mask = np.ones((1, T), np.float32)
+    mask[0, -4:] = 0.0  # padded tail must not leak into valid rows
+
+    want = np.asarray(sanm_block(lp, jnp.asarray(x), jnp.asarray(mask), cfg))
+    got = np.asarray(sanm_layer_w8_pallas(
+        jnp.asarray(x[0]), jnp.asarray(mask[0]), lp,
+        cfg.n_heads, cfg.fsmn_kernel, interpret=True,
+    ))[None]
+    valid = int(mask.sum())
+    np.testing.assert_allclose(
+        got[:, :valid], want[:, :valid], rtol=2e-2,
+        atol=np.abs(want[:, :valid]).max() * 2e-2,
+    )
+
+
+def test_fused_sanm_stack_matches_per_layer():
+    """Grid-over-layers whole-encoder kernel == composing the per-layer
+    kernel (carry threading + revolving weight indexing must be exact)."""
+    import jax
+
+    from lele_tpu.kernels.sanm_block import (
+        sanm_layer_w8_pallas,
+        sanm_stack_w8_pallas,
+    )
+    from lele_tpu.models import (
+        SenseVoiceConfig,
+        init_sensevoice,
+        prepare_w8_params,
+        stack_layer_params,
+    )
+
+    cfg = SenseVoiceConfig(
+        n_layers=3, d_model=256, ffn_dim=384, vocab_size=32, n_heads=2,
+        dtype="float32", weight_int8=True,
+    )
+    params = prepare_w8_params(init_sensevoice(jax.random.PRNGKey(4), cfg))
+    stacked = stack_layer_params(params)["layers_stacked"]
+    T = 19
+    x = rng.standard_normal((T, cfg.d_model)).astype(np.float32) * 0.3
+    mask = np.ones((T,), np.float32)
+    mask[-3:] = 0.0
+
+    want = jnp.asarray(x)
+    for lp in params["layers"]:
+        want = sanm_layer_w8_pallas(want, jnp.asarray(mask), lp,
+                                    cfg.n_heads, cfg.fsmn_kernel,
+                                    interpret=True)
+    got = sanm_stack_w8_pallas(jnp.asarray(x), jnp.asarray(mask), stacked,
+                               cfg.n_heads, cfg.fsmn_kernel, interpret=True)
+    valid = int(mask.sum())
+    np.testing.assert_allclose(
+        np.asarray(got)[:valid], np.asarray(want)[:valid],
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_quantize_weight_int8_roundtrip_error_bound():
     w = rng.standard_normal((64, 32)).astype(np.float32)
     from lele_tpu.kernels.quant_matmul import quantize_weight_int8
