@@ -79,6 +79,7 @@ class Compiler:
         donate: Sequence[str] = (),
         mesh=None,
         batch_axis: int | None = None,
+        seq_axis: int | None = None,
         param_rules=None,
     ) -> CompiledModel:
         if isinstance(model, (bytes, bytearray, memoryview)):
@@ -103,6 +104,7 @@ class Compiler:
             donate=donate,
             mesh=mesh,
             batch_axis=batch_axis,
+            seq_axis=seq_axis,
             param_rules=param_rules,
         )
         import types
@@ -164,6 +166,7 @@ def compile_model(
     strict: bool | None = None,
     mesh=None,
     batch_axis: int | None = None,
+    seq_axis: int | None = None,
     param_rules=None,
 ) -> CompiledModel:
     c = Compiler()
@@ -173,4 +176,4 @@ def compile_model(
     if strict is not None:
         c.with_strict(strict)
     return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis,
-                     param_rules)
+                     seq_axis, param_rules)

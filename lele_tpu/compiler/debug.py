@@ -76,6 +76,34 @@ def profile_nodes(
     return records
 
 
+def reference_eval(
+    model: OnnxModel, inputs: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    """Eager node-by-node reference evaluation → {output_name: np.ndarray}.
+
+    The in-tree stand-in for the reference's ORT-CPU oracle
+    (tests/verify_kernels_with_ort.py pattern): no patterns, no fusion, no
+    jit — each node runs through its op emitter eagerly, so a compiled
+    program (tracer + patterns + XLA) can be gated against an execution
+    path that shares only the per-op semantics (themselves anchored to
+    ORT-printed constants in tests/test_kernel_accuracy.py)."""
+    import jax.numpy as jnp
+
+    tracer = GraphTracer(model, patterns=[])
+    state = TraceState(mode="final")
+    state.to_device = lambda name, v: jnp.asarray(_canon_np(np.asarray(v)))
+
+    env: dict = {"": None}
+    for n, v in inputs.items():
+        env[n] = jnp.asarray(_canon_np(np.asarray(v)))
+    graph = model.graph
+    outs = tracer._walk_graph(state, graph, env, "")
+    return {
+        vi.name: np.asarray(o)
+        for vi, o in zip(graph.output, outs)
+    }
+
+
 def print_breakdown(records: list[dict], top: int = 15) -> None:
     """Aggregate per op-class and print (timing.rs print() UX)."""
     by_op = defaultdict(lambda: [0.0, 0])

@@ -6,15 +6,24 @@ emits one kernel call per node. Under XLA most of those fusions are
 automatic, so the default pattern list is intentionally small (SURVEY.md §7:
 "keep explicit rewrites only where they change numerics/layout"):
 
-- ``dql_matmul_chain``: DynamicQuantizeLinear → (MatMulInteger, Mul-by-scale
-  [, Add bias][, Relu]) regrouped so the int8 dot runs through the fused
-  Pallas/XLA path with float epilogue — the analog of patterns.rs:122
-  "Quantized Linear + ReLU" and the DQL chain grouping in mod.rs:865-990.
+- ``dql_matmul_dataflow``: DynamicQuantizeLinear → MatMulInteger (+ the
+  Cast/Mul dequant epilogue) regrouped by CONSUMER-GRAPH SEARCH, not node
+  adjacency — real int8 exports interleave chain nodes, which is why the
+  reference dedicates a reorder pass to chain grouping
+  (/root/reference/src/compiler/mod.rs:865-990). Matching follows dataflow
+  edges anywhere later in the node list, weights pre-shift to i8 with
+  zero-point col-sums at trace time (the PreparedWeights concept,
+  neon/quantization.rs:24), and the dot runs fused (Pallas on TPU via the
+  guarded kernels/quant_matmul.fused_dq_matmul).
 
 A pattern is ``fn(tracer, state, nodes, i, env, scope) -> None | (consumed,
 {output_name: value})``. Returning None means "no match"; the tracer then
 falls through to override/builtin dispatch (generate.rs:818-831 precedence).
-User patterns prepend via ``Compiler.with_pattern`` in the build API.
+``consumed`` is either an int (advance that many nodes) or a collection of
+absolute node indices to skip (dataflow patterns consume non-contiguous
+nodes). Every bound value must equal what normal tracing would produce —
+patterns are optimizations, never semantic changes. User patterns prepend
+via ``Compiler.with_pattern`` in the build API.
 """
 
 from __future__ import annotations
@@ -31,87 +40,175 @@ def _node_attr(node, name, default=None):
     return default
 
 
-def dql_matmul_chain(tracer, state, nodes, i, env, scope):
-    """Fuse DynamicQuantizeLinear + MatMulInteger + scale/bias/relu epilogue.
+def _is_static(v) -> bool:
+    return v is None or isinstance(v, (np.ndarray, np.generic))
 
-    Matches the reference's quantized-linear chains (patterns.rs:122,:279;
-    node regrouping mod.rs:865-990). The fused emitter quantizes the
-    activation, runs the int8×int8→int32 dot with zero-point col-sum
-    correction, and applies the float epilogue — one XLA fusion group, no
-    u8 round-trip through HBM.
+
+def _consumers(nodes, start, name):
+    """Indices of all nodes from `start` that read `name`."""
+    return [j for j in range(start, len(nodes)) if name in nodes[j].input]
+
+
+def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
+    """Fuse DynamicQuantizeLinear-rooted int8 matmul chains via dataflow.
+
+    At a DQL node, every MatMulInteger consuming its quantized output —
+    anywhere later, interleaved or not — is fused: the activation quantizes
+    once, weights/zero-points pre-pack at trace time, and when the standard
+    Cast→Mul(scale) dequant epilogue is found it folds into the fused
+    f32 GEMM (kernels/quant_matmul.fused_dq_matmul: Pallas on TPU).
+    Consumers the epilogue search can't claim still get the int8-dot int32
+    result with hoisted col-sums. DQL outputs (q/scale/zp) are always bound,
+    so unrelated consumers keep exact ONNX semantics and XLA DCEs what's
+    unused.
     """
     node = nodes[i]
     if node.op_type != "DynamicQuantizeLinear":
         return None
-    a_name = node.input[0]
+    a = env[node.input[0]]
+    if _is_static(a):
+        return None  # fully static — normal folding handles it
     q_name, scale_name, zp_name = (list(node.output) + ["", ""])[:3]
-    # find the MatMulInteger consuming our quantized output
-    if i + 1 >= len(nodes):
-        return None
-    mmi = nodes[i + 1]
-    if mmi.op_type != "MatMulInteger" or mmi.input[0] != q_name:
-        return None
-    b_name = mmi.input[1]
-    b_zp_name = mmi.input[3] if len(mmi.input) > 3 else ""
-    b = env.get(b_name)
-    if b is None:
-        return None
-    # scale multiply follows (a_scale * b_scale or combined)
-    j = i + 2
-    consumed_outputs = {}
-    mm_out = mmi.output[0]
-    # optional Cast(int32→float) before the Mul
-    cast_out = mm_out
-    if j < len(nodes) and nodes[j].op_type == "Cast" and nodes[j].input[0] == mm_out:
-        cast_out = nodes[j].output[0]
-        j += 1
-    if j >= len(nodes) or nodes[j].op_type != "Mul":
-        return None
-    mul = nodes[j]
-    if cast_out not in mul.input:
-        return None
-    other = mul.input[1] if mul.input[0] == cast_out else mul.input[0]
-    j += 1
 
-    from ..kernels.quant_matmul import fused_dynamic_quant_matmul
-
-    a = env[a_name]
-    if isinstance(a, (np.ndarray, np.generic)):
-        return None  # fully static — let normal folding handle it
-    b_dev = state.to_device(scope + b_name, np.asarray(b))
-    bzp = env.get(b_zp_name) if b_zp_name else None
-    bzp_dev = None
-    if bzp is not None:
-        bzp_dev = (
-            state.to_device(scope + b_zp_name, np.asarray(bzp))
-            if isinstance(bzp, (np.ndarray, np.generic))
-            else bzp
-        )
-    # the Mul's other operand: either b_scale const or a dynamic combined scale
-    scale_other = env.get(other)
-    if scale_other is None:
+    # every MatMulInteger fed by our quantized activation, with static
+    # weight/zero-points and our zp as the activation zero point
+    matches = []
+    for j in _consumers(nodes, i + 1, q_name):
+        mmi = nodes[j]
+        if mmi.op_type != "MatMulInteger" or mmi.input[0] != q_name:
+            continue
+        b = env.get(mmi.input[1])
+        azp_n = mmi.input[2] if len(mmi.input) > 2 else ""
+        bzp_n = mmi.input[3] if len(mmi.input) > 3 else ""
+        bzp = env.get(bzp_n) if bzp_n else None
+        if b is None or not _is_static(b) or np.ndim(b) != 2:
+            continue
+        if azp_n and azp_n != zp_name:
+            continue
+        if bzp_n and not _is_static(bzp):
+            continue
+        matches.append((j, mmi, b, bzp))
+    if not matches:
         return None
-    if isinstance(scale_other, (np.ndarray, np.generic)):
-        scale_other_v = state.to_device(scope + other, np.asarray(scale_other))
-    else:
-        # dynamic scale operand must be exactly a_scale (then b folded to 1)
-        scale_other_v = scale_other
-    out, a_scale, a_zp = fused_dynamic_quant_matmul(a, b_dev, bzp_dev, scale_other_v)
-    consumed_outputs[mm_out] = None
-    results = {
-        q_name: None,  # not materialized; consumers beyond the chain re-trigger
-        scale_name: a_scale,
-        mul.output[0]: out,
-    }
+
+    import jax.numpy as jnp
+
+    from ..kernels.quant_matmul import dynamic_quantize_u8, fused_dq_matmul
+
+    q_f, a_scale, a_zp_f = dynamic_quantize_u8(a)
+    results = {q_name: q_f.astype(jnp.uint8)}
+    if scale_name:
+        results[scale_name] = a_scale
     if zp_name:
-        results[zp_name] = a_zp
-    # only commit if intermediate q/mm outputs have no other consumers
-    later = nodes[j:]
-    used_later = {n for nd in later for n in nd.input}
-    if q_name in used_later or mm_out in used_later or cast_out in used_later:
+        results[zp_name] = a_zp_f.astype(jnp.uint8)
+    consumed = {i}
+    ai = (q_f - 128.0).astype(jnp.int8)  # u8→i8 domain shift (XLA CSEs)
+    a_zp_i = (a_zp_f - 128.0).astype(jnp.int32)
+
+    for j, mmi, b, bzp in matches:
+        mm_out = mmi.output[0]
+        # prepared weights at trace time: i8 shift + zero-point col-sums
+        b_np = np.asarray(b)
+        if b_np.dtype == np.uint8:
+            bi_np = (b_np.astype(np.int32) - 128).astype(np.int8)
+            bzp_i = (np.asarray(bzp).astype(np.int32) - 128) if bzp is not None \
+                else np.int32(-128)
+        else:
+            bi_np = b_np.astype(np.int8)
+            bzp_i = np.asarray(bzp).astype(np.int32) if bzp is not None \
+                else np.int32(0)
+        colsum_np = bi_np.astype(np.int32).sum(axis=-2)
+        bi_dev = state.to_device(scope + mmi.input[1] + "::i8", bi_np)
+        colsum_dev = state.to_device(scope + mmi.input[1] + "::colsum", colsum_np)
+        clean_bzp = bool(np.all(bzp_i == 0))
+
+        epi = _match_dequant_epilogue(
+            nodes, j, mm_out, env, scale_name, state.graph_outputs
+        ) if clean_bzp else None
+
+        if epi is not None:
+            jc, jm, jp, mul_out, combined_out, b_scale = epi
+            lead = a.shape[:-1]
+            out2 = fused_dq_matmul(
+                a.reshape(-1, a.shape[-1]).astype(jnp.float32),
+                bi_dev, colsum_dev, a_scale, a_zp_f,
+                jnp.asarray(np.float32(b_scale)),
+            )
+            results[mul_out] = out2.reshape(*lead, bi_np.shape[-1])
+            consumed.update({j, jc, jm})
+            if jp is not None:
+                # scalar a_scale×b_scale node: bind (others may read it)
+                results[combined_out] = a_scale * jnp.float32(b_scale)
+                consumed.add(jp)
+            state.pattern_hits["dql_fused_epilogue"] = (
+                state.pattern_hits.get("dql_fused_epilogue", 0) + 1
+            )
+        else:
+            # int32-level fusion: exact MatMulInteger semantics with the
+            # col-sums precomputed at trace time instead of per forward
+            c = jnp.matmul(ai, bi_dev, preferred_element_type=jnp.int32)
+            c = c - a_zp_i * colsum_dev.reshape(
+                (1,) * (c.ndim - 1) + (-1,)
+            )
+            if not clean_bzp:
+                k = a.shape[-1]
+                rowsum = jnp.sum(ai.astype(jnp.int32), axis=-1, keepdims=True)
+                bzp_t = jnp.asarray(bzp_i).reshape(1, -1) if np.ndim(bzp_i) \
+                    else jnp.int32(bzp_i)
+                c = c - bzp_t * rowsum + k * a_zp_i * bzp_t
+            results[mm_out] = c
+            consumed.add(j)
+            state.pattern_hits["dql_fused_int32"] = (
+                state.pattern_hits.get("dql_fused_int32", 0) + 1
+            )
+
+    return consumed, results
+
+
+def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
+    """Find the standard dequant epilogue of a MatMulInteger by dataflow:
+    Cast(int32→f32) → Mul(·, b_scale or Mul(a_scale, b_scale)). Returns
+    (cast_idx, mul_idx, combined_idx|None, mul_out, combined_out, b_scale)
+    or None. Only claims nodes whose intermediates have no consumers outside
+    the chain and aren't graph outputs (we don't materialize them)."""
+    if mm_out in graph_outputs:
         return None
-    results.pop(q_name)
-    return j - i, results
+    cons = _consumers(nodes, j + 1, mm_out)
+    if len(cons) != 1 or nodes[cons[0]].op_type != "Cast":
+        return None
+    jc = cons[0]
+    cast = nodes[jc]
+    if cast.input[0] != mm_out or _node_attr(cast, "to", 1) != 1:
+        return None
+    cast_out = cast.output[0]
+    if cast_out in graph_outputs:
+        return None
+    cons = _consumers(nodes, j + 1, cast_out)
+    if len(cons) != 1 or nodes[cons[0]].op_type != "Mul":
+        return None
+    jm = cons[0]
+    mul = nodes[jm]
+    other = mul.input[1] if mul.input[0] == cast_out else mul.input[0]
+
+    # the scale operand: a static b_scale, or Mul(a_scale, static b_scale)
+    sv = env.get(other)
+    if sv is not None and _is_static(sv) and np.asarray(sv).size == 1:
+        return jc, jm, None, mul.output[0], "", float(np.asarray(sv))
+    jp = next(
+        (jx for jx in range(len(nodes))
+         if other in nodes[jx].output and nodes[jx].op_type == "Mul"),
+        None,
+    )
+    if jp is None:
+        return None
+    smul = nodes[jp]
+    if scale_name not in smul.input:
+        return None
+    const_n = smul.input[1] if smul.input[0] == scale_name else smul.input[0]
+    cv = env.get(const_n)
+    if cv is None or not _is_static(cv) or np.asarray(cv).size != 1:
+        return None
+    return jc, jm, jp, mul.output[0], smul.output[0], float(np.asarray(cv))
 
 
-DEFAULT_PATTERNS: list = [dql_matmul_chain]
+DEFAULT_PATTERNS: list = [dql_matmul_dataflow]

@@ -67,6 +67,11 @@ class TraceState:
     warned: set = field(default_factory=set)
     n_nodes: int = 0
     n_folded: int = 0
+    # per-pattern fusion hit counts (observable via CompiledModel.stats)
+    pattern_hits: dict[str, int] = field(default_factory=dict)
+    # output names of the graph currently being walked (patterns must not
+    # consume nodes whose outputs the graph re-exports)
+    graph_outputs: frozenset = frozenset()
 
     def to_device(self, name: str, v: np.ndarray):
         import jax.numpy as jnp
@@ -479,8 +484,20 @@ class GraphTracer:
         for t in graph.initializer:
             env[t.name] = tensor_to_array(t)
         nodes = list(graph.node)
+        prev_outputs = state.graph_outputs
+        state.graph_outputs = frozenset(vi.name for vi in graph.output)
+        try:
+            return self._walk_nodes(state, nodes, env, scope, graph)
+        finally:
+            state.graph_outputs = prev_outputs
+
+    def _walk_nodes(self, state: TraceState, nodes, env, scope: str, graph):
         i = 0
+        skipped: set[int] = set()  # nodes consumed by dataflow patterns
         while i < len(nodes):
+            if i in skipped:
+                i += 1
+                continue
             consumed = 0
             for pattern in self.patterns:
                 res = pattern(self, state, nodes, i, env, scope)
@@ -488,9 +505,15 @@ class GraphTracer:
                     consumed, results = res
                     for out_name, val in results.items():
                         env[out_name] = val
+                    name = getattr(pattern, "__name__", "pattern")
+                    state.pattern_hits[name] = state.pattern_hits.get(name, 0) + 1
                     break
             if consumed:
-                i += consumed
+                if isinstance(consumed, int):
+                    i += consumed
+                else:  # absolute indices, possibly non-contiguous
+                    skipped.update(consumed)
+                    skipped.add(i)
                 continue
             node = nodes[i]
             try:
@@ -556,6 +579,7 @@ class GraphTracer:
             "n_folded": discover.n_folded,
             "n_params": len(params),
             "param_bytes": int(sum(v.nbytes for v in params.values())),
+            "pattern_hits": dict(discover.pattern_hits),
         }
 
         def final_fn(params_dict, inputs: dict):
