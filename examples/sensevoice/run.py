@@ -30,6 +30,11 @@ from lele_tpu.utils.wav import read_wav  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("wav", nargs="?", default="/root/reference/fixtures/zh.wav")
+    ap.add_argument("--onnx", default=None, metavar="PATH",
+                    help="run a real checkpoint through the compiler "
+                         "(fixtures/sensevoice.onnx or the published "
+                         "SenseVoiceSmall export) instead of the "
+                         "random-init native model")
     ap.add_argument("--layers", type=int, default=50)
     ap.add_argument("--quantized", action="store_true")
     ap.add_argument("--runs", type=int, default=10)
@@ -49,6 +54,31 @@ def main():
         sr = 16000
         pcm = (np.sin(np.arange(sr * 5) / 20) * 0.1).astype(np.float32)
     audio_s = len(pcm) / sr
+
+    if args.onnx:
+        from lele_tpu.models.checkpoints import SenseVoiceOnnx
+
+        sv = SenseVoiceOnnx(args.onnx)
+        t0 = time.perf_counter()
+        ids = sv.transcribe(np.asarray(pcm, np.float32))
+        cold = time.perf_counter() - t0
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            ids = sv.transcribe(np.asarray(pcm, np.float32))
+            times.append(time.perf_counter() - t0)
+        st = bench_stats(times)
+        if args.vocab:
+            from lele_tpu.utils.tokenizer import CtcTokenizer
+
+            print(f"transcript: {CtcTokenizer.load(args.vocab).decode(ids)!r}")
+        else:
+            print(f"decoded tokens: {len(ids)} (first 16: {ids[:16]})")
+        print(
+            f"steady RTF {st['mean'] / audio_s:.6f} (cold {cold / audio_s:.4f})"
+            f" | p50 {st['p50'] * 1000:.2f}ms min {st['min'] * 1000:.2f}"
+        )
+        return
 
     cfg = SenseVoiceConfig(n_layers=args.layers, quantized=args.quantized)
     model = SenseVoiceModel(cfg)

@@ -29,6 +29,9 @@ from lele_tpu.utils.wav import read_wav  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("wav", nargs="?", default="/root/reference/fixtures/zh.wav")
+    ap.add_argument("--onnx", default=None, metavar="PATH",
+                    help="run a real checkpoint (fixtures/silero.onnx or the "
+                         "published Silero VAD export) through the compiler")
     ap.add_argument("--threshold", type=float, default=0.3)
     args = ap.parse_args()
 
@@ -44,6 +47,27 @@ def main():
              np.zeros(sr, np.float32)]
         )
     print(f"audio: {len(pcm) / sr:.2f}s @ {sr} Hz")
+
+    if args.onnx:
+        from lele_tpu.models import VadSegmentConfig, collect_segments
+        from lele_tpu.models.checkpoints import SileroOnnx
+
+        vad = SileroOnnx(args.onnx)
+        t0 = time.perf_counter()
+        probs = vad.speech_probs(pcm, sr=16000)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        probs = vad.speech_probs(pcm, sr=16000)
+        steady = time.perf_counter() - t0
+        audio_s = len(pcm) / sr
+        print(f"chunks: {len(probs)}  prob range "
+              f"[{probs.min():.3f}, {probs.max():.3f}]")
+        for s, e in collect_segments(
+            probs, VadSegmentConfig(threshold=args.threshold)
+        ):
+            print(f"  speech {s:.2f}s – {e:.2f}s")
+        print(f"RTF: {steady / audio_s:.6f} (cold {cold / audio_s:.6f})")
+        return
 
     vad = SileroVad(SileroConfig(sample_rate=sr if sr in (8000, 16000) else 16000))
     vad.init(0)

@@ -39,7 +39,38 @@ def main():
                     help="floor on latent frames per chunk (random-init "
                          "duration models predict ~0; set e.g. 256 for a "
                          "realistic-length benchmark)")
+    ap.add_argument("--onnx-dir", default=None, metavar="DIR",
+                    help="directory with supertonic_{dp,te,ve,voc}.onnx "
+                         "(fixtures/ or real exports): chain the 4 compiled "
+                         "sub-models instead of the native model")
     args = ap.parse_args()
+
+    if args.onnx_dir:
+        from lele_tpu.models.checkpoints import SupertonicOnnx
+        from lele_tpu.onnx.loader import OnnxModel
+
+        from lele_tpu.compiler import resolve_input_specs
+
+        st = SupertonicOnnx(args.onnx_dir)
+        d = Path(args.onnx_dir)
+        # derive token/style dims from the checkpoint's own signature
+        specs = resolve_input_specs(OnnxModel.load(str(d / "supertonic_dp.onnx")))
+        tn = int(specs["ids"][0][1])
+        d_style = int(specs["style"][0][1])
+        rng = np.random.default_rng(0)
+        ids = rng.integers(2, 90, (1, tn)).astype(np.int64)
+        style = rng.standard_normal((1, d_style)).astype(np.float32)
+        mask = np.ones((1, tn), np.float32)
+        t0 = time.perf_counter()
+        dur, wave = st.synthesize_latent(ids, style, mask, latent_len=32)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dur, wave = st.synthesize_latent(ids, style, mask, latent_len=32)
+        steady = time.perf_counter() - t0
+        print(f"durations sum {float(np.sum(dur)):.2f}, wave {wave.shape}")
+        print(f"[OVERHEAD] steady synth: {steady * 1000:.1f} ms "
+              f"(cold {cold * 1000:.0f} ms)")
+        return
 
     cfg = SupertonicConfig()
     if args.v3:

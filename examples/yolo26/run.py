@@ -28,6 +28,9 @@ from lele_tpu.utils.image import load_image, preprocess_u8  # noqa: E402
 def run(segmentation: bool = False):
     ap = argparse.ArgumentParser()
     ap.add_argument("image", nargs="?", default="/root/reference/fixtures/bus.jpg")
+    ap.add_argument("--onnx", default=None, metavar="PATH",
+                    help="run a real checkpoint (fixtures/yolo26.onnx or the "
+                         "published YOLO26 export) through the compiler")
     ap.add_argument("--threshold", type=float, default=0.25)
     ap.add_argument("--runs", type=int, default=10)
     args = ap.parse_args()
@@ -39,6 +42,27 @@ def run(segmentation: bool = False):
         img = (np.random.default_rng(0).random((480, 640, 3)) * 255).astype(np.uint8)
     x = preprocess_u8(img, 640)  # u8 transfer; /255 on device
     print(f"image {img.shape} → {x.shape} ({x.dtype})")
+
+    if args.onnx:
+        from lele_tpu.models.checkpoints import YoloOnnx
+
+        yo = YoloOnnx(args.onnx)
+        t0 = time.perf_counter()
+        dets = yo.detect(img, args.threshold)
+        cold = time.perf_counter() - t0
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            dets = yo.detect(img, args.threshold)
+            times.append(time.perf_counter() - t0)
+        print(f"detections ≥{args.threshold}: {len(dets)}")
+        for d in dets[:5]:
+            print(f"  class {d['class_id']} score {d['score']:.3f} xyxy "
+                  f"({', '.join(f'{v:.0f}' for v in d['xyxy'])})")
+        avg = float(np.mean(times))
+        print(f"avg {avg * 1000:.2f} ms/frame (cold {cold * 1000:.0f} ms), "
+              f"RTF@30fps {avg / (1 / 30):.4f}")
+        return
 
     model = Yolo26Model(Yolo26Config(segmentation=segmentation))
     model.init(0)

@@ -1,0 +1,199 @@
+"""Run REAL ONNX checkpoints through the compiler with each family's
+pipeline around them (VERDICT r1 #1: `--onnx PATH` runners).
+
+Each adapter introspects the checkpoint's input signature, so the same code
+runs both the committed real-topology fixtures (scripts/make_fixtures.py)
+and the actual published exports — dropping SenseVoiceSmall / Silero /
+YOLO26 / Supertonic files in requires zero code changes. Reference
+pipelines: examples/{sensevoice,silero,yolo26,supertonic}/src/main.rs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def _collapse(ids, blank_id=0):
+    out, prev = [], -1
+    for t in ids:
+        t = int(t)
+        if t != prev and t != blank_id:
+            out.append(t)
+        prev = t
+    return out
+
+
+class SenseVoiceOnnx:
+    """WAV → CTC ids through a compiled SenseVoice-class encoder.
+
+    Handles both the real FunASR 4-input signature
+    (speech/speech_lengths/language/textnorm — main.rs:56-246) and
+    plain speech-only exports. Frame counts pad to buckets so compile count
+    stays bounded (runtime/bucketing design)."""
+
+    FRAME_BUCKET = 32
+
+    def __init__(self, path: str | Path, language: int = 3, textnorm: int = 0):
+        from ..onnx.loader import OnnxModel
+
+        self.model = OnnxModel.load(str(path))
+        self.in_names = self.model.input_names()
+        self.language = language
+        self.textnorm = textnorm
+        self._cms: dict[int, object] = {}
+        from ..features import FbankConfig, FbankFrontend
+
+        self.frontend = FbankFrontend(FbankConfig())
+
+    def _compiled(self, t_pad: int):
+        if t_pad not in self._cms:
+            from ..compiler import compile_model
+
+            shapes = {"speech": (1, t_pad, 560)}
+            self._cms[t_pad] = compile_model(self.model, input_shapes=shapes)
+        return self._cms[t_pad]
+
+    def features(self, pcm: np.ndarray) -> np.ndarray:
+        return np.asarray(self.frontend(np.asarray(pcm, np.float32)))[None]
+
+    def logits(self, pcm: np.ndarray) -> np.ndarray:
+        feats = self.features(pcm)
+        t = feats.shape[1]
+        t_pad = -(-t // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        padded = np.zeros((1, t_pad, feats.shape[2]), np.float32)
+        padded[:, :t] = feats
+        cm = self._compiled(t_pad)
+        kwargs = {"speech": padded}
+        if "speech_lengths" in self.in_names:
+            kwargs["speech_lengths"] = np.asarray([t], np.int64)
+        if "language" in self.in_names:
+            kwargs["language"] = np.asarray([self.language], np.int32)
+        if "textnorm" in self.in_names:
+            kwargs["textnorm"] = np.asarray([self.textnorm], np.int32)
+        outs = cm.run_np(**{k: v for k, v in kwargs.items()
+                            if k in self.in_names})
+        logits = np.asarray(outs[0])
+        n_prefix = logits.shape[1] - t_pad
+        return logits[:, : n_prefix + t]
+
+    def transcribe(self, pcm: np.ndarray, blank_id: int = 0,
+                   n_prefix: int | None = None) -> list[int]:
+        logits = self.logits(pcm)
+        if n_prefix is None:
+            t = self.features(pcm).shape[1]
+            n_prefix = max(0, logits.shape[1] - t)
+        frame_ids = logits[0, n_prefix:].argmax(-1)
+        return _collapse(frame_ids, blank_id)
+
+
+class SileroOnnx:
+    """Streaming VAD over a compiled Silero-class checkpoint: 512-sample
+    chunks, packed [2,1,128] recurrent state (donated buffer — the
+    workspace-reuse analog), dual-sr If handled inside the graph
+    (main.rs:96-131)."""
+
+    def __init__(self, path: str | Path, chunk: int = 512, scale: float = 32768.0):
+        from ..compiler import compile_model
+
+        self.cm = compile_model(str(path), donate=["state"])
+        self.in_names = list(self.cm.input_order)
+        self.chunk = chunk
+        self.scale = scale
+
+    def speech_probs(self, pcm: np.ndarray, sr: int = 16000,
+                     max_chunks: int | None = None) -> np.ndarray:
+        state = np.zeros((2, 1, 128), np.float32)
+        n = len(pcm) // self.chunk
+        if max_chunks is not None:
+            n = min(n, max_chunks)
+        probs = np.zeros(n, np.float32)
+        sr_arr = np.asarray([sr], np.int64)
+        for i in range(n):
+            x = (pcm[i * self.chunk : (i + 1) * self.chunk] * self.scale)
+            out = self.cm.run_np(x[None].astype(np.float32), state, sr_arr)
+            probs[i] = float(np.asarray(out[0]).reshape(-1)[0])
+            state = out[1]
+        return probs
+
+    def segments(self, pcm: np.ndarray, sr: int = 16000, threshold=0.3):
+        from .silero import VadSegmentConfig, collect_segments
+
+        probs = self.speech_probs(pcm, sr)
+        return collect_segments(
+            probs,
+            VadSegmentConfig(threshold=threshold, sample_rate=sr,
+                             chunk=self.chunk),
+        )
+
+
+class YoloOnnx:
+    """Compiled YOLO-class detector: image → NMS-free decode
+    (main.rs:41-118; logits/boxes either as two outputs or one [1,300,4+C])."""
+
+    def __init__(self, path: str | Path, img_size: int = 640):
+        from ..compiler import compile_model
+        from ..onnx.loader import OnnxModel
+
+        model = OnnxModel.load(str(path))
+        name = model.input_names()[0]
+        self.cm = compile_model(
+            model, input_shapes={name: (1, 3, img_size, img_size)}
+        )
+        self.img_size = img_size
+
+    def forward(self, x_chw: np.ndarray):
+        return self.cm.run_np(np.asarray(x_chw, np.float32))
+
+    def detect(self, image: np.ndarray, threshold: float = 0.25):
+        from ..utils.image import preprocess
+
+        x = preprocess(image, self.img_size)  # [1, H, W, 3] float
+        x = np.transpose(np.asarray(x), (0, 3, 1, 2))  # ONNX NCHW
+        outs = self.forward(x)
+        from . import decode_detections
+
+        if len(outs) >= 2 and np.ndim(outs[1]) == 3 and outs[1].shape[-1] == 4:
+            logits, boxes = np.asarray(outs[0]), np.asarray(outs[1])
+        else:  # single [1, N, 4+C]
+            y = np.asarray(outs[0])
+            boxes, logits = y[..., :4], y[..., 4:]
+        return decode_detections(logits, boxes, threshold)
+
+
+class SupertonicOnnx:
+    """The 4-sub-model TTS chained through compiled programs with the
+    5-step flow-matching loop on device values (main.rs:124-285)."""
+
+    def __init__(self, model_dir: str | Path, steps: int = 5):
+        from ..compiler import compile_model
+
+        d = Path(model_dir)
+        self.dp = compile_model(str(d / "supertonic_dp.onnx"))
+        self.te = compile_model(str(d / "supertonic_te.onnx"))
+        self.ve = compile_model(str(d / "supertonic_ve.onnx"))
+        self.voc = compile_model(str(d / "supertonic_voc.onnx"))
+        self.steps = steps
+
+    def synthesize_latent(self, ids, style, mask, latent_len: int, seed=0):
+        """ids [1,Tn] i64; style [1,S]; mask [1,Tn] → wave [1, T_wav]."""
+        (dur,) = self.dp.run_np(ids, style, mask)
+        (emb,) = self.te.run_np(ids, style, mask)
+        emb = np.asarray(emb, np.float32)
+        # nearest upsample of text emb to the latent length (host-side,
+        # mirrors the reference's latent construction)
+        idx = np.minimum(
+            (np.arange(latent_len) * emb.shape[-1] // latent_len),
+            emb.shape[-1] - 1,
+        )
+        emb_l = emb[..., idx]
+        rng = np.random.default_rng(seed)
+        xt = rng.standard_normal(
+            (1, emb.shape[1], latent_len)).astype(np.float32)
+        for s in range(self.steps):
+            t_step = np.asarray([s / self.steps], np.float32)
+            (v,) = self.ve.run_np(xt, emb_l, style, t_step)
+            xt = xt + np.asarray(v, np.float32) / self.steps
+        (wave,) = self.voc.run_np(xt)
+        return np.asarray(dur), np.asarray(wave)

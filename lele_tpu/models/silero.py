@@ -184,6 +184,98 @@ class SileroVad:
         probs, _ = fn(self.params, chunks)
         return np.asarray(probs)
 
+    def segments_fn(self, n_chunks: int, seg_cfg: "VadSegmentConfig",
+                    sr: int = 16000, max_segments: int = 64):
+        """Whole pipeline — features, LSTM scan, AND the hysteresis segment
+        automaton — as ONE device program. The readback is a fixed
+        [max_segments, 2] seconds buffer + count instead of [N] probs, so a
+        remote/tunneled TPU pays one tiny transfer (VERDICT r1 #10; the
+        reference collects segments host-side, main.rs:151-228)."""
+        key = ("segments", sr, n_chunks, max_segments,
+               seg_cfg.threshold, seg_cfg.neg_threshold,
+               seg_cfg.min_silence_ms, seg_cfg.min_speech_ms)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        inner = self.scan_fn(n_chunks, sr)
+        chunk_s = seg_cfg.chunk / seg_cfg.sample_rate
+        thr = seg_cfg.threshold
+        neg = seg_cfg.neg_threshold
+        min_sil = seg_cfg.min_silence_ms / 1000.0
+        min_speech = seg_cfg.min_speech_ms / 1000.0
+
+        def fn(params, chunks):
+            probs, state = inner(params, chunks)
+
+            def emit(segs, count, start, end):
+                ok = jnp.logical_and(end - start >= min_speech,
+                                     count < max_segments)
+                row = jnp.stack([start, end])[None]
+                upd = jax.lax.dynamic_update_slice(
+                    segs, row, (jnp.minimum(count, max_segments - 1), 0)
+                )
+                return (jnp.where(ok, upd, segs),
+                        count + jnp.where(ok, 1, 0))
+
+            def step(carry, inp):
+                in_speech, start, sil, count, segs = carry
+                i, p = inp
+                t = i * chunk_s
+                # entering speech
+                enter = jnp.logical_and(~in_speech, p >= thr)
+                start = jnp.where(enter, t, start)
+                sil = jnp.where(enter, 0.0, sil)
+                # inside speech: track silence run / reset
+                below = jnp.logical_and(in_speech, p < neg)
+                sil = jnp.where(below, sil + chunk_s,
+                                jnp.where(in_speech, 0.0, sil))
+                close = jnp.logical_and(below, sil >= min_sil)
+                end = t + chunk_s - sil
+                segs2, count2 = emit(segs, count, start, end)
+                segs = jnp.where(close, segs2, segs)
+                count = jnp.where(close, count2, count)
+                in_speech = jnp.where(close, False,
+                                      jnp.logical_or(in_speech, enter))
+                return (in_speech, start, sil, count, segs), None
+
+            init = (
+                jnp.asarray(False), jnp.float32(0.0), jnp.float32(0.0),
+                jnp.int32(0), jnp.zeros((max_segments, 2), jnp.float32),
+            )
+            idx = jnp.arange(n_chunks, dtype=jnp.float32)
+            (in_speech, start, sil, count, segs), _ = jax.lax.scan(
+                step, init, (idx, probs)
+            )
+            # flush a trailing open segment
+            segs2, count2 = emit(segs, count, start,
+                                 jnp.float32(n_chunks * chunk_s))
+            segs = jnp.where(in_speech, segs2, segs)
+            count = jnp.where(in_speech, count2, count)
+            return segs, count, state
+
+        jitted = jax.jit(fn)
+        self._fn_cache[key] = jitted
+        return jitted
+
+    def segments(self, pcm: np.ndarray,
+                 seg_cfg: "VadSegmentConfig | None" = None,
+                 sr: int = 16000) -> list[tuple[float, float]]:
+        """WAV → merged speech segments with the automaton ON DEVICE; host
+        only pads+merges the (tiny) raw segment list."""
+        seg_cfg = seg_cfg or VadSegmentConfig()
+        cfg = self.cfg
+        n = (len(pcm) - cfg.context) // cfg.chunk
+        if n <= 0:
+            return []
+        idx = (
+            np.arange(n)[:, None] * cfg.chunk
+            + np.arange(cfg.chunk + cfg.context)[None, :]
+        )
+        chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
+        fn = self.segments_fn(n, seg_cfg, sr)
+        segs, count, _ = fn(self.params, chunks)
+        raw = np.asarray(segs)[: int(count)]
+        return _pad_and_merge(raw, seg_cfg)
+
 
 @dataclass
 class VadSegmentConfig:
@@ -232,11 +324,15 @@ def collect_segments(probs: np.ndarray, cfg: VadSegmentConfig) -> list[tuple[flo
         end = len(probs) * chunk_s
         if end - start >= min_speech:
             raw.append([start, end])
-    # pad + merge
+    return _pad_and_merge(raw, cfg)
+
+
+def _pad_and_merge(raw, cfg: VadSegmentConfig) -> list[tuple[float, float]]:
+    pad = cfg.pad_ms / 1000.0
     merged: list[list[float]] = []
     merge_gap = cfg.merge_ms / 1000.0
     for seg in raw:
-        s, e = max(0.0, seg[0] - pad), seg[1] + pad
+        s, e = max(0.0, float(seg[0]) - pad), float(seg[1]) + pad
         if merged and s - merged[-1][1] <= merge_gap:
             merged[-1][1] = e
         else:

@@ -26,12 +26,18 @@ class CompiledModel:
         donate: Sequence[str] = (),
         mesh=None,
         batch_axis: int | None = None,
+        seq_axis: int | None = None,
         param_rules=None,
     ):
         """mesh + batch_axis: data-parallel inference — params replicate
         across the mesh's "data" axis and every input/output shards on
         `batch_axis`; XLA inserts the ICI collectives. (No reference
         counterpart — lele is single-core; SURVEY.md §2.6.)
+
+        seq_axis: sequence parallelism for compiled graphs — inputs whose
+        `seq_axis` dim divides the mesh's "seq" axis shard along it, so
+        activations stay time-sharded and GSPMD inserts the attention
+        all-gathers (the scaling-book recipe applied to an ONNX program).
 
         param_rules: optional callable (param_name, shape) → PartitionSpec
         for tensor-parallel placement of the hoisted ONNX weights (e.g.
@@ -58,12 +64,17 @@ class CompiledModel:
             ax = 0 if batch_axis is None else batch_axis
 
             def spec_for(name):
-                rank = len(input_specs[name][0])
-                if rank > ax and input_specs[name][0][ax] % mesh.shape["data"] == 0:
-                    parts = [None] * rank
+                shape = input_specs[name][0]
+                rank = len(shape)
+                parts = [None] * rank
+                if ("data" in mesh.shape and rank > ax
+                        and shape[ax] % mesh.shape["data"] == 0):
                     parts[ax] = "data"
-                    return NamedSharding(mesh, P(*parts))
-                return NamedSharding(mesh, P())
+                if (seq_axis is not None and "seq" in mesh.shape
+                        and rank > seq_axis and seq_axis != ax
+                        and shape[seq_axis] % mesh.shape["seq"] == 0):
+                    parts[seq_axis] = "seq"
+                return NamedSharding(mesh, P(*parts))
 
             self._in_shard = {n: spec_for(n) for n in self.input_order}
             param_sharding = NamedSharding(mesh, P())

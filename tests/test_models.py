@@ -129,6 +129,30 @@ def test_vad_segment_collector_hysteresis():
     assert len(collect_segments(probs3, cfg)) == 1
 
 
+def test_device_segmenter_matches_host_collector():
+    """segments(): the hysteresis automaton runs INSIDE the scan program
+    (VERDICT r1 #10); its merged output must equal speech_probs +
+    collect_segments on the same waveform."""
+    vad = SileroVad(SileroConfig())
+    vad.init(0)
+    rng_l = np.random.default_rng(9)
+    sr = 16000
+    pcm = (rng_l.standard_normal(sr * 3) * 0.05).astype(np.float32)
+    pcm[sr : 2 * sr] *= 20  # a loud middle second
+    seg_cfg = VadSegmentConfig(threshold=0.5, neg_threshold=0.45,
+                               min_speech_ms=100.0, min_silence_ms=100.0)
+    probs = vad.speech_probs(pcm)
+    want = collect_segments(probs, seg_cfg)
+    got = vad.segments(pcm, seg_cfg)
+    assert got == want
+    # trailing-open-segment flush: constant-speech probabilities
+    seg_cfg2 = VadSegmentConfig(threshold=0.0, neg_threshold=-1.0,
+                                min_speech_ms=100.0)
+    got2 = vad.segments(pcm, seg_cfg2)
+    want2 = collect_segments(probs, seg_cfg2)
+    assert got2 == want2 and len(got2) == 1
+
+
 # -- YOLO26 ------------------------------------------------------------------
 
 
