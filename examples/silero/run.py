@@ -49,7 +49,6 @@ def main():
     print(f"audio: {len(pcm) / sr:.2f}s @ {sr} Hz")
 
     if args.onnx:
-        from lele_tpu.models import VadSegmentConfig, collect_segments
         from lele_tpu.models.checkpoints import SileroOnnx
 
         vad = SileroOnnx(args.onnx)
