@@ -21,6 +21,7 @@ from lele_tpu.runtime.cache import enable_cache  # noqa: E402
 enable_cache()
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel, greedy_ctc_decode  # noqa: E402
 from lele_tpu.utils.timing import bench_stats  # noqa: E402
@@ -37,6 +38,16 @@ def main():
                          "random-init native model")
     ap.add_argument("--layers", type=int, default=50)
     ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--w8", action="store_true",
+                    help="w8a16: int8 weights through the fused Pallas "
+                         "stack kernel (the headline bench configuration)")
+    ap.add_argument("--save-aot", metavar="PREFIX", default=None,
+                    help="after compiling, save prepared params + the "
+                         "compiled executable (runtime/artifact.py AOT "
+                         "bundle) for sub-second cold starts")
+    ap.add_argument("--aot", metavar="PREFIX", default=None,
+                    help="cold-start from a --save-aot bundle: mmap params, "
+                         "load the executable, skip init/trace/compile")
     ap.add_argument("--runs", type=int, default=10)
     ap.add_argument("--vocab", default=None,
                     help="tokenizer vocab (JSON list/dict or text) for text "
@@ -80,21 +91,51 @@ def main():
         )
         return
 
-    cfg = SenseVoiceConfig(n_layers=args.layers, quantized=args.quantized)
+    cfg = SenseVoiceConfig(n_layers=args.layers, quantized=args.quantized,
+                           weight_int8=args.w8)
     model = SenseVoiceModel(cfg)
-    model.init(0)
-    from lele_tpu.models.common import count_params
 
-    print(f"model: {args.layers} SAN-M layers, {count_params(model.params) / 1e6:.1f}M params"
-          f"{' (int8 dynamic)' if args.quantized else ''}")
-    feats = np.asarray(model.features(np.asarray(pcm, np.float32)))
-    print(f"audio {audio_s:.2f}s → features {feats.shape}")
+    if args.aot:
+        from lele_tpu.runtime.artifact import load_aot_bundle
 
-    fn = jax.jit(model.forward_fn())
-    t0 = time.perf_counter()
-    logits = fn(model.params, np.asarray(pcm, np.float32))
-    logits.block_until_ready()
-    cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn, params = load_aot_bundle(args.aot)
+        model.params = params
+        logits = fn(params, np.asarray(pcm, np.float32))
+        logits.block_until_ready()
+        cold = time.perf_counter() - t0
+        print(f"AOT bundle cold start: {cold:.2f}s (params+executable+run)")
+    else:
+        model.init(0)
+        if args.w8:
+            from lele_tpu.models.common import cast_big_params
+            from lele_tpu.models.sensevoice import (
+                prepare_w8_params, stack_layer_params,
+            )
+
+            model.params = stack_layer_params(prepare_w8_params(
+                cast_big_params(model.params, jnp.bfloat16)))
+        from lele_tpu.models.common import count_params
+
+        print(f"model: {args.layers} SAN-M layers, "
+              f"{count_params(model.params) / 1e6:.1f}M params"
+              f"{' (int8 dynamic)' if args.quantized else ''}"
+              f"{' (w8a16 fused stack)' if args.w8 else ''}")
+        feats = np.asarray(model.features(np.asarray(pcm, np.float32)))
+        print(f"audio {audio_s:.2f}s → features {feats.shape}")
+
+        fn = jax.jit(model.forward_fn())
+        t0 = time.perf_counter()
+        logits = fn(model.params, np.asarray(pcm, np.float32))
+        logits.block_until_ready()
+        cold = time.perf_counter() - t0
+        if args.save_aot:
+            from lele_tpu.runtime.artifact import save_aot_bundle
+
+            compiled = fn.lower(
+                model.params, np.asarray(pcm, np.float32)).compile()
+            save_aot_bundle(args.save_aot, compiled, model.params)
+            print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     times = []
     for _ in range(args.runs):
         t0 = time.perf_counter()

@@ -38,7 +38,8 @@ def pack_weights(
     entries: dict[str, dict] = {}
     by_hash: dict[str, int] = {}
     for name, arr in params.items():
-        arr = np.ascontiguousarray(arr)
+        shape = np.asarray(arr).shape
+        arr = np.ascontiguousarray(arr)  # NB: promotes 0-d to 1-d
         scale = None
         if (
             quantize
@@ -62,7 +63,7 @@ def pack_weights(
         entries[name] = {
             "offset": offset,
             "nbytes": len(raw),
-            "shape": list(arr.shape),
+            "shape": list(shape),
             "dtype": arr.dtype.name,
         }
         if scale is not None:

@@ -1,0 +1,155 @@
+"""Prepared-parameter artifacts: any JAX pytree ⇄ flat blob + manifest.
+
+Cold-start attack (the reference cold-starts in ~0.3 s because its AOT
+binary embeds offsets into a flat weights file, compiler/mod.rs:1381): a
+fresh process here used to pay tens of seconds re-running the jitted random
+init + quantize + stack passes over the tunnel. Instead, run those passes
+ONCE, save the *final* pytree (int8 weights, scales, stacked layer axes and
+all) with `save_pytree`, and a fresh process does: mmap blob → rebuild host
+pytree (zero-copy numpy views) → ONE `jax.device_put` of the whole tree
+(single batched transfer, no per-leaf round trips) → jit call that hits the
+persistent compile cache.
+
+The blob is compiler/weights.py's format (16-byte aligned, content-deduped,
+JSON manifest); leaf names are JAX keypath strings and the manifest carries
+enough structure (`tree` section) to rebuild nested dict/list pytrees.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from ..compiler.weights import load_weights, save_weights
+
+_TREE_SUFFIX = ".tree.json"
+
+
+def _flatten_with_names(tree):
+    """→ list of (name, leaf, keys) where keys is a JSON-able key path."""
+    import jax
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out = []
+    for i, (kp, leaf) in enumerate(flat):
+        keys = []
+        for k in kp:
+            if hasattr(k, "key"):  # DictKey
+                keys.append(["d", k.key])
+            elif hasattr(k, "idx"):  # SequenceKey
+                keys.append(["l", k.idx])
+            else:  # GetAttrKey etc. — not used by our params trees
+                raise TypeError(f"unsupported pytree key {k!r}")
+        # index prefix keeps names unique even if two key paths join to the
+        # same string (e.g. a dict key containing "/")
+        name = f"{i:04d}:" + ("/".join(str(k[1]) for k in keys) or "_root")
+        out.append((name, leaf, keys))
+    return out
+
+
+def save_pytree(path_prefix: str | Path, tree) -> None:
+    """Writes <prefix>.bin + <prefix>.json + <prefix>.tree.json."""
+    named = _flatten_with_names(tree)
+    flat = {}
+    structure = []
+    for name, leaf, keys in named:
+        flat[name] = np.asarray(leaf)
+        structure.append({"name": name, "keys": keys})
+    save_weights(path_prefix, flat)
+    Path(str(path_prefix) + _TREE_SUFFIX).write_text(
+        json.dumps({"leaves": structure})
+    )
+
+
+def _insert(root, keys, value):
+    node = root
+    for i, (kind, key) in enumerate(keys):
+        last = i == len(keys) - 1
+        if kind == "l":
+            while len(node) <= key:
+                node.append(None)
+        if last:
+            node[key] = value
+        else:
+            nxt_kind = keys[i + 1][0]
+            empty = [] if nxt_kind == "l" else {}
+            if kind == "d":
+                node = node.setdefault(key, empty)
+            else:
+                if node[key] is None:
+                    node[key] = empty
+                node = node[key]
+    return root
+
+
+def load_pytree(path_prefix: str | Path, device: bool = True):
+    """mmap the blob, rebuild the pytree, optionally push to device in ONE
+    batched transfer. Returns the pytree (of jax.Arrays when device=True)."""
+    flat = load_weights(path_prefix)
+    structure = json.loads(Path(str(path_prefix) + _TREE_SUFFIX).read_text())
+    leaves = structure["leaves"]
+    if len(leaves) == 1 and leaves[0]["keys"] == []:
+        tree = flat[leaves[0]["name"]]
+    else:
+        root_kind = leaves[0]["keys"][0][0]
+        tree = [] if root_kind == "l" else {}
+        for e in leaves:
+            _insert(tree, e["keys"], flat[e["name"]])
+    if device:
+        import jax
+
+        # per-leaf puts: jax.device_put on the whole pytree takes the
+        # batched-transfer path, which is ~90× slower than leaf-at-a-time
+        # over the tunneled TPU backend (measured 10.7 s vs 0.12 s for the
+        # 173 MB flagship artifact)
+        tree = jax.tree.map(jax.device_put, tree)
+    return tree
+
+
+# --- AOT executable bundle -------------------------------------------------
+#
+# The reference cold-starts in ~0.3 s because it ships a compiled binary.
+# Our equivalent: pickle the XLA *executable* (jax.experimental.
+# serialize_executable) next to the prepared-params blob. A fresh process
+# then does mmap → device_put → executable load → run: 0.73 s measured for
+# the 50-layer w8a16 flagship (vs 12.6 s re-jitting through the tunnel, and
+# vs 4.5 s with persistent-cache compile + retrace). The bundle is pinned to
+# the compiling jax version + device kind — a deployment artifact, not a
+# portable program (use compiler/aot.py's .shlo export for portability).
+
+_XC_SUFFIX = ".xc"
+_XC_TREE_SUFFIX = ".xc.tree"
+
+
+def save_aot_bundle(path_prefix: str | Path, compiled, params=None) -> None:
+    """Save a lowered-and-compiled jax function (`fn.lower(...).compile()`)
+    as <prefix>.xc + <prefix>.xc.tree; optionally the params pytree too."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    payload, in_tree, out_tree = se.serialize(compiled)
+    Path(str(path_prefix) + _XC_SUFFIX).write_bytes(payload)
+    Path(str(path_prefix) + _XC_TREE_SUFFIX).write_bytes(
+        pickle.dumps((in_tree, out_tree))
+    )
+    if params is not None:
+        save_pytree(path_prefix, params)
+
+
+def load_aot_bundle(path_prefix: str | Path, params: bool = True):
+    """→ (callable, params_or_None). The callable takes exactly the
+    arguments the original function was lowered with."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    payload = Path(str(path_prefix) + _XC_SUFFIX).read_bytes()
+    in_tree, out_tree = pickle.loads(
+        Path(str(path_prefix) + _XC_TREE_SUFFIX).read_bytes()
+    )
+    compiled = se.deserialize_and_load(payload, in_tree, out_tree)
+    p = load_pytree(path_prefix) if params else None
+    return compiled, p
