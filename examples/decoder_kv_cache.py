@@ -59,7 +59,7 @@ def main():
     dec = StaticKVDecoder(cm, num_layers=L, num_heads=H, head_dim=hd,
                           max_len=MAXLEN)
     prompt = [1, 2, 3]
-    ids_host, _ = dec.generate(prompt, steps)  # host loop (oracle path)
+    ids_host, _ = dec.generate_hostloop(prompt, steps)  # host loop (oracle path)
     dec.generate_fused(prompt, steps)  # warmup: compile the fused program
     t0 = time.perf_counter()
     ids, _ = dec.generate_fused(prompt, steps)

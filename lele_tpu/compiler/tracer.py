@@ -49,10 +49,34 @@ from ..ops.tensor_ops import canonical_dtype
 PARAM_THRESHOLD = 256
 
 
-def _canon_np(v: np.ndarray) -> np.ndarray:
-    """Canonicalize a host value for device use (i64→i32 etc.)."""
+def _canon_np(v: np.ndarray, strict: bool = False) -> np.ndarray:
+    """Canonicalize a host value for device use (i64→i32 etc.).
+
+    Integer narrowing CLAMPS instead of wrapping: ONNX graphs use INT64_MAX/
+    INT64_MIN as "to the end" sentinels (Slice ends and similar), and a
+    wrapped sentinel (-1) silently flips its meaning. Clamping preserves
+    sentinel and comparison semantics. Genuine out-of-range *data* (not the
+    exact sentinels) raises in strict mode — the x64-off deployment can't
+    represent it."""
     dt = canonical_dtype(v.dtype, device=True)
-    return v.astype(dt) if dt != v.dtype else v
+    if dt == v.dtype:
+        return v
+    if np.issubdtype(v.dtype, np.integer) and np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        oob = (v < info.min) | (v > info.max)
+        if oob.any():
+            if strict:
+                src = np.iinfo(v.dtype)
+                sentinel = np.isin(v[oob], (src.min, src.max))
+                if not sentinel.all():
+                    bad = np.asarray(v[oob])[~sentinel][:4]
+                    raise OverflowError(
+                        f"i64 value(s) {bad.tolist()} exceed int32 range; "
+                        "x64 is off on device (strict mode flags non-"
+                        "sentinel overflow instead of clamping)"
+                    )
+            return np.clip(v, info.min, info.max).astype(dt)
+    return v.astype(dt)
 
 
 def _is_static(v) -> bool:
@@ -62,6 +86,7 @@ def _is_static(v) -> bool:
 @dataclass
 class TraceState:
     mode: str  # "discover" | "final"
+    strict: bool = False
     params: dict[str, np.ndarray] = field(default_factory=dict)
     param_vals: dict[str, Any] = field(default_factory=dict)
     warned: set = field(default_factory=set)
@@ -76,7 +101,7 @@ class TraceState:
     def to_device(self, name: str, v: np.ndarray):
         import jax.numpy as jnp
 
-        cv = _canon_np(np.asarray(v))
+        cv = _canon_np(np.asarray(v), strict=self.strict)
         if cv.size >= PARAM_THRESHOLD:
             if self.mode == "discover":
                 self.params[name] = cv
@@ -153,7 +178,8 @@ class GraphTracer:
             # host numpy afterwards.
             ctx = make_ctx(jnp, node, self.opset, tracer=self)
             conv_ins = [
-                jnp.asarray(_canon_np(np.asarray(v))) if v is not None else None
+                jnp.asarray(_canon_np(np.asarray(v), strict=self.strict))
+                if v is not None else None
                 for v in ins
             ]
             out = emitter(ctx, *conv_ins)
@@ -195,7 +221,8 @@ class GraphTracer:
                     state, g, ChainMap({}, env), if_scope + f"/{btag}/"
                 )
                 return tuple(
-                    jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                    jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
+                if _is_static(o) else o
                     for o in outs
                 )
 
@@ -269,7 +296,8 @@ class GraphTracer:
                 benv[name] = v
             outs = self._walk_graph(state, body, benv, loop_scope)
             conv = [
-                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
+                if _is_static(o) else o
                 for o in outs
             ]
             new_cond = jnp.reshape(conv[0].astype(bool), ())
@@ -341,7 +369,8 @@ class GraphTracer:
                 benv[name] = v
             outs = self._walk_graph(state, body, benv, scan_scope)
             conv = [
-                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
+                if _is_static(o) else o
                 for o in outs
             ]
             return tuple(conv[:n_state]), tuple(conv[n_state:])
@@ -435,7 +464,8 @@ class GraphTracer:
                 benv[name] = v
             outs = self._walk_graph(state, body, benv, loop_scope)
             conv = [
-                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
+                if _is_static(o) else o
                 for o in outs
             ]
             new_cond = jnp.reshape(conv[0].astype(bool), ())
@@ -559,12 +589,13 @@ class GraphTracer:
             import jax.numpy as jnp
 
             return [
-                jnp.asarray(_canon_np(np.asarray(o))) if _is_static(o) else o
+                jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
+                if _is_static(o) else o
                 for o in outs
             ]
 
         # discovery walk: abstract, records params
-        discover = TraceState(mode="discover")
+        discover = TraceState(mode="discover", strict=self.strict)
         specs = {
             n: jax.ShapeDtypeStruct(
                 tuple(input_specs[n][0]),
@@ -583,7 +614,8 @@ class GraphTracer:
         }
 
         def final_fn(params_dict, inputs: dict):
-            state = TraceState(mode="final", param_vals=params_dict)
+            state = TraceState(mode="final", strict=self.strict,
+                               param_vals=params_dict)
             return run(state, inputs)
 
         return final_fn, params

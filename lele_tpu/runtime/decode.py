@@ -47,9 +47,20 @@ class StaticKVDecoder:
         m[..., self.P] = 0.0
         return m
 
-    def generate(self, prompt_ids, steps: int, rng=None, temperature: float = 0.0):
+    def generate(self, prompt_ids, steps: int, temperature: float = 0.0,
+                 seed: int = 0):
+        """Default decode API → the fused whole-generation device program
+        (one dispatch per utterance). See `generate_fused` for semantics;
+        `generate_hostloop` keeps the step-by-step host loop as a debugging
+        oracle (it pays one tunnel round trip per token)."""
+        return self.generate_fused(prompt_ids, steps, temperature=temperature,
+                                   seed=seed)
+
+    def generate_hostloop(self, prompt_ids, steps: int, rng=None,
+                          temperature: float = 0.0):
         """Feed the prompt token-by-token (prefill), then sample `steps`
-        tokens. Returns (generated_ids list, last_logits)."""
+        tokens. Returns (generated_ids list, last_logits). Oracle path —
+        per-token host round trips; use `generate` for deployment."""
         B, L, H, P, D = self.B, self.L, self.H, self.P, self.D
         ck = np.zeros((L, B, H, P, D), np.float32)
         cv = np.zeros((L, B, H, P, D), np.float32)
@@ -90,7 +101,7 @@ class StaticKVDecoder:
         """Whole-generation-as-ONE-program decode: prefill scan + decode
         scan with the KV cache, slot writes, mask build, and token selection
         all on device — a single dispatch returns `steps` token ids. This is
-        the TPU-native decode loop (the host loop in `generate` pays one
+        the TPU-native decode loop (the host loop in `generate_hostloop` pays one
         tunnel round trip per token; this pays one per utterance).
         Prompt length and step count are static (one program per (len,
         steps, temperature>0) tuple, cached by jit).

@@ -404,7 +404,7 @@ def test_torch_decoder_kv_cache_greedy_decode(tmp_path):
                           max_len=MAXLEN)
     prompt = [5, 17, 3]
     steps = 12
-    got_ids, got_logits = dec.generate(prompt, steps)
+    got_ids, got_logits = dec.generate_hostloop(prompt, steps)
 
     # torch oracle: growing-cache loop with the same module
     with torch.no_grad():
@@ -470,7 +470,7 @@ def test_torch_decoder_fused_device_decode(tmp_path):
     dec = StaticKVDecoder(cm, num_layers=L, num_heads=H, head_dim=hd,
                           max_len=MAXLEN)
     prompt, steps = [7, 11], 10
-    want_ids, want_logits = dec.generate(prompt, steps)
+    want_ids, want_logits = dec.generate_hostloop(prompt, steps)
     got_ids, got_logits = dec.generate_fused(prompt, steps)
     assert got_ids == want_ids, (got_ids, want_ids)
     np.testing.assert_allclose(got_logits, want_logits, atol=1e-4, rtol=1e-4)
@@ -499,11 +499,11 @@ def test_decoder_exact_capacity_and_guard(tmp_path):
                           max_len=MAXLEN)
     prompt = [3, 5]
     steps = MAXLEN - len(prompt)  # fills every position
-    want_ids, _ = dec.generate(prompt, steps)
+    want_ids, _ = dec.generate_hostloop(prompt, steps)
     got_ids, _ = dec.generate_fused(prompt, steps)
     assert got_ids == want_ids
     with pytest.raises(ValueError):
-        dec.generate(prompt, steps + 1)
+        dec.generate_hostloop(prompt, steps + 1)
     with pytest.raises(ValueError):
         dec.generate_fused(prompt, steps + 1)
 
