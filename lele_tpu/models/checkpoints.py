@@ -104,6 +104,53 @@ class SileroOnnx:
 
     def speech_probs(self, pcm: np.ndarray, sr: int = 16000,
                      max_chunks: int | None = None) -> np.ndarray:
+        """Whole-utterance probs as ONE device program: the compiled step
+        graph wrapped in a lax.scan carrying the recurrent state — one
+        dispatch + one [n]-float readback instead of a host round trip per
+        512-sample chunk (the reference's streaming loop, main.rs:110-130,
+        is per-chunk because it's single-core; on a remote TPU per-chunk
+        dispatch costs ~33 ms RTT each)."""
+        import jax
+
+        n = len(pcm) // self.chunk
+        if max_chunks is not None:
+            n = min(n, max_chunks)
+        idx = (np.arange(n)[:, None] * self.chunk
+               + np.arange(self.chunk)[None, :])
+        chunks = (np.asarray(pcm)[idx] * self.scale).astype(np.float32)
+        key = ("scan", n, sr)
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        if key not in self._fn_cache:
+            self._fn_cache[key] = jax.jit(self._scan_fn(sr))
+        probs = self._fn_cache[key](self.cm.params, chunks)
+        return np.asarray(probs)
+
+    def _scan_fn(self, sr: int):
+        import jax
+        import jax.numpy as jnp
+
+        cm = self.cm
+        names = self.in_names
+        sr_v = jnp.asarray([sr], cm._canon[names[2]])
+
+        def run(params, chunks):
+            def body(state, x):
+                outs = cm._walk_fn(
+                    params, dict(zip(names, [x[None], state, sr_v]))
+                )
+                return outs[1], jnp.reshape(outs[0], ())
+
+            s0 = jnp.zeros((2, 1, 128), jnp.float32)
+            _, probs = jax.lax.scan(body, s0, chunks)
+            return probs
+
+        return run
+
+    def speech_probs_hostloop(self, pcm: np.ndarray, sr: int = 16000,
+                              max_chunks: int | None = None) -> np.ndarray:
+        """Per-chunk host streaming loop — the parity oracle for the scan
+        path, and the shape real streaming input arrives in."""
         state = np.zeros((2, 1, 128), np.float32)
         n = len(pcm) // self.chunk
         if max_chunks is not None:
