@@ -252,12 +252,30 @@ class YoloOnnx:
     def forward(self, x_chw: np.ndarray):
         return self.cm.run_np(np.asarray(x_chw, np.float32))
 
-    def detect(self, image: np.ndarray, threshold: float = 0.25):
+    def prepare(self, image: np.ndarray):
+        """Host preprocess (PIL-nearest resize parity) + upload once; the
+        returned device array can be passed to `forward_device` repeatedly
+        — the reference's bench times forward only (yolo26 main.rs:49-84),
+        preprocessing outside the loop."""
+        import jax.numpy as jnp
+
         from ..utils.image import preprocess
 
         x = preprocess(image, self.img_size)  # [1, H, W, 3] float
         x = np.transpose(np.asarray(x), (0, 3, 1, 2))  # ONNX NCHW
-        outs = self.forward(x)
+        return jnp.asarray(x)
+
+    def forward_device(self, x_dev):
+        """Forward on a device-resident input (no per-call upload), reusing
+        the engine's already-compiled program (a fresh jit of the same walk
+        would recompile the whole conv graph)."""
+        return self.cm._jit(self.cm.params, (), (x_dev,))
+
+    def detect(self, image: np.ndarray, threshold: float = 0.25):
+        outs = self.forward_device(self.prepare(image))
+        return self.decode(outs, threshold)
+
+    def decode(self, outs, threshold: float = 0.25):
         from . import decode_detections
 
         if len(outs) >= 2 and np.ndim(outs[1]) == 3 and outs[1].shape[-1] == 4:
