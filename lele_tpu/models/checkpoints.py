@@ -301,12 +301,96 @@ class SupertonicOnnx:
         self.steps = steps
 
     def synthesize_latent(self, ids, style, mask, latent_len: int, seed=0):
-        """ids [1,Tn] i64; style [1,S]; mask [1,Tn] → wave [1, T_wav]."""
+        """ids [1,Tn] i64; style [1,S]; mask [1,Tn] → (durations, wave).
+
+        ONE fused device program: DurationPredictor + TextEncoder + the
+        5-step flow-matching loop (lax.fori_loop — the latent never leaves
+        the device between steps) + Vocoder. The reference chains the four
+        generated models through host copies per step (main.rs:124-285,
+        `.data.to_vec()`); SURVEY §3.4 names this fusion the TPU redesign.
+        Host RNG supplies the noise (fixed-seed parity with the oracle)."""
+        import jax
+
+        ids = np.asarray(ids)
+        key = ("fused", ids.shape[-1], latent_len)
+        if not hasattr(self, "_fn_cache"):
+            self._fn_cache = {}
+        emb_dim = self._emb_dim(ids, style, mask)
+        rng = np.random.default_rng(seed)
+        noise = rng.standard_normal((1, emb_dim, latent_len)).astype(np.float32)
+        args = (
+            self.dp.params, self.te.params, self.ve.params, self.voc.params,
+            self._canon_in(self.dp, 0, ids), np.asarray(style, np.float32),
+            np.asarray(mask, np.float32), noise,
+        )
+        if key not in self._fn_cache:
+            # direct lowered-executable calls skip the per-call jit dispatch
+            # path (~40-70 ms each on a tunneled TPU; docs/PERF.md)
+            self._fn_cache[key] = (
+                jax.jit(self._fused_fn(latent_len)).lower(*args).compile()
+            )
+        dur, wave = self._fn_cache[key](*args)
+        return np.asarray(dur), np.asarray(wave)
+
+    def _canon_in(self, cm, i: int, v):
+        name = cm.input_order[i]
+        return np.asarray(v).astype(cm._canon[name])
+
+    def _emb_dim(self, ids, style, mask) -> int:
+        """Static latent channel count = TextEncoder's output dim."""
+        if not hasattr(self, "_emb_dim_cache"):
+            import jax
+
+            specs = [
+                jax.ShapeDtypeStruct(np.asarray(a).shape, self.te._canon[n])
+                for n, a in zip(self.te.input_order, (ids, style, mask))
+            ]
+            out = jax.eval_shape(
+                lambda p, a, b, c: self.te._walk_fn(
+                    p, dict(zip(self.te.input_order, (a, b, c)))),
+                {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                 for k, v in self.te.params.items()}, *specs,
+            )
+            self._emb_dim_cache = out[0].shape[1]
+        return self._emb_dim_cache
+
+    def _fused_fn(self, latent_len: int):
+        import jax
+        import jax.numpy as jnp
+
+        dp, te, ve, voc = self.dp, self.te, self.ve, self.voc
+        steps = self.steps
+
+        def run(dp_p, te_p, ve_p, voc_p, ids, style, mask, noise):
+            (dur,) = dp._walk_fn(dp_p, dict(zip(dp.input_order,
+                                                (ids, style, mask))))
+            (emb,) = te._walk_fn(te_p, dict(zip(te.input_order,
+                                                (ids, style, mask))))
+            emb = emb.astype(jnp.float32)
+            # nearest upsample of text emb to the latent length (static idx)
+            tn = emb.shape[-1]
+            idx = np.minimum(np.arange(latent_len) * tn // latent_len, tn - 1)
+            emb_l = jnp.take(emb, jnp.asarray(idx), axis=-1)
+
+            def body(s, xt):
+                t_step = (s.astype(jnp.float32) / steps).reshape(1)
+                (v,) = ve._walk_fn(ve_p, dict(zip(
+                    ve.input_order, (xt, emb_l, style, t_step))))
+                return xt + v.astype(jnp.float32) / steps
+
+            xt = jax.lax.fori_loop(0, steps, body, noise)
+            (wave,) = voc._walk_fn(voc_p, {voc.input_order[0]: xt})
+            return dur, wave
+
+        return run
+
+    def synthesize_latent_hostloop(self, ids, style, mask,
+                                   latent_len: int, seed=0):
+        """Host-chained oracle: 4 separate dispatches + per-step host copies
+        (the reference's actual execution shape)."""
         (dur,) = self.dp.run_np(ids, style, mask)
         (emb,) = self.te.run_np(ids, style, mask)
         emb = np.asarray(emb, np.float32)
-        # nearest upsample of text emb to the latent length (host-side,
-        # mirrors the reference's latent construction)
         idx = np.minimum(
             (np.arange(latent_len) * emb.shape[-1] // latent_len),
             emb.shape[-1] - 1,
