@@ -158,3 +158,35 @@ class CompiledModel:
 
     def compile(self):
         return self.lower().compile()
+
+    def save_aot(self, path_prefix) -> None:
+        """Write <prefix>.xc/.xc.tree (pickled XLA executable) — the
+        sub-second cold-start deployment artifact (runtime/artifact.py;
+        pinned to jax version + device kind). Weights travel separately in
+        the blob the CLI already writes."""
+        from .artifact import save_aot_bundle
+
+        save_aot_bundle(path_prefix, self.compile())
+
+    def use_aot(self, path_prefix) -> None:
+        """Swap this model's program for a saved executable: no retrace, no
+        compile — calls go straight to the loaded binary. Raises if the
+        bundle doesn't match this jax version / device kind / device count
+        (callers may fall back to the normal jit path). A zero-input probe
+        call validates the load — the loaded executable's reported
+        shardings can claim single-device while execution still demands the
+        full local device set (XLA AOT loader quirk), so only a real call
+        proves compatibility."""
+        from .artifact import load_aot_bundle
+
+        comp, _ = load_aot_bundle(path_prefix, params=False)
+        donated = tuple(
+            np.zeros(tuple(self.input_specs[n][0]), self._canon[n])
+            for n in self._donate_names
+        )
+        rest = tuple(
+            np.zeros(tuple(self.input_specs[n][0]), self._canon[n])
+            for n in self._rest_names
+        )
+        comp(self.params, donated, rest)  # raises on any mismatch
+        self._jit = comp

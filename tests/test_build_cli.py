@@ -94,6 +94,55 @@ def test_cli_compile_and_generated_wrapper(tmp_path):
         sys.path.remove(str(out))
 
 
+def test_cli_xc_bundle_wrapper(tmp_path):
+    """--xc writes the pickled executable and the generated wrapper prefers
+    it (no recompile); outputs match the jit path."""
+    onnx_path = tmp_path / "xc_model.onnx"
+    w = _write_toy_onnx(onnx_path)
+    out = tmp_path / "gen_xc"
+    from lele_tpu.cli import compile_to_dir
+
+    compile_to_dir(str(onnx_path), str(out), "XcModel", xc=True)
+    assert (out / "XcModel.xc").exists()
+    assert (out / "XcModel.xc.tree").exists()
+    sys.path.insert(0, str(out))
+    try:
+        import importlib
+
+        mod = importlib.import_module("XcModel")
+        importlib.reload(mod)
+        model = mod.XcModel()  # 8-virtual-device env: probe fails, jit path
+        x = np.random.default_rng(3).standard_normal((2, 8)).astype(np.float32)
+        (y,) = model.forward(x)
+        np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=1e-4)
+    finally:
+        sys.path.remove(str(out))
+    # the executable itself must load+run in a single-device process (the
+    # deployment shape); assert the wrapper reports aot_loaded there
+    import os
+    import subprocess
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = f"""
+import sys; sys.path.insert(0, {str(REPO)!r}); sys.path.insert(0, {str(out)!r})
+import numpy as np
+from XcModel import XcModel
+m = XcModel()
+assert m.aot_loaded, "saved executable did not load in a 1-device process"
+x = np.random.default_rng(3).standard_normal((2, 8)).astype(np.float32)
+(y,) = m.forward(x)
+import json
+np.save({str(out / "sub_y.npy")!r}, np.asarray(y))
+print("XC_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "XC_OK" in r.stdout, r.stderr[-2000:]
+    np.testing.assert_allclose(np.load(out / "sub_y.npy"),
+                               np.maximum(x @ w, 0), atol=1e-4)
+
+
 def test_cli_main_errors(tmp_path):
     from lele_tpu.cli import main
 
