@@ -18,6 +18,11 @@ for a real torch-exported instance):
     cache_v  f32    [L, B, H, P, D]  static value cache
     mask     f32    [B, 1, 1, P+1]   additive attention mask (0 / -inf);
                                      slot P is the current token
+    ...extras                        any further inputs are per-utterance
+                                     constants (e.g. precomputed cross-
+                                     attention K/V from an encoder — the
+                                     seq2seq path, runtime/seq2seq.py),
+                                     passed via `extras=`
   outputs:
     logits   f32    [B, V] or [B, 1, V]
     new_k    f32    [L, B, H, 1, D]  this step's key, one slot
@@ -48,16 +53,16 @@ class StaticKVDecoder:
         return m
 
     def generate(self, prompt_ids, steps: int, temperature: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, extras: tuple = ()):
         """Default decode API → the fused whole-generation device program
         (one dispatch per utterance). See `generate_fused` for semantics;
         `generate_hostloop` keeps the step-by-step host loop as a debugging
         oracle (it pays one tunnel round trip per token)."""
         return self.generate_fused(prompt_ids, steps, temperature=temperature,
-                                   seed=seed)
+                                   seed=seed, extras=extras)
 
     def generate_hostloop(self, prompt_ids, steps: int, rng=None,
-                          temperature: float = 0.0):
+                          temperature: float = 0.0, extras: tuple = ()):
         """Feed the prompt token-by-token (prefill), then sample `steps`
         tokens. Returns (generated_ids list, last_logits). Oracle path —
         per-token host round trips; use `generate` for deployment."""
@@ -75,7 +80,8 @@ class StaticKVDecoder:
             nonlocal ck, cv, logits, pos
             ids = np.full((B, 1), tok, np.int64)
             ppos = np.full((B, 1), pos, np.int64)
-            outs = self.cm.run_np(ids, ppos, ck, cv, self._mask(pos))
+            outs = self.cm.run_np(ids, ppos, ck, cv, self._mask(pos),
+                                  *extras)
             logits, nk, nv = outs[0], outs[1], outs[2]
             if pos < P:  # the final (pos == P) token rides in-step only;
                 ck[:, :, :, pos] = nk[:, :, :, 0]  # nothing attends after it
@@ -97,7 +103,7 @@ class StaticKVDecoder:
         return out_ids, np.asarray(logits)
 
     def generate_fused(self, prompt_ids, steps: int, temperature: float = 0.0,
-                       seed: int = 0):
+                       seed: int = 0, extras: tuple = ()):
         """Whole-generation-as-ONE-program decode: prefill scan + decode
         scan with the KV cache, slot writes, mask build, and token selection
         all on device — a single dispatch returns `steps` token ids. This is
@@ -125,7 +131,7 @@ class StaticKVDecoder:
         names = cm.input_order
         neg = float(self.neg)
 
-        def one_step(params, ck, cv, tok, pos):
+        def one_step(params, ck, cv, tok, pos, ex):
             tok = jnp.broadcast_to(jnp.asarray(tok).reshape(-1), (B,))
             ids = tok.astype(jnp.int32).reshape(B, 1)
             pp = jnp.broadcast_to(pos.astype(jnp.int32), (B, 1))
@@ -134,7 +140,8 @@ class StaticKVDecoder:
                 (slots < pos) | (slots == P), 0.0, neg
             ).astype(jnp.float32).reshape(1, 1, 1, P + 1)
             mask = jnp.broadcast_to(mask, (B, 1, 1, P + 1))
-            outs = cm._walk_fn(params, dict(zip(names, [ids, pp, ck, cv, mask])))
+            outs = cm._walk_fn(
+                params, dict(zip(names, [ids, pp, ck, cv, mask, *ex])))
             logits, nk, nv = outs[0], outs[1], outs[2]
             # pos == P only on the very last step (entry guard): its KV rides
             # in-step and must NOT clamp-write into slot P-1
@@ -157,14 +164,14 @@ class StaticKVDecoder:
                 k, logits / jnp.float32(temperature), axis=-1
             ).astype(jnp.int32)
 
-        def run(params, prompt, key0):
+        def run(params, prompt, key0, *ex):
             ck = jnp.zeros((L, B, H, P, D), jnp.float32)
             cv = jnp.zeros((L, B, H, P, D), jnp.float32)
 
             def prefill(carry, tp):
                 ck, cv = carry
                 tok, pos = tp
-                ck, cv, logits = one_step(params, ck, cv, tok, pos)
+                ck, cv, logits = one_step(params, ck, cv, tok, pos, ex)
                 return (ck, cv), logits
 
             (ck, cv), lg = jax.lax.scan(
@@ -176,7 +183,7 @@ class StaticKVDecoder:
             def decode(carry, pos):
                 ck, cv, logits = carry
                 tok = pick(logits, pos, key0)
-                ck, cv, logits = one_step(params, ck, cv, tok, pos)
+                ck, cv, logits = one_step(params, ck, cv, tok, pos, ex)
                 return (ck, cv, logits), tok
 
             (_, _, logits), toks = jax.lax.scan(
@@ -195,7 +202,8 @@ class StaticKVDecoder:
         import jax.random as jrandom
 
         ids, logits = cache[key](
-            cm.params, jnp.asarray(prompt), jrandom.PRNGKey(seed)
+            cm.params, jnp.asarray(prompt), jrandom.PRNGKey(seed),
+            *[jnp.asarray(e) for e in extras]
         )
         ids = np.asarray(ids)
         if B == 1:

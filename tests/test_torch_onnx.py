@@ -545,3 +545,155 @@ def test_decoder_batched_rows_and_sampling(tmp_path):
     assert s1 == s2 and all(0 <= t < V for t in s1)
     cold, _ = d1.generate_fused(pa, steps, temperature=1e-4, seed=7)
     assert cold == ids_a  # tiny temperature → greedy
+
+
+class TinyS2SEncoder(nn.Module):
+    """Encoder + cross-attention projection: source feats → per-decoder-
+    layer cross K/V, computed ONCE per utterance (runtime/seq2seq.py)."""
+
+    def __init__(self, feat=16, d=64, heads=4, dec_layers=2):
+        super().__init__()
+        self.d, self.H, self.Ld = d, heads, dec_layers
+        self.hd = d // heads
+        self.inp = nn.Linear(feat, d)
+        self.ln = nn.LayerNorm(d)
+        self.ff = nn.Linear(d, d)
+        self.k_proj = nn.ModuleList([nn.Linear(d, d) for _ in range(dec_layers)])
+        self.v_proj = nn.ModuleList([nn.Linear(d, d) for _ in range(dec_layers)])
+
+    def forward(self, x):
+        B, Te, _ = x.shape
+        h = torch.tanh(self.inp(x))
+        h = h + self.ff(self.ln(h))
+        ks, vs = [], []
+        for i in range(self.Ld):
+            k = self.k_proj[i](h).view(B, Te, self.H, self.hd).transpose(1, 2)
+            v = self.v_proj[i](h).view(B, Te, self.H, self.hd).transpose(1, 2)
+            ks.append(k)
+            vs.append(v)
+        return torch.stack(ks), torch.stack(vs)  # [L,B,H,Te,hd]
+
+
+class TinyS2SDecoderStep(nn.Module):
+    """Decoder STEP: self-attention on the static KV cache + cross-attention
+    over precomputed encoder K/V (trailing extras in the step contract)."""
+
+    def __init__(self, vocab=61, d=64, heads=4, layers=2, max_len=20):
+        super().__init__()
+        self.V, self.d, self.H, self.L = vocab, d, heads, layers
+        self.hd = d // heads
+        self.tok = nn.Embedding(vocab, d)
+        self.posemb = nn.Embedding(max_len, d)
+        self.ln1 = nn.ModuleList([nn.LayerNorm(d) for _ in range(layers)])
+        self.lnx = nn.ModuleList([nn.LayerNorm(d) for _ in range(layers)])
+        self.ln2 = nn.ModuleList([nn.LayerNorm(d) for _ in range(layers)])
+        self.qkv = nn.ModuleList([nn.Linear(d, 3 * d) for _ in range(layers)])
+        self.proj = nn.ModuleList([nn.Linear(d, d) for _ in range(layers)])
+        self.q_x = nn.ModuleList([nn.Linear(d, d) for _ in range(layers)])
+        self.proj_x = nn.ModuleList([nn.Linear(d, d) for _ in range(layers)])
+        self.up = nn.ModuleList([nn.Linear(d, 2 * d) for _ in range(layers)])
+        self.down = nn.ModuleList([nn.Linear(2 * d, d) for _ in range(layers)])
+        self.lnf = nn.LayerNorm(d)
+        self.head = nn.Linear(d, vocab, bias=False)
+
+    def forward(self, ids, pos, cache_k, cache_v, mask, cross_k, cross_v):
+        B = ids.shape[0]
+        x = self.tok(ids) + self.posemb(pos)
+        nks, nvs = [], []
+        for i in range(self.L):
+            h = self.ln1[i](x)
+            q, k, v = self.qkv[i](h).split(self.d, dim=-1)
+            q = q.view(B, 1, self.H, self.hd).transpose(1, 2)
+            k = k.view(B, 1, self.H, self.hd).transpose(1, 2)
+            v = v.view(B, 1, self.H, self.hd).transpose(1, 2)
+            nks.append(k)
+            nvs.append(v)
+            K = torch.cat([cache_k[i], k], dim=2)
+            Vv = torch.cat([cache_v[i], v], dim=2)
+            att = (q @ K.transpose(-1, -2)) / (self.hd ** 0.5) + mask
+            att = torch.softmax(att, dim=-1)
+            o = (att @ Vv).transpose(1, 2).reshape(B, 1, self.d)
+            x = x + self.proj[i](o)
+            hx = self.lnx[i](x)
+            qx = self.q_x[i](hx).view(B, 1, self.H, self.hd).transpose(1, 2)
+            attx = (qx @ cross_k[i].transpose(-1, -2)) / (self.hd ** 0.5)
+            attx = torch.softmax(attx, dim=-1)
+            ox = (attx @ cross_v[i]).transpose(1, 2).reshape(B, 1, self.d)
+            x = x + self.proj_x[i](ox)
+            h2 = self.ln2[i](x)
+            x = x + self.down[i](torch.nn.functional.gelu(self.up[i](h2)))
+        logits = self.head(self.lnf(x))[:, 0]
+        return logits, torch.stack(nks), torch.stack(nvs)
+
+
+def test_seq2seq_fused_generation_vs_torch(tmp_path):
+    """Whisper-class encoder-decoder through two compiled graphs: encoder
+    (+cross K/V projection) once, fused KV-cache decode consuming the cross
+    tensors as extras — token-for-token vs the torch greedy loop, and the
+    fused path vs the host-loop oracle."""
+    torch.manual_seed(33)
+    V, d, H, L, MAXLEN, Te, F = 61, 64, 4, 2, 20, 9, 16
+    P = MAXLEN - 1
+    hd = d // H
+    enc = TinyS2SEncoder(F, d, H, L).eval()
+    dec = TinyS2SDecoderStep(V, d, H, L, MAXLEN).eval()
+
+    src = torch.randn(1, Te, F)
+    enc_path = str(tmp_path / "s2s_enc.onnx")
+    dec_path = str(tmp_path / "s2s_dec.onnx")
+    with torch.no_grad():
+        torch.onnx.export(enc, (src,), enc_path, opset_version=17,
+                          dynamo=False, input_names=["src"],
+                          output_names=["cross_k", "cross_v"])
+        dec_args = (
+            torch.zeros(1, 1, dtype=torch.long),
+            torch.zeros(1, 1, dtype=torch.long),
+            torch.zeros(L, 1, H, P, hd),
+            torch.zeros(L, 1, H, P, hd),
+            torch.zeros(1, 1, 1, P + 1),
+            torch.zeros(L, 1, H, Te, hd),
+            torch.zeros(L, 1, H, Te, hd),
+        )
+        torch.onnx.export(
+            dec, dec_args, dec_path, opset_version=17, dynamo=False,
+            input_names=["ids", "pos", "ck", "cv", "mask",
+                         "cross_k", "cross_v"],
+            output_names=["logits", "nk", "nv"])
+
+    from lele_tpu.runtime.seq2seq import Seq2SeqGenerator
+
+    gen = Seq2SeqGenerator(
+        compile_model(enc_path), compile_model(dec_path),
+        num_layers=L, num_heads=H, head_dim=hd, max_len=MAXLEN,
+        bos_id=1, eos_id=0,  # eos 0: unlikely early, exercises full scan
+    )
+    steps = 12
+    src_np = src.numpy()
+    got = gen.generate(src_np, max_steps=steps)
+    got_host = gen.generate_hostloop(src_np, max_steps=steps)
+    assert got == got_host
+
+    # torch oracle: growing-cache greedy loop
+    with torch.no_grad():
+        ck, cv = enc(src)
+        ids = [1]
+        cache_k = torch.zeros(L, 1, H, 0, hd)
+        cache_v = torch.zeros(L, 1, H, 0, hd)
+        out_ids = []
+        for pos in range(steps + 1):
+            m = torch.zeros(1, 1, 1, cache_k.shape[3] + 1)
+            logits, nk, nv = dec(
+                torch.tensor([[ids[-1]]]), torch.tensor([[pos]]),
+                cache_k, cache_v, m, ck, cv)
+            cache_k = torch.cat([cache_k, nk], dim=3)
+            cache_v = torch.cat([cache_v, nv], dim=3)
+            nxt = int(logits[0].argmax())
+            if pos < steps:
+                out_ids.append(nxt)
+                ids.append(nxt)
+    want = []
+    for t in out_ids:
+        if t == 0:
+            break
+        want.append(t)
+    assert got == want, (got, want)
