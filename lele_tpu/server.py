@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+_LAST_ENGINES: dict = {}
+
 
 def make_handler(engines: dict):
     class Handler(BaseHTTPRequestHandler):
@@ -43,7 +45,13 @@ def make_handler(engines: dict):
             body = self.rfile.read(n)
             try:
                 if self.path == "/recognize":
-                    out = engines["asr"].recognize(body)
+                    batcher = engines.get("asr_batcher")
+                    if batcher is not None:
+                        # concurrent requests inside the window coalesce
+                        # into ONE batched device program (runtime/batcher)
+                        out = batcher.submit(body)
+                    else:
+                        out = engines["asr"].recognize(body)
                     if isinstance(out, str):
                         return self._json(200, {"text": out})
                     return self._json(200, {"ids": out})
@@ -93,8 +101,13 @@ def build_engines(tiny: bool = False) -> dict:
     asr_m.init(0)
     det_m.init(0)
     tts_m.init(0)
+    from .runtime.batcher import MicroBatcher
+
+    asr = SenseVoiceEngine(model=asr_m)
     return {
-        "asr": SenseVoiceEngine(model=asr_m),
+        "asr": asr,
+        "asr_batcher": MicroBatcher(asr.recognize_batch,
+                                    max_batch=8, window_ms=5.0),
         "det": Yolo26Engine(model=det_m),
         "tts": TtsEngine(tts=tts_m),
     }
@@ -105,6 +118,8 @@ def serve(port: int = 8570, tiny: bool = False, engines: dict | None = None):
 
     enable_cache()
     engines = engines or build_engines(tiny)
+    global _LAST_ENGINES
+    _LAST_ENGINES = engines  # test/observability hook
     httpd = ThreadingHTTPServer(("127.0.0.1", port), make_handler(engines))
     print(f"lele-tpu serving on http://127.0.0.1:{port}")
     return httpd

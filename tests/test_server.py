@@ -91,3 +91,30 @@ def test_recognize_batch_endpoint(server):
     assert status == 200
     results = json.loads(resp)["results"]
     assert len(results) == 2 and all(isinstance(r, list) for r in results)
+
+
+def test_recognize_concurrent_microbatch(server):
+    """Concurrent /recognize requests inside the batching window coalesce
+    into batched device programs (runtime/batcher.py) and every client
+    still gets its own correct-length answer."""
+    import concurrent.futures
+
+    from lele_tpu.server import _LAST_ENGINES
+
+    wavs = [
+        encode_wav((np.sin(np.arange(8000 + 800 * i) / (7 + i)) * 0.3)
+                   .astype(np.float32), 16000)
+        for i in range(6)
+    ]
+    # warm the batched program shape once so the measured burst is steady
+    _post(server + "/recognize", wavs[0])
+    batcher = _LAST_ENGINES["asr_batcher"]
+    before = len(batcher.batch_sizes)
+    with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+        rs = list(ex.map(lambda w: _post(server + "/recognize", w), wavs))
+    for status, body, _ in rs:
+        assert status == 200
+        assert isinstance(json.loads(body)["ids"], list)
+    flushed = batcher.batch_sizes[before:]
+    assert sum(flushed) == 6
+    assert len(flushed) < 6, f"no coalescing happened: {flushed}"
