@@ -102,6 +102,138 @@ class StaticKVDecoder:
             step(nxt)
         return out_ids, np.asarray(logits)
 
+    def beam_search(self, prompt_ids, steps: int, beam: int | None = None,
+                    eos_id: int | None = None, length_penalty: float = 0.0,
+                    extras: tuple = ()):
+        """Beam-search decode as ONE fused device program.
+
+        The beam lives in the step graph's batch dimension (compile the
+        decoder with B = beam): every step scores all beam×V continuations,
+        keeps the global top-`beam`, and REORDERS the KV caches and the
+        sequence buffer by parent beam with a device-side gather — the
+        standard production decode for seq2seq (no host round trips; the
+        whole search is one dispatch). EOS rows freeze: they may only
+        extend with EOS at unchanged score. Returns (best_ids, best_score)
+        with `best_ids` cut at eos; `length_penalty` α applies GNMT-style
+        normalization score/len^α at the final selection.
+
+        Like everything on XLA, shapes are static: the scan always runs
+        `steps` iterations; early convergence costs nothing extra on the
+        device and the host cut discards the tail."""
+        import jax
+        import jax.numpy as jnp
+
+        cm = self.cm
+        B, L, H, P, D = self.B, self.L, self.H, self.P, self.D
+        K = beam or B
+        if K != B:
+            raise ValueError(
+                f"beam ({K}) must equal the decoder batch ({B}) — compile "
+                "the step graph with B = beam")
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if prompt.shape[0] + steps > P + 1:
+            raise ValueError(f"decode length exceeds max_len={P + 1}")
+        names = cm.input_order
+        neg = float(self.neg)
+        n_prompt = prompt.shape[0]
+
+        def one_step(params, ck, cv, tok, pos, ex):
+            ids = tok.astype(jnp.int32).reshape(K, 1)
+            pp = jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32).reshape(1, 1), (K, 1))
+            slots = jnp.arange(P + 1)
+            mask = jnp.where((slots < pos) | (slots == P), 0.0, neg)
+            mask = jnp.broadcast_to(
+                mask.astype(jnp.float32).reshape(1, 1, 1, P + 1),
+                (K, 1, 1, P + 1))
+            outs = cm._walk_fn(
+                params, dict(zip(names, [ids, pp, ck, cv, mask, *ex])))
+            logits, nk, nv = outs[0], outs[1], outs[2]
+            wp = jnp.minimum(pos, P - 1)
+            write = pos < P
+            ck = jnp.where(write, jax.lax.dynamic_update_slice_in_dim(
+                ck, nk, wp, axis=3), ck)
+            cv = jnp.where(write, jax.lax.dynamic_update_slice_in_dim(
+                cv, nv, wp, axis=3), cv)
+            return ck, cv, jnp.reshape(logits, (K, -1))
+
+        def run(params, prompt_dev, *ex):
+            ck = jnp.zeros((L, K, H, P, D), jnp.float32)
+            cv = jnp.zeros((L, K, H, P, D), jnp.float32)
+
+            def prefill(carry, tp):
+                ck, cv = carry
+                tok, pos = tp
+                toks = jnp.broadcast_to(tok.reshape(1), (K,))
+                ck, cv, logits = one_step(params, ck, cv, toks, pos, ex)
+                return (ck, cv), logits
+
+            (ck, cv), lg = jax.lax.scan(
+                prefill, (ck, cv),
+                (prompt_dev, jnp.arange(n_prompt, dtype=jnp.int32)),
+            )
+            logits = lg[-1]  # [K, V] — rows identical after prefill
+            V = logits.shape[-1]
+            # row 0 carries the live hypothesis; the rest start dead so the
+            # first expansion draws the global top-K from one distribution
+            scores = jnp.where(jnp.arange(K) == 0, 0.0, neg)
+            seqs = jnp.zeros((K, steps), jnp.int32)
+            finished = jnp.zeros((K,), bool)
+
+            def step(carry, pos_i):
+                ck, cv, logits, scores, seqs, finished = carry
+                pos, i = pos_i
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                if eos_id is not None:
+                    # frozen rows may only emit EOS, at unchanged score
+                    frozen = jnp.where(
+                        jnp.arange(V)[None, :] == eos_id, 0.0, neg)
+                    logp = jnp.where(finished[:, None], frozen, logp)
+                cand = scores[:, None] + logp            # [K, V]
+                top_v, top_i = jax.lax.top_k(cand.reshape(-1), K)
+                parent = top_i // V
+                tok = (top_i % V).astype(jnp.int32)
+                # reorder every per-beam carry by parentage
+                ck = jnp.take(ck, parent, axis=1)
+                cv = jnp.take(cv, parent, axis=1)
+                seqs = jnp.take(seqs, parent, axis=0)
+                seqs = seqs.at[:, i].set(tok)
+                finished = jnp.take(finished, parent)
+                if eos_id is not None:
+                    finished = finished | (tok == eos_id)
+                ck, cv, logits = one_step(params, ck, cv, tok, pos, ex)
+                return (ck, cv, logits, top_v, seqs, finished), None
+
+            (ck, cv, logits, scores, seqs, finished), _ = jax.lax.scan(
+                step, (ck, cv, logits, scores, seqs, finished),
+                (jnp.arange(n_prompt, n_prompt + steps, dtype=jnp.int32),
+                 jnp.arange(steps, dtype=jnp.int32)),
+            )
+            if length_penalty > 0.0 and eos_id is not None:
+                lengths = jnp.where(
+                    (seqs == eos_id).any(-1),
+                    jnp.argmax(seqs == eos_id, -1) + 1, steps)
+                norm = scores / (lengths.astype(jnp.float32)
+                                 ** length_penalty)
+            else:
+                norm = scores
+            best = jnp.argmax(norm)
+            return seqs[best], norm[best]
+
+        key = ("beam", n_prompt, steps, K, eos_id, float(length_penalty))
+        cache = getattr(self, "_fused_cache", None)
+        if cache is None:
+            cache = self._fused_cache = {}
+        if key not in cache:
+            cache[key] = jax.jit(run)
+        ids, score = cache[key](
+            cm.params, jnp.asarray(prompt),
+            *[jnp.asarray(e) for e in extras])
+        ids = [int(t) for t in np.asarray(ids)]
+        if eos_id is not None and eos_id in ids:
+            ids = ids[: ids.index(eos_id)]
+        return ids, float(score)
+
     def generate_fused(self, prompt_ids, steps: int, temperature: float = 0.0,
                        seed: int = 0, extras: tuple = ()):
         """Whole-generation-as-ONE-program decode: prefill scan + decode

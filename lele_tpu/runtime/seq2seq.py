@@ -29,11 +29,13 @@ from .decode import StaticKVDecoder
 class Seq2SeqGenerator:
     def __init__(self, encoder_cm, decoder_cm, num_layers: int,
                  num_heads: int, head_dim: int, max_len: int,
-                 bos_id: int = 1, eos_id: int = 2):
+                 bos_id: int = 1, eos_id: int = 2, batch: int = 1):
+        """batch: the decoder step graph's compiled batch dimension — 1 for
+        greedy/sampling, = beam width for `generate_beam`."""
         self.encoder = encoder_cm
         self.decoder = StaticKVDecoder(
             decoder_cm, num_layers=num_layers, num_heads=num_heads,
-            head_dim=head_dim, max_len=max_len,
+            head_dim=head_dim, max_len=max_len, batch=batch,
         )
         self.bos_id = bos_id
         self.eos_id = eos_id
@@ -56,6 +58,25 @@ class Seq2SeqGenerator:
             extras=cross,
         )
         return self._cut_eos(ids)
+
+    def generate_beam(self, *source, beam: int | None = None,
+                      max_steps: int | None = None,
+                      length_penalty: float = 0.0) -> tuple[list[int], float]:
+        """Beam-search generation (decode.py beam_search): the decoder step
+        graph must be compiled with batch = beam; the encoder's cross K/V
+        (batch 1) tile across the beam rows here. → (ids, score)."""
+        import jax.numpy as jnp
+
+        steps = max_steps or (self.max_len - 1)
+        K = beam or self.decoder.B
+        cross = tuple(
+            jnp.broadcast_to(c, (c.shape[0], K) + tuple(c.shape[2:]))
+            for c in self.encode(*source)
+        )
+        return self.decoder.beam_search(
+            [self.bos_id], steps, beam=K, eos_id=self.eos_id,
+            length_penalty=length_penalty, extras=cross,
+        )
 
     def generate_hostloop(self, *source, max_steps: int | None = None
                           ) -> list[int]:
