@@ -9,13 +9,19 @@
 //       views over the mmap'd file without decoding tensor bodies.
 //   decode_wav(bytes) -> (float32_mono_bytes, sample_rate)
 //       RIFF PCM 8/16/24/32 + IEEE float, channel-averaged.
+//   decode_wav_files([path, ...]) -> [(float32_mono_bytes, sr), ...]
+//       the batch data loader: file reads + decodes run on a C++ thread
+//       pool with the GIL RELEASED — feeding transcribe_batch/serving
+//       without serializing audio IO behind Python.
 //   content_hash(bytes) -> int   (FNV-1a 64, for blob dedup prepass)
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <string>
 
@@ -181,18 +187,11 @@ PyObject* py_scan_initializers(PyObject*, PyObject* args) {
 
 // ---------------------------------------------------------------------------
 
-PyObject* py_decode_wav(PyObject*, PyObject* args) {
-  Py_buffer view;
-  if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
-  const uint8_t* d = (const uint8_t*)view.buf;
-  size_t n = (size_t)view.len;
-  auto fail = [&](const char* msg) -> PyObject* {
-    PyBuffer_Release(&view);
-    PyErr_SetString(PyExc_ValueError, msg);
-    return nullptr;
-  };
+// Pure-C++ WAV decode core (no Python objects — callable off the GIL).
+const char* decode_wav_core(const uint8_t* d, size_t n,
+                            std::vector<float>* out, uint32_t* out_sr) {
   if (n < 44 || memcmp(d, "RIFF", 4) || memcmp(d + 8, "WAVE", 4))
-    return fail("not a RIFF/WAVE file");
+    return "not a RIFF/WAVE file";
 
   uint16_t fmt = 0, n_ch = 0, bits = 0;
   uint32_t sr = 0;
@@ -205,7 +204,7 @@ PyObject* py_decode_wav(PyObject*, PyObject* args) {
     const uint8_t* body = d + pos + 8;
     size_t avail = n - pos - 8;  // bytes actually present for this chunk body
     if (!memcmp(d + pos, "fmt ", 4) && size >= 16) {
-      if (avail < 16) return fail("truncated fmt chunk");
+      if (avail < 16) return "truncated fmt chunk";
       memcpy(&fmt, body, 2);
       memcpy(&n_ch, body + 2, 2);
       memcpy(&sr, body + 4, 4);
@@ -219,15 +218,12 @@ PyObject* py_decode_wav(PyObject*, PyObject* args) {
     if (step >= avail) break;  // declared size runs past the buffer: stop
     pos += 8 + step;
   }
-  if (!pcm || !n_ch || !sr) return fail("missing fmt/data chunk");
+  if (!pcm || !n_ch || !sr) return "missing fmt/data chunk";
 
   size_t bytes_per = bits / 8;
-  if (!bytes_per) return fail("bad bit depth");
+  if (!bytes_per) return "bad bit depth";
   size_t frames = pcm_len / (bytes_per * n_ch);
-  PyObject* out_bytes = PyBytes_FromStringAndSize(nullptr, frames * 4);
-  if (!out_bytes) { PyBuffer_Release(&view); return nullptr; }
-  float* out = (float*)PyBytes_AS_STRING(out_bytes);
-
+  out->resize(frames);
   for (size_t i = 0; i < frames; ++i) {
     double acc = 0.0;
     for (uint16_t c = 0; c < n_ch; ++c) {
@@ -258,10 +254,100 @@ PyObject* py_decode_wav(PyObject*, PyObject* args) {
       }
       acc += v;
     }
-    out[i] = (float)(acc / n_ch);
+    (*out)[i] = (float)(acc / n_ch);
   }
+  *out_sr = sr;
+  return nullptr;
+}
+
+PyObject* py_decode_wav(PyObject*, PyObject* args) {
+  Py_buffer view;
+  if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
+  std::vector<float> out;
+  uint32_t sr = 0;
+  const char* err =
+      decode_wav_core((const uint8_t*)view.buf, (size_t)view.len, &out, &sr);
   PyBuffer_Release(&view);
+  if (err) {
+    PyErr_SetString(PyExc_ValueError, err);
+    return nullptr;
+  }
+  PyObject* out_bytes = PyBytes_FromStringAndSize(
+      (const char*)out.data(), (Py_ssize_t)(out.size() * 4));
+  if (!out_bytes) return nullptr;
   return Py_BuildValue("(Ni)", out_bytes, (int)sr);
+}
+
+// Batch data loader: read + decode many WAV files on a C++ thread pool
+// with the GIL released (the reference's audio IO is a single-threaded
+// WavReader, examples/sensevoice/src/audio.rs — serving wants parallel IO).
+PyObject* py_decode_wav_files(PyObject*, PyObject* args) {
+  PyObject* paths;
+  if (!PyArg_ParseTuple(args, "O", &paths)) return nullptr;
+  PyObject* seq = PySequence_Fast(paths, "expected a sequence of paths");
+  if (!seq) return nullptr;
+  Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  std::vector<std::string> names((size_t)n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject* it = PySequence_Fast_GET_ITEM(seq, i);
+    const char* c = PyUnicode_AsUTF8(it);
+    if (!c) { Py_DECREF(seq); return nullptr; }
+    names[(size_t)i] = c;
+  }
+  Py_DECREF(seq);
+
+  struct Slot {
+    std::vector<float> pcm;
+    uint32_t sr = 0;
+    std::string err;
+  };
+  std::vector<Slot> slots((size_t)n);
+
+  Py_BEGIN_ALLOW_THREADS;
+  unsigned hw = std::thread::hardware_concurrency();
+  size_t n_threads = hw ? hw : 2;
+  if (n_threads > (size_t)n) n_threads = (size_t)n;
+  if (n_threads > 16) n_threads = 16;
+  std::vector<std::thread> pool;
+  for (size_t t = 0; t < n_threads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (size_t i = t; i < (size_t)n; i += n_threads) {
+        Slot& s = slots[i];
+        FILE* f = fopen(names[i].c_str(), "rb");
+        if (!f) { s.err = "cannot open " + names[i]; continue; }
+        fseek(f, 0, SEEK_END);
+        long sz = ftell(f);
+        fseek(f, 0, SEEK_SET);
+        std::vector<uint8_t> buf(sz > 0 ? (size_t)sz : 0);
+        if (sz > 0 && fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+          s.err = "short read " + names[i];
+          fclose(f);
+          continue;
+        }
+        fclose(f);
+        const char* e = decode_wav_core(buf.data(), buf.size(), &s.pcm, &s.sr);
+        if (e) s.err = std::string(e) + ": " + names[i];
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  Py_END_ALLOW_THREADS;
+
+  for (const Slot& s : slots)
+    if (!s.err.empty()) {
+      PyErr_SetString(PyExc_ValueError, s.err.c_str());
+      return nullptr;
+    }
+  PyObject* list = PyList_New(n);
+  if (!list) return nullptr;
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    const Slot& s = slots[(size_t)i];
+    PyObject* b = PyBytes_FromStringAndSize(
+        (const char*)s.pcm.data(), (Py_ssize_t)(s.pcm.size() * 4));
+    if (!b) { Py_DECREF(list); return nullptr; }
+    PyList_SET_ITEM(list, i, Py_BuildValue("(Ni)", b, (int)s.sr));
+  }
+  return list;
 }
 
 // ---------------------------------------------------------------------------
@@ -284,6 +370,8 @@ PyMethodDef methods[] = {
      "scan ONNX bytes -> [(name, dtype, dims, raw_offset, nbytes)]"},
     {"decode_wav", py_decode_wav, METH_VARARGS,
      "decode RIFF/WAVE -> (float32 mono bytes, sample_rate)"},
+    {"decode_wav_files", py_decode_wav_files, METH_VARARGS,
+     "threaded batch decode: [path,...] -> [(float32 bytes, sr), ...]"},
     {"content_hash", py_content_hash, METH_VARARGS, "FNV-1a 64 content hash"},
     {nullptr, nullptr, 0, nullptr},
 };

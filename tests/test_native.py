@@ -168,3 +168,64 @@ def test_content_hash_stable():
     h2 = nat.content_hash(b"abc")
     h3 = nat.content_hash(b"abd")
     assert h1 == h2 != h3
+
+
+def test_decode_wav_files_threaded_batch(tmp_path):
+    """Native batch loader: N files decode in parallel off the GIL and
+    match the single-file decoder exactly; a bad file raises with its name."""
+    import numpy as np
+
+    from lele_tpu.runtime.dataloader import decode_wav_files
+    from lele_tpu.serving import encode_wav
+    from lele_tpu.utils.wav import read_wav
+
+    paths = []
+    rng = np.random.default_rng(5)
+    for i in range(12):
+        pcm = (rng.standard_normal(4000 + 321 * i) * 0.2).astype(np.float32)
+        p = tmp_path / f"a{i:02d}.wav"
+        p.write_bytes(encode_wav(pcm, 16000))
+        paths.append(p)
+    got = decode_wav_files(paths)
+    assert len(got) == 12
+    for p, (pcm, sr) in zip(paths, got):
+        want, wsr = read_wav(p)
+        assert sr == wsr
+        np.testing.assert_array_equal(pcm, np.asarray(want, np.float32))
+
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFxxxxWAVE" + b"\x00" * 8)
+    import pytest
+
+    with pytest.raises(ValueError, match="bad.wav"):
+        decode_wav_files([paths[0], bad])
+    with pytest.raises(ValueError, match="missing.wav"):
+        decode_wav_files([tmp_path / "missing.wav"])
+
+
+def test_wav_batch_loader_prefetch_order(tmp_path):
+    import numpy as np
+
+    from lele_tpu.runtime.dataloader import WavBatchLoader
+    from lele_tpu.serving import encode_wav
+
+    rng = np.random.default_rng(6)
+    paths = []
+    for i in range(7):
+        pcm = (rng.standard_normal(1000 + i) * 0.1).astype(np.float32)
+        p = tmp_path / f"b{i}.wav"
+        p.write_bytes(encode_wav(pcm, 16000))
+        paths.append(p)
+    loader = WavBatchLoader(paths, batch_size=3)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert [len(b) for b in batches] == [3, 3, 1]
+    # order preserved: lengths encode the file index
+    lens = [len(p) for b in batches for p, _ in b]
+    assert lens == [1000 + i for i in range(7)]
+    # error propagation through the prefetch thread
+    import pytest
+
+    bad = tmp_path / "nope.wav"
+    with pytest.raises(ValueError):
+        list(WavBatchLoader([paths[0], bad], batch_size=1))
