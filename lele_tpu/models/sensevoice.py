@@ -50,6 +50,10 @@ class SenseVoiceConfig:
     dtype: str = "bfloat16"
     quantized: bool = False  # dynamic-int8 linears (reference parity mode)
     quant_pallas: bool = False  # route int8 dots through the Pallas kernel
+    weight_int4: bool = False  # w4a16: groupwise int4 weights stream at a
+    #   QUARTER of the bf16 bytes (kernels/w4_matmul.py). RTN int4 carries a
+    #   real noise floor (~12-16%/linear on Gaussian weights) — a deployment
+    #   knob for checkpoints that tolerate it, not the default.
     weight_int8: bool = False  # w8a16: int8 weights stream at half the bf16
     #   bytes (batch-1 inference is weight-streaming-bound — docs/PERF.md);
     #   activations stay bf16/f32, per-output-channel scales in the epilogue.
@@ -169,6 +173,21 @@ def _quant_linear(p: Params, x, use_pallas: bool = False):
     return y
 
 
+def _w4_linear(p: Params, x, dtype, group: int = 128):
+    """Weight-only groupwise int4 linear (w4a16): kernels/w4_matmul.py."""
+    from ..kernels.w4_matmul import w4_matmul
+
+    lead = x.shape[:-1]
+    y2 = w4_matmul(
+        x.reshape(-1, x.shape[-1]).astype(dtype), p["wq4"], p["ws4"],
+        group=group,
+    )
+    y = y2.reshape(*lead, p["wq4"].shape[-1])
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
 def _w8_linear(p: Params, x, dtype):
     """Weight-only int8 linear (w8a16): per-output-channel dequant fused
     into the GEMM epilogue (kernels/quant_matmul.w8_matmul — Pallas on TPU,
@@ -187,6 +206,35 @@ def _w8_linear(p: Params, x, dtype):
 
 _QUANT_LINEAR_KEYS = ("qkv", "out", "ffn1", "ffn2")
 _W8_LINEAR_KEYS = _QUANT_LINEAR_KEYS + ("ctc",)
+
+
+def prepare_w4_params(params: Params, drop_fp: bool = True,
+                      group: int = 128) -> Params:
+    """Groupwise int4 quantization of every big linear → ~8× smaller than
+    f32 masters, quarter the bf16 HBM stream per forward."""
+    from ..kernels.w4_matmul import quantize_weight_int4
+
+    def prep(p):
+        wq, scale = quantize_weight_int4(p["w"], group=group)
+        out = dict(p)
+        out["wq4"] = wq
+        out["ws4"] = scale
+        if drop_fp:
+            del out["w"]
+        return out
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {
+                k: (prep(v) if k in _W8_LINEAR_KEYS and isinstance(v, dict)
+                    and "w" in v else walk(v))
+                for k, v in tree.items()
+            }
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return tree
+
+    return jax.jit(walk)(params)
 
 
 def prepare_w8_params(params: Params, drop_fp: bool = True) -> Params:
@@ -291,6 +339,9 @@ def sanm_block(p: Params, x, mask, cfg: SenseVoiceConfig):
             return y[None].astype(x.dtype)
     if cfg.quantized:
         lin = lambda pp, v: _quant_linear(pp, v, use_pallas=cfg.quant_pallas)
+    elif cfg.weight_int4:
+        lin = lambda pp, v: (_w4_linear(pp, v, dt) if "wq4" in pp
+                             else linear(pp, v, dtype=dt))
     elif cfg.weight_int8:
         lin = lambda pp, v: (_w8_linear(pp, v, dt) if "wq8" in pp
                              else linear(pp, v, dtype=dt))
@@ -399,7 +450,9 @@ def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
         for lp in p["layers"]:
             x = block(lp, x, mask)
     x = layer_norm(p["after_norm"], x)
-    if cfg.weight_int8 and "wq8" in p["ctc"]:
+    if cfg.weight_int4 and "wq4" in p["ctc"]:
+        logits = _w4_linear(p["ctc"], x, cfg.compute_dtype)
+    elif cfg.weight_int8 and "wq8" in p["ctc"]:
         logits = _w8_linear(p["ctc"], x, cfg.compute_dtype)
     else:
         logits = linear(p["ctc"], x, dtype=cfg.compute_dtype)

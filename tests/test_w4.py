@@ -1,0 +1,134 @@
+"""w4a16 groupwise int4 GEMM: pack/unpack, oracle parity, kernel parity
+(Pallas interpreter on CPU — the backend-equivalence pattern), guards."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lele_tpu.kernels.w4_matmul import (  # noqa: E402
+    _w4_matmul_jnp,
+    dequantize_int4,
+    quantize_weight_int4,
+    w4_matmul,
+    w4_matmul_pallas,
+)
+
+
+def test_pack_roundtrip_exact():
+    """int4 values in [-7, 7] survive pack→unpack bit-exactly."""
+    rng = np.random.default_rng(0)
+    K, N, g = 256, 64, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    packed, scales = quantize_weight_int4(w, group=g)
+    assert packed.shape == (K // 2, N) and packed.dtype == jnp.int8
+    assert scales.shape == (K // g, N)
+    deq = np.asarray(dequantize_int4(packed, scales, g))
+    # every dequantized value is q*s with q integer in [-7, 7]
+    q = deq / np.repeat(np.asarray(scales), g, axis=0)
+    np.testing.assert_allclose(q, np.round(q), atol=1e-4)
+    assert np.abs(q).max() <= 7 + 1e-4
+
+
+def test_quantization_error_bound():
+    """Groupwise int4: |w - dq(w)| ≤ scale/2 per element (round-to-nearest
+    within each group's range)."""
+    rng = np.random.default_rng(1)
+    K, N, g = 512, 96, 128
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    packed, scales = quantize_weight_int4(w, group=g)
+    deq = np.asarray(dequantize_int4(packed, scales, g))
+    bound = np.repeat(np.asarray(scales), g, axis=0) / 2 + 1e-6
+    assert (np.abs(w - deq) <= bound).all()
+
+
+def test_groupwise_beats_per_channel():
+    """The point of groups: outlier rows don't poison the whole column."""
+    rng = np.random.default_rng(2)
+    K, N = 512, 32
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    w[:4] *= 50.0  # outlier block
+    packed_g, scales_g = quantize_weight_int4(w, group=128)
+    err_g = np.abs(w - np.asarray(dequantize_int4(packed_g, scales_g, 128)))
+    packed_c, scales_c = quantize_weight_int4(w, group=K)  # per-channel
+    err_c = np.abs(w - np.asarray(dequantize_int4(packed_c, scales_c, K)))
+    assert err_g[4:].mean() < 0.5 * err_c[4:].mean()
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("m,k,n,g,tk,tn", [
+    (8, 256, 128, 128, 128, 128),
+    (3, 512, 200, 128, 128, 128),   # ragged M/N (padding paths)
+    (16, 1024, 256, 128, 256, 256),
+])
+def test_pallas_kernel_matches_oracle(dtype, m, k, n, g, tk, tn):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((m, k)), dtype)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    packed, scales = quantize_weight_int4(w, group=g)
+    want = np.asarray(_w4_matmul_jnp(x, packed, scales, g))
+    got = np.asarray(w4_matmul_pallas(x, packed, scales, g,
+                                      tn=tn, tk=tk, interpret=True))
+    tol = 1e-5 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, want, rtol=tol, atol=tol * 10)
+
+
+def test_guarded_wrapper_falls_back(monkeypatch):
+    """Misaligned shapes (and non-TPU hosts) route to the identical-math
+    jnp path instead of erroring in Mosaic."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((4, 384)), jnp.float32)
+    w = rng.standard_normal((384, 64)).astype(np.float32)
+    packed, scales = quantize_weight_int4(w, group=128)  # K/2=192 % 128 != 0
+    out = w4_matmul(x, packed, scales, group=128)
+    want = np.asarray(x) @ np.asarray(dequantize_int4(packed, scales, 128))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError, match="multiple of group"):
+        w4_matmul_pallas(x, packed, scales, 128, tk=64, tn=64)
+
+
+def test_end_to_end_accuracy_vs_f32():
+    """RTN int4 on Gaussian weights has a KNOWN noise floor: quant step
+    ≈ amax/7 ≈ 3.9σ_w/7, σ_δ = step/√12 ≈ 0.16σ_w → per-linear relative
+    output error ≈ 12-16% (independent of K). Assert the kernel sits AT
+    that theory floor, not above it — real checkpoints do better because
+    trained weights aren't max-entropy Gaussians; accuracy gating belongs
+    to model-level tests on real weights."""
+    rng = np.random.default_rng(5)
+    K, N, g = 1024, 512, 128
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    w = (rng.standard_normal((K, N)) * (1.0 / np.sqrt(K))).astype(np.float32)
+    packed, scales = quantize_weight_int4(w, group=g)
+    y4 = np.asarray(_w4_matmul_jnp(x, packed, scales, g))
+    yf = np.asarray(x) @ w
+    rel = np.linalg.norm(y4 - yf) / np.linalg.norm(yf)
+    assert rel < 0.17, rel  # the RTN theory floor, no implementation slop
+
+
+def test_w4_model_forward_sane():
+    """w4a16 SenseVoice: whole forward runs through the kernel path and the
+    logits stay strongly correlated with f32 (random-init weights sit at the
+    RTN noise floor; real checkpoints gate tighter at model level)."""
+    from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel
+    from lele_tpu.models.sensevoice import (
+        prepare_w4_params,
+        stack_layer_params,
+    )
+
+    cfg = SenseVoiceConfig(
+        d_model=256, n_heads=4, ffn_dim=512, n_layers=2, vocab_size=64,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    params = m.init(0)
+    pcm = (np.sin(np.arange(8000) / 9.0) * 0.2).astype(np.float32)
+    ref = np.asarray(jax.jit(m.forward_fn())(params, pcm))
+
+    w4cfg = SenseVoiceConfig(**{**cfg.__dict__, "weight_int4": True})
+    m4 = SenseVoiceModel(w4cfg, params=stack_layer_params(
+        prepare_w4_params(params)), fbank=m.fbank)
+    got = np.asarray(jax.jit(m4.forward_fn())(m4.params, pcm))
+    assert got.shape == ref.shape and np.isfinite(got).all()
+    corr = np.corrcoef(got.reshape(-1), ref.reshape(-1))[0, 1]
+    assert corr > 0.95, corr
