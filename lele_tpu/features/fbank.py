@@ -21,6 +21,7 @@ import numpy as np
 
 from .cmvn import cmvn
 from .filters import hann_window, mel_filterbank
+from .framing import frame_signal
 from .lfr import lfr_stack
 
 
@@ -90,14 +91,14 @@ def fbank_features(
         empty = jnp.zeros((0, d), jnp.float32)
         return (empty, jnp.zeros((0,), jnp.float32)) if n_valid is not None else empty
     n_frames = c.num_frames(n)
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
     pcm_dev = jnp.asarray(pcm)
+    raw = frame_signal(pcm_dev, frame_len, hop)  # slices, not a gather
     if pcm_dev.dtype == jnp.int16:
         # i16 PCM carries the ×scale (32768) natively — half the transfer
         # of f32 and no host conversion
-        frames = pcm_dev[idx].astype(jnp.float32)
+        frames = raw.astype(jnp.float32)
     else:
-        frames = pcm_dev[idx] * c.scale  # [T, frame_len]
+        frames = raw * c.scale  # [T, frame_len]
     frames = frames - jnp.mean(frames, axis=1, keepdims=True)
     # pre-emphasis: y[0] unchanged, y[j] = x[j] - a*x[j-1]
     pre = jnp.concatenate(

@@ -78,9 +78,9 @@ def silero_features(params: Params, chunks, cfg: SileroConfig, sr: int = 16000):
         # resolution of the sr branch
         x = jnp.repeat(x, 2, axis=-1)
     frame, hop = cfg.n_fft, cfg.hop
-    n_frames = (x.shape[-1] - frame) // hop + 1
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
-    frames = x[:, idx]
+    from ..features.framing import frame_signal
+
+    frames = frame_signal(x, frame, hop)  # slices, not a gather
     win = jnp.asarray(np.hanning(frame + 1)[:-1].astype(np.float32))
     spec = jnp.fft.rfft(frames * win, axis=-1)
     mag = jnp.sqrt(jnp.square(spec.real) + jnp.square(spec.imag) + 1e-12)

@@ -365,9 +365,13 @@ def stft(ctx: OpContext, signal, frame_step, window=None, frame_length=None):
 
     Reference implements this host-side in kernels/math.rs:2304 with a custom
     radix-2 FFT; on TPU the XLA FFT custom-call handles the transform and the
-    framing is one gather. Output [B, frames, bins, 2] (real, imag).
+    framing is static slices (features/framing.py — a 2-D index gather from
+    a flat signal lowers to a serial scalar loop on TPU). Output
+    [B, frames, bins, 2] (real, imag).
     """
     import jax.numpy as jnp
+
+    from ..features.framing import frame_signal
 
     step = static_ints(frame_step, "frame_step")[0]
     if signal.ndim == 3:  # [B, L, 1]
@@ -378,10 +382,7 @@ def stft(ctx: OpContext, signal, frame_step, window=None, frame_length=None):
         flen = static_ints(frame_length, "frame_length")[0]
     else:
         raise ValueError("STFT requires window or frame_length")
-    length = int(signal.shape[-1])
-    n_frames = (length - flen) // step + 1
-    idx = np.arange(n_frames)[:, None] * step + np.arange(flen)[None, :]
-    frames = signal[:, idx]  # [B, frames, flen]
+    frames = frame_signal(signal, flen, step)  # [B, frames, flen]
     if window is not None:
         frames = frames * window
     onesided = bool(ctx.attr("onesided", 1))
