@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """All-family benchmark report → JSON file (the full §6 table with
 reference numbers alongside). Thin wrapper over bench.py's family
-functions so the protocol (amortized N-dispatch timing, w8a16 flagship)
+functions so the protocol (chained-scan slope timing, w8a16 flagship)
 can never drift between the driver headline and this report.
 
 `python scripts/bench_all.py [--out report.json]`
