@@ -182,7 +182,10 @@ def bench_yolo(seg: bool):
     m = Yolo26Model(Yolo26Config(segmentation=seg))
     m.init(0)
     yfn = m.forward_fn()
-    img = jnp.asarray(rng.random((1, 640, 640, 3), np.float32))
+    # host-packed s2d4 input (utils/image.preprocess_s2d) — the shipping
+    # layout: an in-program image relayout costs ~0.33 ms at 640², and
+    # NHWC's minor C=3 lane-pads 3→128 (~43× the read bytes)
+    img = jnp.asarray(rng.random((1, 160, 160, 48), np.float32))
     dt = _chain_slope(
         lambda c, p, x: jax.tree.leaves(yfn(p, x + c * 1e-30))[0],
         (m.params, img),

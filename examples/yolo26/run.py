@@ -22,7 +22,7 @@ enable_cache()
 import jax  # noqa: E402
 
 from lele_tpu.models import Yolo26Config, Yolo26Model, decode_detections  # noqa: E402
-from lele_tpu.utils.image import load_image, preprocess_u8  # noqa: E402
+from lele_tpu.utils.image import load_image, preprocess_s2d  # noqa: E402
 
 
 def run(segmentation: bool = False):
@@ -40,7 +40,7 @@ def run(segmentation: bool = False):
     else:
         print(f"note: {args.image} missing; using synthetic image", file=sys.stderr)
         img = (np.random.default_rng(0).random((480, 640, 3)) * 255).astype(np.uint8)
-    x = preprocess_u8(img, 640)  # u8 transfer; /255 on device
+    x = preprocess_s2d(img, 640)  # u8 s2d-packed transfer; /255 on device
     print(f"image {img.shape} → {x.shape} ({x.dtype})")
 
     if args.onnx:

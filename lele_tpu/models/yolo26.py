@@ -65,22 +65,102 @@ def init_yolo26(key, cfg: Yolo26Config) -> Params:
     return p
 
 
+def prepare_s2d_params(params: Params, cfg: Yolo26Config) -> Params:
+    """Add the space-to-depth-domain weights for the small-channel early
+    stages (models/s2d.py): stem + stage-0 run in s2d2 form (full MXU
+    lanes), stage-1's down conv exits back to the original domain. Run
+    once at load time; `yolo26_forward` takes the fast path when the
+    "s2d" subtree is present. Exact same math — parity-tested."""
+    from . import s2d as S
+
+    st0, st1 = params["stages"][0], params["stages"][1]
+
+    def hwio(p):
+        return np.asarray(jnp.transpose(p["w"], (2, 3, 1, 0)))
+
+    prep = {
+        "stem_w": jnp.asarray(S.w_stem_s2d4(hwio(params["stem"]))),
+        "stem_b": jnp.tile(params["stem"]["b"], 4),
+        "down0_w": jnp.asarray(S.w_down_s2d2(hwio(st0["down"]))),
+        "down0_b": jnp.tile(st0["down"]["b"], 4),
+        "c01_w": jnp.asarray(S.w_conv1_s2d2(hwio(st0["csp"]["c1"]))),
+        "c01_b": jnp.tile(st0["csp"]["c1"]["b"], 4),
+        "c02_w": jnp.asarray(S.w_conv1_s2d2(hwio(st0["csp"]["c2"]))),
+        "c02_b": jnp.tile(st0["csp"]["c2"]["b"], 4),
+        "down1_w": jnp.asarray(S.w_exit_s2d2(hwio(st1["down"]))),
+        "down1_b": jnp.asarray(st1["down"]["b"]),
+    }
+    out = dict(params)
+    out["s2d"] = prep
+    return out
+
+
 def yolo26_forward(params: Params, img, cfg: Yolo26Config):
     """img: [B, H, W, 3] f32 in [0,1] OR uint8 in [0,255] (normalized on
     device — ship the 4×-smaller u8 buffer) → (scores [B,300,C], boxes
     [B,300,4] cxcywh in pixels[, coeffs [B,300,32], protos [B,Hp,Wp,32]])."""
     dt = cfg.compute_dtype
-    if img.dtype == jnp.uint8:
-        x = img.astype(dt) * jnp.asarray(1.0 / 255.0, dt)
+    if "s2d" in params:
+        from . import s2d as S
+
+        sp = params["s2d"]
+        e01 = [(0, 1), (0, 1)]
+        # Preferred input: HOST-packed s2d4 [B, H/4, W/4, 48]
+        # (utils/image.preprocess_s2d). An in-program image relayout costs
+        # ~0.33 ms at 640² whatever the source layout (XLA layout
+        # assignment), and NHWC C=3 additionally lane-pads 3→128 (~43× the
+        # bytes); a pre-packed input param reads clean. Device fallbacks
+        # accept CHW and NHWC for compatibility.
+        if img.ndim == 4 and img.shape[-1] == 48:
+            xs = img  # pre-packed
+        elif img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+            xs = S.s2d_chw(img, 4)  # [B, H/4, W/4, 48]
+        else:
+            xs = S.s2d(img, 4)  # NHWC compat: pays the padded read once
+        if xs.dtype == jnp.uint8:
+            xs = xs.astype(dt) * jnp.asarray(1.0 / 255.0, dt)
+        else:
+            xs = xs.astype(dt)
+        xs = jax.nn.silu(
+            S.conv_s2d(xs, sp["stem_w"], 1, e01, dt) + sp["stem_b"])
+        # s2d2-form of the 320² stem map; feats[0] is only a FPN
+        # placeholder, keep it in original form
+        feats = [S.s2d_undo(xs.astype(dt), 2)]
+        xs = jax.nn.silu(
+            S.conv_s2d(xs.astype(dt), sp["down0_w"], 2, e01, dt)
+            + sp["down0_b"])
+        h = jax.nn.silu(
+            S.conv_s2d(xs.astype(dt), sp["c01_w"], 1, "SAME", dt)
+            + sp["c01_b"])
+        xs = xs + (S.conv_s2d(h.astype(dt), sp["c02_w"], 1, "SAME", dt)
+                   + sp["c02_b"]).astype(xs.dtype)
+        feats.append(S.s2d_undo(xs.astype(dt), 2))
+        x = jax.nn.silu(
+            S.conv_s2d(xs.astype(dt), sp["down1_w"], 1, e01, dt)
+            + sp["down1_b"])
+        rest = params["stages"][1:]
+        first = True
+        for st in rest:
+            if not first:
+                x = jax.nn.silu(conv2d(st["down"], x, stride=2, dtype=dt))
+            first = False
+            h = jax.nn.silu(conv2d(st["csp"]["c1"], x, dtype=dt))
+            x = x + conv2d(st["csp"]["c2"], h, dtype=dt).astype(x.dtype)
+            feats.append(x)
     else:
-        x = img.astype(dt)
-    x = jax.nn.silu(conv2d(params["stem"], x, stride=2, dtype=dt))
-    feats = [x]
-    for st in params["stages"]:
-        x = jax.nn.silu(conv2d(st["down"], x, stride=2, dtype=dt))
-        h = jax.nn.silu(conv2d(st["csp"]["c1"], x, dtype=dt))
-        x = x + conv2d(st["csp"]["c2"], h, dtype=dt).astype(x.dtype)
-        feats.append(x)
+        if img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+            img = jnp.transpose(img, (0, 2, 3, 1))  # CHW compat
+        if img.dtype == jnp.uint8:
+            x = img.astype(dt) * jnp.asarray(1.0 / 255.0, dt)
+        else:
+            x = img.astype(dt)
+        x = jax.nn.silu(conv2d(params["stem"], x, stride=2, dtype=dt))
+        feats = [x]
+        for st in params["stages"]:
+            x = jax.nn.silu(conv2d(st["down"], x, stride=2, dtype=dt))
+            h = jax.nn.silu(conv2d(st["csp"]["c1"], x, dtype=dt))
+            x = x + conv2d(st["csp"]["c2"], h, dtype=dt).astype(x.dtype)
+            feats.append(x)
     B, Hc, Wc, C = x.shape
     cls_map = conv2d(params["head_cls"], x, dtype=dt).astype(jnp.float32)
     box_map = conv2d(params["head_box"], x, dtype=dt).astype(jnp.float32)
@@ -119,6 +199,8 @@ class Yolo26Model:
         self.params = jax.jit(lambda k: init_yolo26(k, self.cfg))(
             jax.random.PRNGKey(seed)
         )
+        if self.cfg.img_size % 4 == 0:
+            self.params = prepare_s2d_params(self.params, self.cfg)
         return self.params
 
     def forward_fn(self):

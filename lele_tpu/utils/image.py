@@ -39,3 +39,25 @@ def preprocess_u8(img: np.ndarray, size: int = 640) -> np.ndarray:
     device (models.yolo26_forward) so the host→device transfer is 4× smaller
     than the f32 path."""
     return nearest_resize(img, size)[None]
+
+
+def preprocess_chw(img: np.ndarray, size: int = 640) -> np.ndarray:
+    """uint8 HWC → uint8 CHW [1, 3, size, size] — the TPU-preferred image
+    layout: W is the minor (lane) dimension, so the device reads the image
+    at its true byte size, where NHWC's C=3 minor dim lane-pads 3→128
+    (~43× the bytes; ~0.3 ms of HBM waste at 640²). The model normalizes
+    on device, so the transfer stays uint8 (4× smaller than f32) too."""
+    return nearest_resize(img, size).transpose(2, 0, 1)[None].copy()
+
+
+def preprocess_s2d(img: np.ndarray, size: int = 640) -> np.ndarray:
+    """uint8 HWC → uint8 space-to-depth-packed [1, size/4, size/4, 48]
+    (slot (u*4+v)*3 + c — models/s2d.py layout). Packing on the HOST
+    (a 1.2 MB numpy transpose) sidesteps the device entirely: XLA's layout
+    assignment for an in-program image transpose costs ~0.33 ms at 640²
+    whichever input layout it starts from, while a pre-packed input param
+    reads clean. The model normalizes on device, transfer stays uint8."""
+    x = nearest_resize(img, size)
+    h = size // 4
+    x = x.reshape(h, 4, h, 4, 3).transpose(0, 2, 1, 3, 4)
+    return np.ascontiguousarray(x.reshape(1, h, h, 48))
