@@ -302,11 +302,21 @@ def init_vocoder(key, cfg: SupertonicConfig) -> Params:
 
 
 def vocoder_forward(p: Params, latent, cfg: SupertonicConfig):
-    """latent [B, T, d_latent] → waveform [B, T*hop]."""
+    """latent [B, T, d_latent] → waveform [B, T*hop] (exactly ×256: each
+    ConvTranspose level is SAME-padded ×4, so the hop contract holds).
+
+    When `p` carries a "packed" subtree (prepare_vocoder_packed), the deep
+    levels run in lane-packed [T/P, P·C] form (models/packed1d.py): the
+    reference-shape vocoder spends 2.1 of its 2.7 ms in levels 3-4 + out
+    conv purely because C=16..32 lane-pads to 128 at T up to 131k."""
+    if "packed" in p:
+        from .packed1d import vocoder_forward_packed
+
+        return vocoder_forward_packed(p, latent, cfg)
     x = jax.nn.leaky_relu(conv1d(p["pre"], latent), 0.1)
     for up in p["ups"]:
         x = jax.lax.conv_transpose(
-            x, up["w"], strides=(4,), padding=[(2, 2)],
+            x, up["w"], strides=(4,), padding="SAME",
             dimension_numbers=("NHC", "HIO", "NHC"),
         ) + up["b"]
         x = jax.nn.leaky_relu(x, 0.1)
@@ -347,6 +357,10 @@ class SupertonicTts:
             }
 
         self.params = jax.jit(build)(jax.random.PRNGKey(seed))
+        from .packed1d import prepare_vocoder_packed
+
+        self.params["vocoder"] = prepare_vocoder_packed(
+            self.params["vocoder"], self.cfg)
         return self.params
 
     def synth_fn(self, t_latent: int):
