@@ -61,7 +61,10 @@ class SupertonicConfig:
     speed: float = 1.0
     latent_buckets: tuple = (64, 128, 256, 512, 1024)
     apply_latent_denorm: bool = True  # Supertonic 2; v3 skips (SURVEY §2.5)
-    dtype: str = "float32"
+    dtype: str = "float32"  # attention/FFN MXU dtype (dtype plumbing in
+    #   _attn_block lets deployments pick bf16; at the reference dims
+    #   d=256/T=512 the matmuls are latency-bound and bf16 casts measure
+    #   NEUTRAL-to-slightly-slower on v5e, so f32 stays default)
 
     @classmethod
     def from_json(cls, path: str | Path) -> "SupertonicConfig":
@@ -166,32 +169,39 @@ def _init_attn_block(key, d, ffn):
     }
 
 
-def _attn_block(p, x, mask, n_heads, kv=None, kv_mask=None):
+def _attn_block(p, x, mask, n_heads, kv=None, kv_mask=None, dtype=None):
     """Self-attention (kv=None) or cross-attention block; distinct q and kv
-    projections (the kv source is the text memory for cross layers)."""
+    projections (the kv source is the text memory for cross layers).
+    `dtype` (bf16 default via cfg) feeds the MXU; accumulation, softmax and
+    norms stay f32."""
     B, T, D = x.shape
     h = layer_norm(p["norm1"], x)
-    q = linear(p["q"], h)
+    q = linear(p["q"], h, dtype=dtype)
     if kv is None:
-        kvp = linear(p["kv"], h)
+        kvp = linear(p["kv"], h, dtype=dtype)
         att_mask = mask
     else:
-        kvp = linear(p["kv"], layer_norm(p["norm1"], kv))
+        kvp = linear(p["kv"], layer_norm(p["norm1"], kv), dtype=dtype)
         att_mask = kv_mask
     k, v = jnp.split(kvp, 2, axis=-1)
     hd = D // n_heads
     Tk = k.shape[1]
-    qh = q.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3)
-    kh = k.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3)
+    mm = dtype if dtype is not None else jnp.float32
+    qh = q.reshape(B, T, n_heads, hd).transpose(0, 2, 1, 3).astype(mm)
+    kh = k.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3).astype(mm)
+    vh = v.reshape(B, Tk, n_heads, hd).transpose(0, 2, 1, 3).astype(mm)
     s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32)
     s = s / np.sqrt(hd)
     s = jnp.where(att_mask[:, None, None, :] > 0, s, -1e9)
     a = jax.nn.softmax(s, axis=-1)
-    ctx_ = jnp.einsum("bhqk,bhkd->bhqd", a, vh, preferred_element_type=jnp.float32)
-    x = x + linear(p["out"], ctx_.transpose(0, 2, 1, 3).reshape(B, T, D))
+    ctx_ = jnp.einsum("bhqk,bhkd->bhqd", a.astype(mm), vh,
+                      preferred_element_type=jnp.float32)
+    x = x + linear(p["out"], ctx_.transpose(0, 2, 1, 3).reshape(B, T, D),
+                   dtype=dtype)
     h2 = layer_norm(p["norm2"], x)
-    return x + linear(p["ffn2"], jax.nn.gelu(linear(p["ffn1"], h2)))
+    return x + linear(p["ffn2"], jax.nn.gelu(linear(p["ffn1"], h2,
+                                                    dtype=dtype)),
+                      dtype=dtype)
 
 
 def init_text_encoder(key, cfg: SupertonicConfig) -> Params:
@@ -211,7 +221,7 @@ def text_encoder_forward(p: Params, ids, style, mask, cfg: SupertonicConfig):
     x = p["embed"][ids] + linear(p["style_proj"], style)[:, None, :]
     x = x + sinusoidal_positions(ids.shape[1], cfg.d_text)
     for b in p["blocks"]:
-        x = _attn_block(b, x, mask, cfg.n_heads)
+        x = _attn_block(b, x, mask, cfg.n_heads, dtype=cfg.compute_dtype)
     return layer_norm(p["norm"], x)
 
 
@@ -273,10 +283,11 @@ def vector_estimator_forward(
     x = x + linear(p["style_proj"], style)[:, None, :]
     x = x + linear(p["t_proj"], temb)[:, None, :]
     x = x + sinusoidal_positions(T, d)
+    dt = cfg.compute_dtype
     for b in p["blocks"]:
-        x = _attn_block(b["self"], x, latent_mask, cfg.n_heads)
+        x = _attn_block(b["self"], x, latent_mask, cfg.n_heads, dtype=dt)
         x = _attn_block(b["cross"], x, latent_mask, cfg.n_heads, kv=text_emb,
-                        kv_mask=text_mask)
+                        kv_mask=text_mask, dtype=dt)
     return linear(p["out"], x) * latent_mask[..., None]
 
 
