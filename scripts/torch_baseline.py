@@ -82,13 +82,30 @@ def main():
 
     cm = compile_model(path)
     xd = jnp.asarray(x.numpy())
-    out = cm._jit(cm.params, (), (xd,))
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(50):
-        out = cm._jit(cm.params, (), (xd,))
-    jax.block_until_ready(out)
-    tpu_ms = (time.perf_counter() - t0) / 50 * 1e3
+    wf = cm._walk_fn
+    name = cm.input_order[0]
+
+    # chained-scan slope with carried dependency + readback gating — the
+    # only honest protocol through the tunneled TPU (docs/PERF.md)
+    def timed(K):
+        @jax.jit
+        def run(p, xx):
+            def body(c, _):
+                out = wf(p, {name: xx + c * 1e-30})
+                return jnp.mean(jax.tree.leaves(out)[0]).astype(jnp.float32), ()
+            s, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K)
+            return s
+
+        float(run(cm.params, xd))
+        best = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            float(run(cm.params, xd))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    Ks = (8, 40)
+    tpu_ms = (timed(Ks[1]) - timed(Ks[0])) / (Ks[1] - Ks[0]) * 1e3
 
     print(f"transformer encoder {layers}L d512 T{T} (batch 1):")
     print(f"  torch-CPU 1-thread : {torch_ms:8.2f} ms")
