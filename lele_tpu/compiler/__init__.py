@@ -81,12 +81,21 @@ class Compiler:
         batch_axis: int | None = None,
         seq_axis: int | None = None,
         param_rules=None,
+        pack_image_stem: bool = False,
     ) -> CompiledModel:
         if isinstance(model, (bytes, bytearray, memoryview)):
             model = OnnxModel.from_bytes(bytes(model))
         elif not isinstance(model, OnnxModel):
             model = OnnxModel.load(model)
         specs = resolve_input_specs(model, input_shapes, dim_values)
+        packers = None
+        if pack_image_stem:
+            from .s2d_stem import build_stem_rewrite
+
+            rw = build_stem_rewrite(model, specs)
+            if rw is not None:
+                specs, stem_pattern, packers = rw
+                self.with_pattern(stem_pattern)
         tracer = GraphTracer(
             model,
             overrides=self._overrides,
@@ -106,6 +115,7 @@ class Compiler:
             batch_axis=batch_axis,
             seq_axis=seq_axis,
             param_rules=param_rules,
+            input_packers=packers,
         )
         import types
 
@@ -168,6 +178,7 @@ def compile_model(
     batch_axis: int | None = None,
     seq_axis: int | None = None,
     param_rules=None,
+    pack_image_stem: bool = False,
 ) -> CompiledModel:
     c = Compiler()
     if overrides:
@@ -176,4 +187,4 @@ def compile_model(
     if strict is not None:
         c.with_strict(strict)
     return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis,
-                     seq_axis, param_rules)
+                     seq_axis, param_rules, pack_image_stem=pack_image_stem)

@@ -245,7 +245,8 @@ class YoloOnnx:
         model = OnnxModel.load(str(path))
         name = model.input_names()[0]
         self.cm = compile_model(
-            model, input_shapes={name: (1, 3, img_size, img_size)}
+            model, input_shapes={name: (1, 3, img_size, img_size)},
+            pack_image_stem=True,  # s2d stem rewrite (compiler/s2d_stem.py)
         )
         self.img_size = img_size
 
@@ -263,6 +264,9 @@ class YoloOnnx:
 
         x = preprocess(image, self.img_size)  # [1, H, W, 3] float
         x = np.transpose(np.asarray(x), (0, 3, 1, 2))  # ONNX NCHW
+        for orig_shape, packer in self.cm.input_packers.values():
+            if x.shape == orig_shape:
+                x = packer(x)  # host s2d pack (stem rewrite active)
         return jnp.asarray(x)
 
     def forward_device(self, x_dev):

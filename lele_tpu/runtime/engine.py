@@ -28,6 +28,7 @@ class CompiledModel:
         batch_axis: int | None = None,
         seq_axis: int | None = None,
         param_rules=None,
+        input_packers=None,
     ):
         """mesh + batch_axis: data-parallel inference — params replicate
         across the mesh's "data" axis and every input/output shards on
@@ -48,6 +49,10 @@ class CompiledModel:
         from ..ops.tensor_ops import canonical_dtype
 
         self.input_specs = input_specs
+        # name → (original_shape, host_fn): layout rewrites (e.g. the s2d
+        # image-stem pass) accept the ORIGINAL ONNX layout at the API and
+        # repack on the host in _prep — run_np stays drop-in
+        self.input_packers = input_packers or {}
         self.input_order = list(input_order)
         self.output_names = list(output_names)
         self.donate = [d for d in donate if d in input_order]
@@ -114,6 +119,10 @@ class CompiledModel:
         import jax
 
         arr = np.asarray(v) if isinstance(v, (np.ndarray, list, float, int)) else v
+        if isinstance(arr, np.ndarray) and name in self.input_packers:
+            orig_shape, packer = self.input_packers[name]
+            if arr.shape == orig_shape:
+                arr = packer(arr)
         if isinstance(arr, np.ndarray):
             dt = self._canon[name]
             if arr.dtype != dt:
