@@ -88,8 +88,13 @@ def extract_packed_conv2d(fn, Cin_p: int, grid: int = 16):
     basis = np.zeros((Cin_p, grid, grid, Cin_p), np.float32)
     for ci in range(Cin_p):
         basis[ci, t0, t0, ci] = 1.0
-    resp = np.asarray(
-        jax.vmap(lambda x: fn(x[None])[0])(jnp.asarray(basis)))
+    # probe on CPU: avoids a remote-TPU compile round trip at load time
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    probe = jax.jit(jax.vmap(lambda x: fn(x[None])[0]), device=cpu)
+    resp = np.asarray(probe(jnp.asarray(basis)))
     amax = np.abs(resp).max()
     ys = np.nonzero(np.abs(resp).max(axis=(0, 2, 3)) > 1e-6 * amax)[0]
     xs = np.nonzero(np.abs(resp).max(axis=(0, 1, 3)) > 1e-6 * amax)[0]

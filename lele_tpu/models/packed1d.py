@@ -53,7 +53,15 @@ def extract_packed_conv(fn, Cin: int, T_probe: int = 64,
     basis = np.zeros((Cin, T_probe, Cin), np.float32)
     for ci in range(Cin):
         basis[ci, t0, ci] = 1.0
-    resp = np.asarray(jax.vmap(lambda x: fn(x[None])[0])(jnp.asarray(basis)))
+    # Probe on the CPU backend: the compute is microscopic, but on a
+    # remote/tunneled TPU each probe would pay a fresh remote compile
+    # (measured: minutes of cold-start for the whole vocoder prepare).
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    probe = jax.jit(jax.vmap(lambda x: fn(x[None])[0]), device=cpu)
+    resp = np.asarray(probe(jnp.asarray(basis)))
     # resp[ci, t, co] = W[t0 - t + pad, ci, co]
     Cout = resp.shape[-1]
     amax = np.abs(resp).max()
