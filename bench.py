@@ -125,6 +125,34 @@ def bench_sensevoice(pcm, audio_s):
     return steady / audio_s
 
 
+def bench_sensevoice_w4(pcm, audio_s):
+    """Side metric: groupwise-int4 fused stack (kernels/sanm_block
+    sanm_stack_w4_pallas) — half the w8 weight stream. Not the headline:
+    the reference ships int8, so w8a16 stays the comparable mode; int4 is
+    the below-the-floor deployment knob (RTN noise budget in test_w4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel
+    from lele_tpu.models.common import cast_big_params
+    from lele_tpu.models.sensevoice import (
+        prepare_w4_params,
+        stack_layer_params,
+    )
+
+    cfg = SenseVoiceConfig(weight_int4=True)
+    model = SenseVoiceModel(cfg)
+    params = model.init(0)
+    params = cast_big_params(params, jnp.bfloat16)
+    params = prepare_w4_params(params)
+    params = stack_layer_params(params)
+    fwd = model.forward_fn()
+    steady = _chain_slope(
+        lambda c, p, x: fwd(p, x + c * 1e-30), (params, pcm)
+    )
+    return steady / audio_s
+
+
 def bench_silero(pcm, audio_s):
     import jax
     import numpy as np
@@ -209,6 +237,8 @@ def main():
 
     # --- the other four families first (reference README.md:16-22 table) ---
     side = [
+        ("sensevoice_rtf_w4a16",
+         lambda: bench_sensevoice_w4(pcm, audio_s), 0.0256, "rtf"),
         ("silero_rtf", lambda: bench_silero(pcm, audio_s), 0.0022, "rtf"),
         ("supertonic_rtf", bench_supertonic, 0.0648, "rtf"),
         ("yolo26_ms", lambda: bench_yolo(False), 534.97, "ms"),

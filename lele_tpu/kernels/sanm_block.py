@@ -303,3 +303,198 @@ def fused_layer_available(cfg, params_layer) -> bool:
         and cfg.d_model % cfg.n_heads == 0
         and (cfg.d_model // cfg.n_heads) % 128 == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# w4a16 stack: same grid-over-layers structure with GROUPWISE int4 weights
+# (kernels/w4_matmul.py packing: low nibble = rows [0, K/2), high nibble =
+# rows [K/2, K); scales [K/group, N] applied BEFORE the contraction, so the
+# dot splits into low/high K-half planes). Streams HALF the w8 bytes, but
+# on v5e the in-kernel dequant (unpack + scale over every weight element,
+# VPU work the w8 kernel's tiny [T,N] epilogue doesn't pay) eats the
+# bandwidth saving: interleaved slope trials read 0.41 ms vs w8's 0.385
+# (docs/PERF.md r2). Ship int4 for CAPACITY (2× smaller resident weights),
+# not latency, on this generation.
+
+
+def _w4dot(x, wp, s, b, group, n_g):
+    """x f32 [Tp, K] @ groupwise-int4 [K/2, N] packed + scales [≥n_g, N]
+    (first n_g rows real) + bias [N] → f32 [Tp, N]."""
+    K = x.shape[1]
+    half = K // 2
+    N = wp.shape[-1]
+    pi = wp.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
+    hi = jnp.right_shift(pi, 4)
+    gh = n_g // 2  # scale groups per nibble plane
+
+    def dq(qi, s_plane):
+        sp = s_plane.reshape(gh, 1, N)
+        sp = jnp.broadcast_to(sp, (gh, group, N)).reshape(half, N)
+        return (qi.astype(jnp.float32) * sp).astype(jnp.bfloat16)
+
+    y = jax.lax.dot_general(
+        x[:, :half].astype(jnp.bfloat16), dq(lo, s[:gh]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y + jax.lax.dot_general(
+        x[:, half:].astype(jnp.bfloat16), dq(hi, s[gh:n_g]),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y + b
+
+
+def _stack_kernel_w4(n_heads, fsmn_k, T_pad, L, group, n_gs,
+                     x_ref, mask_ref,
+                     g1_ref, b1_ref, wqkv_ref, sqkv_ref, bqkv_ref, fsmn_ref,
+                     wo_ref, so_ref, bo_ref, g2_ref, b2_ref,
+                     w1_ref, s1_ref, b1f_ref, w2_ref, s2_ref, b2f_ref,
+                     out_ref, xbuf):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        xbuf[:] = x_ref[:]
+
+    x = xbuf[:]
+    m = mask_ref[:]
+    D = x.shape[-1]
+    hd = D // n_heads
+    pad = (fsmn_k - 1) // 2
+    g_qkv, g_out, g_f1, g_f2 = n_gs
+
+    h = _ln(x, g1_ref[0], b1_ref[0])
+    qkv = _w4dot(h, wqkv_ref[0], sqkv_ref[0], bqkv_ref[0], group, g_qkv)
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    vm = v * m.reshape(-1, 1)[:T_pad]
+    vp = jnp.concatenate(
+        [jnp.zeros((pad, D), jnp.float32), vm,
+         jnp.zeros((fsmn_k - 1 - pad, D), jnp.float32)], axis=0
+    )
+    fw = fsmn_ref[0]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(fsmn_k):
+        fsmn = fsmn + vp[kk : kk + T_pad] * fw[kk]
+
+    neg = (m - 1.0) * 1e9
+    inv = 1.0 / np.sqrt(hd)
+    ctxs = []
+    for hh in range(n_heads):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sc = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), kh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv + neg
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc)
+        att = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctxs.append(jax.lax.dot_general(
+            att.astype(jnp.bfloat16), vh.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+
+    ao = _w4dot(ctx + fsmn, wo_ref[0], so_ref[0], bo_ref[0], group, g_out)
+    x1 = x + ao
+    h2 = _ln(x1, g2_ref[0], b2_ref[0])
+    f1 = jnp.maximum(
+        _w4dot(h2, w1_ref[0], s1_ref[0], b1f_ref[0], group, g_f1), 0.0)
+    f2 = _w4dot(f1, w2_ref[0], s2_ref[0], b2f_ref[0], group, g_f2)
+    y = x1 + f2
+    xbuf[:] = y
+
+    @pl.when(i == L - 1)
+    def _():
+        out_ref[:] = y
+
+
+def sanm_stack_w4_pallas(x, mask, stacked, n_heads: int, fsmn_k: int,
+                         group: int = 128, interpret: bool = False):
+    """w4a16 whole-encoder kernel. stacked: stack_layer_params over
+    prepare_w4_params output (wq4 [L, K/2, N], ws4 [L, K/group, N])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, D = x.shape
+    L = stacked["qkv"]["wq4"].shape[0]
+    Tp = -(-T // 16) * 16
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        mask = jnp.pad(mask, (0, Tp - T))
+    mask2 = mask.reshape(1, Tp).astype(jnp.float32)
+
+    def row(a):
+        return jnp.asarray(a, jnp.float32).reshape(L, 1, -1)
+
+    def scales(a):
+        # pad group rows to a sublane multiple (Mosaic wants ≥8-row blocks)
+        a = jnp.asarray(a, jnp.float32)
+        n_g = a.shape[1]
+        pad = (-n_g) % 8
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+        return a, n_g
+
+    sqkv, g_qkv = scales(stacked["qkv"]["ws4"])
+    so, g_out = scales(stacked["out"]["ws4"])
+    s1, g_f1 = scales(stacked["ffn1"]["ws4"])
+    s2, g_f2 = scales(stacked["ffn2"]["ws4"])
+    for name, g in (("qkv", g_qkv), ("out", g_out), ("ffn1", g_f1),
+                    ("ffn2", g_f2)):
+        if g % 2:
+            raise ValueError(
+                f"{name}: K/group={g} must be even (groups must not "
+                f"straddle the nibble-plane boundary)")
+
+    args = (
+        x.astype(jnp.float32), mask2,
+        row(stacked["norm1"]["g"]), row(stacked["norm1"]["b"]),
+        stacked["qkv"]["wq4"], sqkv, row(stacked["qkv"]["b"]),
+        jnp.asarray(stacked["fsmn"]["w"], jnp.float32),
+        stacked["out"]["wq4"], so, row(stacked["out"]["b"]),
+        row(stacked["norm2"]["g"]), row(stacked["norm2"]["b"]),
+        stacked["ffn1"]["wq4"], s1, row(stacked["ffn1"]["b"]),
+        stacked["ffn2"]["wq4"], s2, row(stacked["ffn2"]["b"]),
+    )
+
+    def whole(a):
+        nd = a.ndim
+        return pl.BlockSpec(tuple(a.shape), lambda i: (0,) * nd)
+
+    def per_layer(a):
+        shape = (1,) + tuple(a.shape[1:])
+        nd = a.ndim
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (nd - 1))
+
+    in_specs = [whole(args[0]), whole(args[1])]
+    in_specs += [per_layer(a) for a in args[2:]]
+    F = stacked["ffn1"]["wq4"].shape[-1]
+    flops = L * (2 * Tp * D * (4 * D + 2 * F) + 4 * Tp * Tp * D)
+    bytes_acc = (Tp * D * 8
+                 + L * (D * 2 * D + D * F + 4 * (6 * D + 2 * F)))
+    out = pl.pallas_call(
+        functools.partial(_stack_kernel_w4, n_heads, fsmn_k, Tp, L, group,
+                          (g_qkv, g_out, g_f1, g_f2)),
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Tp, D), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Tp, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc,
+            transcendentals=L * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:T]

@@ -1,8 +1,12 @@
 """Weight-only int4 GEMM (w4a16, groupwise scales) — Pallas TPU kernel.
 
-Batch-1 inference is weight-streaming-bound (docs/PERF.md): w8a16 halves
-the bf16 stream; int4 halves it AGAIN (flagship floor 0.21 ms → 0.11 ms on
-v5e). Per-output-channel scales are too coarse at 4 bits, so scales are
+int4 halves the int8 HBM weight stream — but on v5e the SPEED win does
+not materialize: the in-kernel dequant (nibble unpack + groupwise scale)
+touches every weight element on the VPU, and interleaved slope trials
+measure the w4 flagship at parity with w8 (0.41 vs 0.385 ms — docs/PERF.md
+r2). int4's real value on this chip is CAPACITY: 8× smaller than f32
+masters, 2× smaller than int8 resident in HBM. Per-output-channel scales
+are too coarse at 4 bits, so scales are
 GROUPWISE along K (default g=128, the AWQ/GPTQ deployment standard) and
 must therefore apply BEFORE the contraction (K-varying scales don't
 commute with the K-sum, unlike the w8 kernel's N-scales epilogue).

@@ -438,6 +438,21 @@ def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
                 )
                 x = y[None]
                 stacked = None
+        elif (cfg.weight_int4 and cfg.fused_block and B == 1
+                and "wq4" in stacked.get("qkv", {})
+                and "moe" not in stacked and hd % 128 == 0):
+            from ..kernels.quant_matmul import _on_tpu
+
+            if _on_tpu():
+                # int4 variant: HALF the w8 stream (sanm_stack_w4_pallas)
+                from ..kernels.sanm_block import sanm_stack_w4_pallas
+
+                y = sanm_stack_w4_pallas(
+                    x[0].astype(jnp.float32), mask[0].astype(jnp.float32),
+                    stacked, cfg.n_heads, cfg.fsmn_kernel,
+                )
+                x = y[None]
+                stacked = None
         if stacked is not None:
             # identical-shape layers as ONE lax.scan over stacked params:
             # one block body instead of N copies — ~N× fewer kernel

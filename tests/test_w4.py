@@ -132,3 +132,62 @@ def test_w4_model_forward_sane():
     assert got.shape == ref.shape and np.isfinite(got).all()
     corr = np.corrcoef(got.reshape(-1), ref.reshape(-1))[0, 1]
     assert corr > 0.95, corr
+
+
+def test_w4_stack_kernel_matches_jnp_layers():
+    """Grid-over-layers w4 stack kernel (interpret mode) vs the per-layer
+    jnp path (models.sensevoice.sanm_block with weight_int4). Tolerance is
+    bf16-dot level: the kernel feeds the MXU bf16 (like the w8 stack
+    kernel), the jnp oracle runs f32."""
+    from lele_tpu.kernels.sanm_block import sanm_stack_w4_pallas
+    from lele_tpu.models import SenseVoiceConfig
+    from lele_tpu.models.sensevoice import (
+        init_sensevoice,
+        prepare_w4_params,
+        sanm_block,
+        stack_layer_params,
+    )
+
+    rng = np.random.default_rng(7)
+    cfg = SenseVoiceConfig(
+        n_layers=3, d_model=256, ffn_dim=512, vocab_size=32, n_heads=2,
+        dtype="float32", weight_int4=True,
+    )
+    params = prepare_w4_params(init_sensevoice(jax.random.PRNGKey(4), cfg))
+    stacked = stack_layer_params(params)["layers_stacked"]
+    T = 19
+    x = rng.standard_normal((T, cfg.d_model)).astype(np.float32) * 0.3
+    mask = np.ones((T,), np.float32)
+    mask[-3:] = 0.0
+
+    want = jnp.asarray(x)[None]
+    for lp in params["layers"]:
+        want = sanm_block(lp, want, jnp.asarray(mask)[None], cfg)
+    got = sanm_stack_w4_pallas(jnp.asarray(x), jnp.asarray(mask), stacked,
+                               cfg.n_heads, cfg.fsmn_kernel, interpret=True)
+    valid = int(mask.sum())
+    g, w = np.asarray(got)[:valid], np.asarray(want)[0][:valid]
+    np.testing.assert_allclose(g, w, rtol=3e-2, atol=3e-2 * np.abs(w).max())
+    corr = np.corrcoef(g.reshape(-1), w.reshape(-1))[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_w4_stack_guard_odd_groups():
+    from lele_tpu.kernels.sanm_block import sanm_stack_w4_pallas
+    from lele_tpu.models import SenseVoiceConfig
+    from lele_tpu.models.sensevoice import (
+        init_sensevoice,
+        prepare_w4_params,
+        stack_layer_params,
+    )
+
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=256, ffn_dim=384, vocab_size=16, n_heads=2,
+        dtype="float32", weight_int4=True,
+    )
+    params = prepare_w4_params(init_sensevoice(jax.random.PRNGKey(0), cfg))
+    stacked = stack_layer_params(params)["layers_stacked"]
+    x = jnp.zeros((8, 256), jnp.float32)
+    with pytest.raises(ValueError, match="nibble-plane"):
+        sanm_stack_w4_pallas(x, jnp.ones((8,), jnp.float32), stacked,
+                             cfg.n_heads, cfg.fsmn_kernel, interpret=True)
