@@ -35,6 +35,8 @@ def main():
     rows = {
         "sensevoice_rtf_w8a16": (
             lambda: bench.bench_sensevoice(pcm, audio_s), 0.0256, 0.0294),
+        "sensevoice_rtf_w4a16": (
+            lambda: bench.bench_sensevoice_w4(pcm, audio_s), 0.0256, 0.0294),
         "silero_rtf": (
             lambda: bench.bench_silero(pcm, audio_s), 0.0022, 0.002882),
         "supertonic_rtf": (bench.bench_supertonic, 0.0648, 0.1667),
