@@ -61,6 +61,14 @@ class SupertonicConfig:
     speed: float = 1.0
     latent_buckets: tuple = (64, 128, 256, 512, 1024)
     apply_latent_denorm: bool = True  # Supertonic 2; v3 skips (SURVEY §2.5)
+    fused_estimator: bool = False  # experimental: fuse the 8 attn blocks
+    #   into one Pallas program (kernels/est_block.py). Interleaved slope
+    #   trials read it 40% SLOWER than the XLA path at reference dims
+    #   (0.115 vs 0.082 ms/step): the kernel pays both attention branches
+    #   (traced where over self/cross) and 4 full-D masked-head score dots,
+    #   and XLA's launch overhead here was smaller than assumed. Kept as an
+    #   off-by-default knob + parity suite; the honest negative result is
+    #   recorded in docs/PERF.md.
     dtype: str = "float32"  # attention/FFN MXU dtype (dtype plumbing in
     #   _attn_block lets deployments pick bf16; at the reference dims
     #   d=256/T=512 the matmuls are latency-bound and bf16 casts measure
@@ -284,6 +292,19 @@ def vector_estimator_forward(
     x = x + linear(p["t_proj"], temb)[:, None, :]
     x = x + sinusoidal_positions(T, d)
     dt = cfg.compute_dtype
+    if cfg.fused_estimator and x.shape[0] == 1:
+        from ..kernels.quant_matmul import _on_tpu
+
+        if _on_tpu():
+            # all 8 blocks as ONE Pallas program (kernels/est_block.py):
+            # the per-block XLA launch latency dominates this size
+            from ..kernels.est_block import estimator_blocks_pallas
+
+            y = estimator_blocks_pallas(
+                x[0], text_emb[0], latent_mask[0], text_mask[0],
+                p["blocks"], cfg.n_heads,
+            )
+            return linear(p["out"], y[None]) * latent_mask[..., None]
     for b in p["blocks"]:
         x = _attn_block(b["self"], x, latent_mask, cfg.n_heads, dtype=dt)
         x = _attn_block(b["cross"], x, latent_mask, cfg.n_heads, kv=text_emb,
