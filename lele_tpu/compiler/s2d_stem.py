@@ -96,6 +96,8 @@ def extract_packed_conv2d(fn, Cin_p: int, grid: int = 16):
     probe = jax.jit(jax.vmap(lambda x: fn(x[None])[0]), device=cpu)
     resp = np.asarray(probe(jnp.asarray(basis)))
     amax = np.abs(resp).max()
+    if amax == 0.0:  # degenerate (all-zero weights): 1×1 zero kernel
+        return np.zeros((1, 1, Cin_p, resp.shape[-1]), np.float32)
     ys = np.nonzero(np.abs(resp).max(axis=(0, 2, 3)) > 1e-6 * amax)[0]
     xs = np.nonzero(np.abs(resp).max(axis=(0, 1, 3)) > 1e-6 * amax)[0]
     lo_y, hi_y = int(ys.min()), int(ys.max())

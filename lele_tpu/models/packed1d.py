@@ -65,6 +65,8 @@ def extract_packed_conv(fn, Cin: int, T_probe: int = 64,
     # resp[ci, t, co] = W[t0 - t + pad, ci, co]
     Cout = resp.shape[-1]
     amax = np.abs(resp).max()
+    if amax == 0.0:  # degenerate (all-zero op): a 1-tap zero kernel
+        return jnp.zeros((1, Cin, Cout), jnp.float32), 0
     rows = np.nonzero(np.abs(resp).max(axis=(0, 2)) > rtol * amax)[0]
     lo_t, hi_t = int(rows.min()), int(rows.max())
     kp = hi_t - lo_t + 1
