@@ -89,17 +89,24 @@ class Compiler:
             model = OnnxModel.load(model)
         specs = resolve_input_specs(model, input_shapes, dim_values)
         packers = None
+        patterns = self._patterns
         if pack_image_stem:
             from .s2d_stem import build_stem_rewrite
 
             rw = build_stem_rewrite(model, specs)
             if rw is not None:
                 specs, stem_pattern, packers = rw
-                self.with_pattern(stem_pattern)
+                # per-compile pattern: do NOT install on self (it closes
+                # over THIS model's stem weights)
+                if patterns is None:
+                    from .patterns import DEFAULT_PATTERNS
+
+                    patterns = list(DEFAULT_PATTERNS)
+                patterns = [stem_pattern] + list(patterns)
         tracer = GraphTracer(
             model,
             overrides=self._overrides,
-            patterns=self._patterns,
+            patterns=patterns,
             strict=self._strict,
         )
         walk_fn, params = tracer.build(specs)

@@ -89,12 +89,15 @@ def extract_packed_conv2d(fn, Cin_p: int, grid: int = 16):
     for ci in range(Cin_p):
         basis[ci, t0, t0, ci] = 1.0
     # probe on CPU: avoids a remote-TPU compile round trip at load time
+    import contextlib
+
     try:
-        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(jax.devices("cpu")[0])
     except RuntimeError:
-        cpu = None
-    probe = jax.jit(jax.vmap(lambda x: fn(x[None])[0]), device=cpu)
-    resp = np.asarray(probe(jnp.asarray(basis)))
+        ctx = contextlib.nullcontext()
+    with ctx:
+        resp = np.asarray(
+            jax.jit(jax.vmap(lambda x: fn(x[None])[0]))(jnp.asarray(basis)))
     amax = np.abs(resp).max()
     if amax == 0.0:  # degenerate (all-zero weights): 1×1 zero kernel
         return np.zeros((1, 1, Cin_p, resp.shape[-1]), np.float32)
@@ -162,6 +165,14 @@ def build_stem_rewrite(model, specs):
                 pads = [total_h - total_h // 2, total_w - total_w // 2,
                         total_h // 2, total_w // 2]
 
+    # the packed rewrite assumes the stem preserves out == H/2 exactly
+    # (s2d2-form output); reject pads/kernel combos that don't (e.g.
+    # ONNX-default VALID pads) — the graph then compiles unchanged
+    out_h = (H + pads[0] + pads[2] - kh) // 2 + 1
+    out_w = (W + pads[1] + pads[3] - kw) // 2 + 1
+    if out_h * 2 != H or out_w * 2 != W:
+        return None
+
     w_dev = jnp.asarray(w_np)
 
     def orig_conv_nchw(x_nchw):
@@ -211,9 +222,9 @@ def build_stem_rewrite(model, specs):
         if b_np is not None:
             bd = state.to_device("__s2d_stem_b__", np.asarray(b_np, np.float32))
             y = y + bd.reshape(1, -1, 1, 1)
-        state.pattern_hits["s2d_stem"] = (
-            state.pattern_hits.get("s2d_stem", 0) + 1)
         return {i}, {node.output[0]: y}
+
+    pattern.__name__ = "s2d_stem"  # tracer books pattern_hits by this name
 
     new_specs = dict(specs)
     new_specs[x_name] = ((B, H // 4, W // 4, 16 * C), specs[x_name][1])

@@ -110,6 +110,11 @@ def w4_matmul(x, packed, scales, group: int = 128,
             if need <= _VMEM_BUDGET:
                 return w4_matmul_pallas(x, packed, scales, group,
                                         tn=tn_, tk=tk_)
+        if impl == "pallas":
+            raise ValueError(
+                f"LELE_W4_IMPL=pallas forced but no tile fits "
+                f"(K={k2}, N={n}, group={group}) — shapes must tile by "
+                f"group and fit VMEM")
     return _w4_matmul_jnp(x, packed, scales, group)
 
 
@@ -141,13 +146,13 @@ def w4_matmul_pallas(x, packed, scales, group: int = 128,
     half, n = packed.shape
     if K != 2 * half:
         raise ValueError("x/packed K mismatch")
-    if half % tk or tk % group:
-        raise ValueError(f"packed K {half} must tile by tk={tk} "
-                         f"(tk multiple of group={group})")
     if half % group:
         # a scale group would straddle the low/high nibble plane boundary,
         # breaking the kernel's per-plane scale split — use the jnp path
         raise ValueError(f"K/2={half} must be a multiple of group={group}")
+    if half % tk or tk % group:
+        raise ValueError(f"packed K {half} must tile by tk={tk} "
+                         f"(tk multiple of group={group})")
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
     mp = -(-m // sublane) * sublane
     np_ = -(-n // tn) * tn

@@ -56,12 +56,15 @@ def extract_packed_conv(fn, Cin: int, T_probe: int = 64,
     # Probe on the CPU backend: the compute is microscopic, but on a
     # remote/tunneled TPU each probe would pay a fresh remote compile
     # (measured: minutes of cold-start for the whole vocoder prepare).
+    import contextlib
+
     try:
-        cpu = jax.devices("cpu")[0]
+        ctx = jax.default_device(jax.devices("cpu")[0])
     except RuntimeError:
-        cpu = None
-    probe = jax.jit(jax.vmap(lambda x: fn(x[None])[0]), device=cpu)
-    resp = np.asarray(probe(jnp.asarray(basis)))
+        ctx = contextlib.nullcontext()
+    with ctx:
+        resp = np.asarray(
+            jax.jit(jax.vmap(lambda x: fn(x[None])[0]))(jnp.asarray(basis)))
     # resp[ci, t, co] = W[t0 - t + pad, ci, co]
     Cout = resp.shape[-1]
     amax = np.abs(resp).max()
@@ -70,12 +73,9 @@ def extract_packed_conv(fn, Cin: int, T_probe: int = 64,
     rows = np.nonzero(np.abs(resp).max(axis=(0, 2)) > rtol * amax)[0]
     lo_t, hi_t = int(rows.min()), int(rows.max())
     kp = hi_t - lo_t + 1
-    # y[t] = sum_d x[t + d - pad] W[d]; impulse at t0 contributes to
-    # y[t] via d = t0 - t + pad → W[d] = resp[:, t0 + pad - d]
-    pad_lo = t0 - lo_t  # response extends pad_lo rows ABOVE t0... see map
-    # solve: response row t corresponds to d = t0 - t + pad_lo' where we
-    # want d in [0, kp): t in [lo_t, hi_t] → d = t0 + pad_lo' - t. Choose
-    # pad_lo' = hi_t - t0 so d ranges 0..kp-1 as t goes hi_t..lo_t.
+    # y[t] = sum_d x[t + d - pad_lo] W[d]: response row t corresponds to
+    # d = t0 + pad_lo - t; choosing pad_lo = hi_t - t0 makes d range
+    # 0..kp-1 as t goes hi_t..lo_t
     pad_lo = hi_t - t0
     W = np.zeros((kp, Cin, Cout), np.float32)
     for d in range(kp):

@@ -440,7 +440,13 @@ def sensevoice_encode(p: Params, feats, mask, cfg: SenseVoiceConfig):
                 stacked = None
         elif (cfg.weight_int4 and cfg.fused_block and B == 1
                 and "wq4" in stacked.get("qkv", {})
-                and "moe" not in stacked and hd % 128 == 0):
+                and "moe" not in stacked and hd % 128 == 0
+                # every linear's K/group count must be EVEN (groups must
+                # not straddle the int4 nibble-plane boundary) — else fall
+                # back to the per-layer scan path
+                and (cfg.d_model // 128) % 2 == 0
+                and cfg.ffn_dim % 128 == 0
+                and (cfg.ffn_dim // 128) % 2 == 0):
             from ..kernels.quant_matmul import _on_tpu
 
             if _on_tpu():

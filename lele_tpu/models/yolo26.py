@@ -100,7 +100,15 @@ def yolo26_forward(params: Params, img, cfg: Yolo26Config):
     device — ship the 4×-smaller u8 buffer) → (scores [B,300,C], boxes
     [B,300,4] cxcywh in pixels[, coeffs [B,300,32], protos [B,Hp,Wp,32]])."""
     dt = cfg.compute_dtype
-    if "s2d" in params:
+    use_s2d = "s2d" in params
+    if use_s2d:
+        if img.ndim == 4 and img.shape[-1] == 48:
+            pass  # pre-packed
+        elif img.ndim == 4 and img.shape[1] == 3 and img.shape[-1] != 3:
+            use_s2d = img.shape[2] % 4 == 0 and img.shape[3] % 4 == 0
+        else:
+            use_s2d = img.shape[1] % 4 == 0 and img.shape[2] % 4 == 0
+    if use_s2d:
         from . import s2d as S
 
         sp = params["s2d"]

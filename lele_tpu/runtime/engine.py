@@ -119,10 +119,17 @@ class CompiledModel:
         import jax
 
         arr = np.asarray(v) if isinstance(v, (np.ndarray, list, float, int)) else v
-        if isinstance(arr, np.ndarray) and name in self.input_packers:
+        if name in self.input_packers:
             orig_shape, packer = self.input_packers[name]
-            if arr.shape == orig_shape:
+            if isinstance(arr, np.ndarray) and arr.shape == orig_shape:
                 arr = packer(arr)
+            elif (not isinstance(arr, np.ndarray)
+                  and tuple(getattr(arr, "shape", ())) == orig_shape):
+                raise ValueError(
+                    f"input {name!r} uses a layout-rewritten (packed) spec "
+                    f"{self.input_specs[name][0]}; pass a numpy array in the "
+                    f"original layout {orig_shape} (packed on host) or a "
+                    f"pre-packed device array")
         if isinstance(arr, np.ndarray):
             dt = self._canon[name]
             if arr.dtype != dt:

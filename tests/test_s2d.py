@@ -124,3 +124,18 @@ def test_yolo_packed_input_matches_nhwc():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(c), np.asarray(r),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_yolo_s2d_falls_back_on_odd_size():
+    """s2d params present but H/W not %4: must take the plain path, not
+    crash in reshape (review finding r2)."""
+    from lele_tpu.models import Yolo26Config, Yolo26Model
+
+    cfg = Yolo26Config(img_size=128, dtype="float32")
+    m = Yolo26Model(cfg)
+    m.init(0)
+    assert "s2d" in m.params
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(rng.random((1, 126, 126, 3)), jnp.float32)
+    out = m.forward_fn()(m.params, img)
+    assert np.isfinite(np.asarray(jax.tree.leaves(out)[0])).all()

@@ -88,3 +88,34 @@ def test_rewrite_on_synthetic_stem_exact():
     x = rng.random((1, 3, 32, 32)).astype(np.float32)
     np.testing.assert_allclose(
         packed.run_np(x)[0], plain.run_np(x)[0], rtol=1e-5, atol=1e-5)
+
+
+def test_no_rewrite_when_output_not_half():
+    """ONNX-default VALID pads (out 15 from 32) must compile unchanged,
+    not crash the rewrite (review finding r2)."""
+    from lele_tpu.onnx import builder as B
+
+    rng = np.random.default_rng(3)
+    bs = B.build_model_bytes(
+        [B.node("Conv", ["x", "w"], ["y"], strides=[2, 2],
+                kernel_shape=[3, 3])],  # no pads attr → VALID
+        inputs=[B.value_info("x", 1, [1, 3, 32, 32])],
+        outputs=[B.value_info("y", 1, [1, 4, 15, 15])],
+        initializers=[B.tensor_from_array(
+            rng.standard_normal((4, 3, 3, 3)).astype(np.float32), "w")],
+    )
+    plain = compile_model(bs)
+    packed = compile_model(bs, pack_image_stem=True)
+    assert not packed.input_packers
+    x = rng.random((1, 3, 32, 32)).astype(np.float32)
+    np.testing.assert_allclose(packed.run_np(x)[0], plain.run_np(x)[0],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compiler_instance_not_mutated_by_stem_rewrite():
+    from lele_tpu.compiler import Compiler
+
+    c = Compiler()
+    cm1 = c.compile("fixtures/yolo26.onnx", pack_image_stem=True)
+    assert cm1.input_packers
+    assert c._patterns is None  # per-compile pattern, no instance state

@@ -191,3 +191,30 @@ def test_w4_stack_guard_odd_groups():
     with pytest.raises(ValueError, match="nibble-plane"):
         sanm_stack_w4_pallas(x, jnp.ones((8,), jnp.float32), stacked,
                              cfg.n_heads, cfg.fsmn_kernel, interpret=True)
+
+
+def test_w4_fused_gate_falls_back_on_odd_groups(monkeypatch):
+    """ffn_dim=384 → K/group=3 (odd): the fused gate must NOT route to the
+    stack kernel; the scan path must produce finite logits (review
+    finding r2)."""
+    import lele_tpu.kernels.quant_matmul as qm
+
+    monkeypatch.setattr(qm, "_on_tpu", lambda: True)  # force the gate path
+    from lele_tpu.models import SenseVoiceConfig, SenseVoiceModel
+    from lele_tpu.models.sensevoice import (
+        prepare_w4_params,
+        stack_layer_params,
+        sensevoice_encode,
+    )
+
+    cfg = SenseVoiceConfig(
+        n_layers=2, d_model=512, n_heads=4, ffn_dim=384, vocab_size=32,
+        dtype="float32", weight_int4=True,
+    )
+    m = SenseVoiceModel(cfg)
+    params = stack_layer_params(prepare_w4_params(m.init(0)))
+    feats = jnp.asarray(
+        np.random.default_rng(9).standard_normal((1, 12, 560)), jnp.float32)
+    mask = jnp.ones((1, 12), jnp.float32)
+    logits = sensevoice_encode(params, feats, mask, cfg)
+    assert np.isfinite(np.asarray(logits)).all()
