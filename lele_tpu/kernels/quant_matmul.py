@@ -106,16 +106,23 @@ def _fused_dq_vmem_bytes(k: int, tm: int, tn: int, x_itemsize: int) -> int:
 
 def fused_dq_matmul(x, wq, w_colsum, a_scale, a_zp, w_scale,
                     tm: int = 128, tn: int = 256):
-    """Guarded entry point: the Pallas fused kernel when its whole-K tiles
-    fit VMEM and we're on TPU; an identical-math jnp path otherwise (XLA
-    int8 dot — still MXU, just unfused)."""
-    m, k = x.shape
-    fits = _fused_dq_vmem_bytes(
-        k, min(tm, m), min(tn, wq.shape[1]), jnp.dtype(x.dtype).itemsize
-    ) <= _VMEM_BUDGET
-    if fits and _on_tpu():
-        return fused_dq_matmul_pallas(x, wq, w_colsum, a_scale, a_zp, w_scale,
-                                      tm=tm, tn=tn)
+    """Guarded entry point. DEFAULT: the jnp path — honest chained-slope
+    trials on v5e read XLA's int8 dot FASTER than the hand-tiled Pallas
+    kernel at deployment shapes (4.7 vs 6.0 µs at [96,512]x[512,2048];
+    docs/PERF.md r2 "kernel honesty" — XLA's int8 tiling is simply good,
+    and standalone-op fusion buys nothing when XLA fuses the epilogue
+    anyway). LELE_DQ_IMPL=pallas forces the Pallas kernel (A/B knob; the
+    parity suite runs it in interpret mode regardless)."""
+    import os
+
+    if os.environ.get("LELE_DQ_IMPL", "") == "pallas" and _on_tpu():
+        m, k = x.shape
+        fits = _fused_dq_vmem_bytes(
+            k, min(tm, m), min(tn, wq.shape[1]), jnp.dtype(x.dtype).itemsize
+        ) <= _VMEM_BUDGET
+        if fits:
+            return fused_dq_matmul_pallas(x, wq, w_colsum, a_scale, a_zp,
+                                          w_scale, tm=tm, tn=tn)
     return _fused_dq_matmul_jnp(x, wq, w_colsum, a_scale, a_zp, w_scale)
 
 
@@ -218,13 +225,17 @@ def w8_matmul(x, wq, w_scale, tn: int = 512, tk: int = 1024):
     whole-M blocks fit VMEM (shrinking tiles first), jnp dequant-dot
     otherwise. x: [M, K] bf16/f32; wq: i8 [K, N]; w_scale: [N] or scalar.
 
-    LELE_W8_IMPL=jnp|pallas forces one implementation (perf A/B knob)."""
+    DEFAULT: the jnp path — honest chained-slope trials on v5e read the
+    XLA dequant-dot 2.2× FASTER than the Pallas kernel at the CTC-head
+    shape ([97,512]x[512,25055]: 48 vs 103 µs; docs/PERF.md r2 "kernel
+    honesty"). LELE_W8_IMPL=pallas forces the Pallas kernel (A/B knob;
+    parity suites cover it in interpret mode)."""
     import os
 
     impl = os.environ.get("LELE_W8_IMPL", "")
     m, k = x.shape
     n = wq.shape[1]
-    if impl == "jnp":
+    if impl != "pallas":
         return _w8_matmul_jnp(x, wq, w_scale)
     if _on_tpu() or impl == "pallas":
         itemsize = jnp.dtype(x.dtype).itemsize
