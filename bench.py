@@ -156,6 +156,60 @@ def bench_sensevoice_w4(pcm, audio_s):
     return steady / audio_s
 
 
+def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool):
+    """The compiled-ONNX flagship (VERDICT r2 #1): a full
+    SenseVoiceSmall-class int8 export (50L/d512/ffn2048/vocab 25055, real
+    FunASR chain layout) built by onnx/synth.py, compiled by the tracer
+    with whole-layer SAN-M fusion (compiler/sanm_fuse.py — the 50 layers
+    run as ONE grid-over-layers Pallas program with exact DQL semantics),
+    timed with the same chained-slope waveform→logits protocol as the
+    native model. On non-TPU fallback the encoder shrinks to 4 layers
+    (the fused kernel is TPU-gated) — vs_baseline is null there anyway."""
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    from lele_tpu.features.fbank import fbank_features
+    from lele_tpu.models.checkpoints import SenseVoiceOnnx
+    from lele_tpu.onnx.synth import build_sanm_int8_model
+
+    dims = dict(L=50, d=512, h=4, ffn=2048, vocab=25055) if on_tpu else \
+        dict(L=4, d=128, h=4, ffn=256, vocab=512)
+    path = Path(tempfile.gettempdir()) / f"sanm_int8_{dims['L']}l.onnx"
+    if not path.exists():
+        path.write_bytes(build_sanm_int8_model(**dims))
+    sv = SenseVoiceOnnx(path)
+    fb = sv.frontend
+    t = jax.eval_shape(
+        lambda p: fbank_features(p, fb.config, fb.window, fb.mel_t),
+        jax.ShapeDtypeStruct((len(pcm),), jnp.float32),
+    ).shape[0]
+    t_pad = -(-t // sv.FRAME_BUCKET) * sv.FRAME_BUCKET
+    cm = sv._compiled(t_pad)
+    assert cm.stats["pattern_hits"].get("sanm_fused_layers", 0) == \
+        (dims["L"] if on_tpu else 0), cm.stats["pattern_hits"]
+
+    def run(params, pcm_in):
+        feats = fbank_features(pcm_in, fb.config, fb.window, fb.mel_t)
+        padded = jnp.zeros((1, t_pad, feats.shape[-1]), feats.dtype)
+        padded = jax.lax.dynamic_update_slice(
+            padded, feats[None].astype(padded.dtype), (0, 0, 0))
+        outs = cm._walk_fn(params, {
+            "speech": padded,
+            "speech_lengths": jnp.asarray([t], cm._canon["speech_lengths"]),
+            "language": jnp.asarray([3], cm._canon["language"]),
+            "textnorm": jnp.asarray([0], cm._canon["textnorm"]),
+        })
+        return outs[0]
+
+    steady = _chain_slope(
+        lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm)
+    )
+    return steady / audio_s
+
+
 def bench_silero(pcm, audio_s):
     import jax
     import numpy as np
@@ -240,6 +294,9 @@ def main():
 
     # --- the other four families first (reference README.md:16-22 table) ---
     side = [
+        ("compiled_sensevoice_rtf_int8",
+         lambda: bench_compiled_sensevoice(pcm, audio_s, on_tpu),
+         0.0256, "rtf"),
         ("sensevoice_rtf_w4a16",
          lambda: bench_sensevoice_w4(pcm, audio_s), 0.0256, "rtf"),
         ("silero_rtf", lambda: bench_silero(pcm, audio_s), 0.0022, "rtf"),

@@ -212,3 +212,11 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
 
 
 DEFAULT_PATTERNS: list = [dql_matmul_dataflow]
+
+# Whole-layer SAN-M fusion (compiler/sanm_fuse.py) must run BEFORE the
+# per-linear DQL pattern so it can claim entire transformer layers; the
+# DQL pattern then handles whatever the layer matcher declined. (Import at
+# the bottom: sanm_fuse uses this module's helpers.)
+from .sanm_fuse import sanm_stack_dataflow  # noqa: E402
+
+DEFAULT_PATTERNS.insert(0, sanm_stack_dataflow)

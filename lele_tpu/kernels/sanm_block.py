@@ -306,6 +306,208 @@ def fused_layer_available(cfg, params_layer) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# DQL-exact whole-encoder stack: the COMPILED-ONNX flagship kernel.
+#
+# The w8 stack above serves the native model (w8a16: f32/bf16 activations,
+# int8 weights). Compiled int8 exports carry different semantics — ONNX
+# DynamicQuantizeLinear per linear (activation u8-quantized against its own
+# global min/max, int8×int8→int32 MXU dot, zero-point col-sum correction,
+# dequant epilogue; reference emits these via `linear_quantized*` snippets,
+# /root/reference/src/snippets/default_methods.rs:96). This variant keeps
+# those semantics EXACTLY, so the compiler can route whole matched SAN-M
+# layers here (compiler/sanm_fuse.py) and stay parity-tested against the
+# per-op trace of the same graph.
+#
+# Exactness under padding: rows are masked to zero before each DQL —
+# ONNX DQL clamps min/max to include 0, so zero rows never perturb the
+# activation scale, making the kernel's T→Tp padding invisible to the
+# quantization grid. Attention bias / FSMN value-mask are taken as VALUES
+# from the traced graph (one [L, T] stack each), not re-derived, so any
+# masking scheme the export uses is preserved verbatim.
+
+
+def _dql_dot(x, rowmask, wq_ref, colsum_ref, ws_ref, b_ref):
+    """Exact ONNX DQL + MatMulInteger + dequant + bias.
+
+    x: f32 [Tp, K]; rowmask: f32 [Tp, 1] (1 = real row); wq: i8 [K, N]
+    (pre-shifted from u8 by -128 at trace time); colsum: i32 [1, N];
+    ws: f32 [1, N] (weight scale, per-tensor broadcast or per-channel);
+    b: f32 [1, N]."""
+    xm = x * rowmask
+    x_min = jnp.minimum(jnp.min(xm), 0.0)
+    x_max = jnp.maximum(jnp.max(xm), 0.0)
+    scale = (x_max - x_min) / 255.0
+    safe = jnp.where(scale == 0, 1.0, scale)
+    zp = jnp.round(jnp.clip(-x_min / safe, 0.0, 255.0))
+    q = jnp.clip(jnp.round(xm / safe) + zp, 0.0, 255.0)
+    ai = (q - 128.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        ai, wq_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    zp_i = (zp - 128.0).astype(jnp.int32)
+    acc = acc - zp_i * colsum_ref[:]
+    return acc.astype(jnp.float32) * (scale * ws_ref[:]) + b_ref[:]
+
+
+def _stack_kernel_dql(n_heads, fsmn_k, T_pad, T, L, pad_left, eps1, eps2,
+                      att_scale,
+                      x_ref, bias_ref, vmask_ref,
+                      g1_ref, b1_ref, wqkv_ref, cqkv_ref, sqkv_ref, bqkv_ref,
+                      fsmn_ref,
+                      wo_ref, co_ref, so_ref, bo_ref, g2_ref, b2_ref,
+                      w1_ref, c1_ref, s1_ref, b1f_ref,
+                      w2_ref, c2_ref, s2_ref, b2f_ref,
+                      out_ref, xbuf):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        xbuf[:] = x_ref[:]
+
+    x = xbuf[:]
+    D = x.shape[-1]
+    hd = D // n_heads
+    rowmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (T_pad, 1), 0) < T
+    ).astype(jnp.float32)
+    neg_pad = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, T_pad), 1) < T, 0.0, -1e9
+    )
+    bias_k = bias_ref[0] + neg_pad           # [1, Tp] over the key axis
+    vmask = vmask_ref[:].reshape(-1, 1)[:T_pad] * rowmask
+
+    h = _ln(x, g1_ref[0], b1_ref[0], eps=eps1)
+    qkv = _dql_dot(h, rowmask, wqkv_ref[0], cqkv_ref[0], sqkv_ref[0],
+                   bqkv_ref[0])
+    q, k, v = qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:]
+
+    # FSMN depthwise memory conv on masked values (graph's pads preserved)
+    vm = v * vmask
+    vp = jnp.concatenate(
+        [jnp.zeros((pad_left, D), jnp.float32), vm,
+         jnp.zeros((fsmn_k - 1 - pad_left, D), jnp.float32)], axis=0
+    )
+    fw = fsmn_ref[0]
+    fsmn = jnp.zeros_like(vm)
+    for kk in range(fsmn_k):
+        fsmn = fsmn + vp[kk : kk + T_pad] * fw[kk]
+
+    ctxs = []
+    for hh in range(n_heads):
+        sl = slice(hh * hd, (hh + 1) * hd)
+        qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
+        sc = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * att_scale + bias_k
+        sc = sc - jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc)
+        att = e / jnp.sum(e, axis=-1, keepdims=True)
+        ctxs.append(jax.lax.dot_general(
+            att, vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    ctx = jnp.concatenate(ctxs, axis=-1)
+
+    ao = _dql_dot(ctx + fsmn, rowmask, wo_ref[0], co_ref[0], so_ref[0],
+                  bo_ref[0])
+    x1 = x + ao
+    h2 = _ln(x1, g2_ref[0], b2_ref[0], eps=eps2)
+    f1 = jnp.maximum(
+        _dql_dot(h2, rowmask, w1_ref[0], c1_ref[0], s1_ref[0], b1f_ref[0]),
+        0.0)
+    f2 = _dql_dot(f1, rowmask, w2_ref[0], c2_ref[0], s2_ref[0], b2f_ref[0])
+    y = x1 + f2
+    xbuf[:] = y
+
+    @pl.when(i == L - 1)
+    def _():
+        out_ref[:] = y
+
+
+def sanm_stack_dql_pallas(x, attn_bias, vmask, stacked, n_heads: int,
+                          fsmn_k: int, pad_left: int,
+                          eps1: float = 1e-5, eps2: float = 1e-5,
+                          att_scale: float | None = None,
+                          interpret: bool = False):
+    """L SAN-M layers with exact compiled-int8 (DQL/a8w8) semantics in ONE
+    pallas_call. x: f32 [T, D]; attn_bias: f32 [L, T] (added over the key
+    axis); vmask: f32 [L, T] (multiplies values ahead of the FSMN conv);
+    stacked: per-linear {"wq" i8 [L,K,N], "colsum" i32 [L,1,N], "ws" f32
+    [L,1,N], "b" f32 [L,1,N]} under qkv/out/ffn1/ffn2 + norm1/norm2 g,b
+    [L,1,D] + fsmn [L,k,D]. Returns f32 [T, D]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, D = x.shape
+    L = stacked["qkv"]["wq"].shape[0]
+    if att_scale is None:
+        att_scale = 1.0 / float(np.sqrt(D // n_heads))
+    Tp = -(-T // 32) * 32  # i8 operand sublane tile
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+        attn_bias = jnp.pad(attn_bias, ((0, 0), (0, Tp - T)))
+        vmask = jnp.pad(vmask, ((0, 0), (0, Tp - T)))
+    attn_bias = attn_bias.reshape(L, 1, Tp).astype(jnp.float32)
+    vmask = vmask.reshape(L, 1, Tp).astype(jnp.float32)
+
+    def lin(p):
+        return (p["wq"], p["colsum"].astype(jnp.int32),
+                p["ws"].astype(jnp.float32), p["b"].astype(jnp.float32))
+
+    args = (
+        x.astype(jnp.float32), attn_bias, vmask,
+        stacked["norm1"]["g"], stacked["norm1"]["b"],
+        *lin(stacked["qkv"]),
+        jnp.asarray(stacked["fsmn"], jnp.float32),
+        *lin(stacked["out"]),
+        stacked["norm2"]["g"], stacked["norm2"]["b"],
+        *lin(stacked["ffn1"]),
+        *lin(stacked["ffn2"]),
+    )
+
+    def whole(a):
+        nd = a.ndim
+        return pl.BlockSpec(tuple(a.shape), lambda i: (0,) * nd)
+
+    def per_layer(a):
+        shape = (1,) + tuple(a.shape[1:])
+        nd = a.ndim
+        return pl.BlockSpec(shape, lambda i: (i,) + (0,) * (nd - 1))
+
+    in_specs = [whole(args[0])] + [per_layer(a) for a in args[1:]]
+    F = stacked["ffn1"]["wq"].shape[-1]
+    flops = L * (2 * Tp * D * (4 * D + 2 * F) + 4 * Tp * Tp * D)
+    bytes_acc = (Tp * D * 8
+                 + L * (D * 4 * D + 2 * D * F + 12 * (6 * D + 2 * F)))
+    out = pl.pallas_call(
+        functools.partial(_stack_kernel_dql, n_heads, fsmn_k, Tp, T, L,
+                          pad_left, float(eps1), float(eps2),
+                          float(att_scale)),
+        grid=(L,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((Tp, D), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Tp, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_acc,
+            transcendentals=L * Tp * Tp,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:T]
+
+
+# ---------------------------------------------------------------------------
 # w4a16 stack: same grid-over-layers structure with GROUPWISE int4 weights
 # (kernels/w4_matmul.py packing: low nibble = rows [0, K/2), high nibble =
 # rows [K/2, K); scales [K/group, N] applied BEFORE the contraction, so the

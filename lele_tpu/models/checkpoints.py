@@ -78,59 +78,92 @@ class SenseVoiceOnnx:
         n_prefix = logits.shape[1] - t_pad
         return logits[:, : n_prefix + t]
 
+    def _pcm_bucket(self, n_pcm: int) -> int:
+        """Smallest pcm-length bucket covering n_pcm. One bucket step is
+        FRAME_BUCKET LFR frames of audio (32·6·160 samples ≈ 1.9 s at the
+        Kaldi defaults), so both the fbank program shape AND the encoder
+        frame padding are shared by every input in the bucket — compile
+        count is bounded by the number of distinct buckets, not the number
+        of distinct wav lengths (VERDICT r2 #4; the reference handles any
+        length in one binary, examples/sensevoice/src/main.rs:56-246)."""
+        c = self.frontend.config
+        step = self.FRAME_BUCKET * c.lfr_n * c.hop_len
+        return max(-(-n_pcm // step) * step, step)
+
+    def _true_frames(self, n_pcm: int) -> int:
+        """LFR frame count the unpadded waveform produces (host formula,
+        mirrors features/fbank.py + lfr_stack)."""
+        c = self.frontend.config
+        t_raw = max(c.num_frames(n_pcm), 0)
+        return -(-t_raw // c.lfr_n) if c.apply_lfr else t_raw
+
     def transcribe(self, pcm: np.ndarray, blank_id: int = 0,
                    n_prefix: int | None = None) -> list[int]:
-        """Waveform → CTC ids as ONE device program: fbank frontend, frame
-        padding, the compiled encoder graph, and the per-frame argmax all
-        fused — the readback is [T] i32 ids, not [T, vocab] logits (the
-        BASELINE.json north star applied to *compiled checkpoints*, not
-        just the native model)."""
-        import jax
-
+        """Waveform → CTC ids as ONE device program: fbank frontend (mask-
+        aware CMVN over the valid samples only), frame padding, the
+        compiled encoder graph, and the per-frame argmax all fused — the
+        readback is [T] i32 ids, not [T, vocab] logits (the BASELINE.json
+        north star applied to *compiled checkpoints*, not just the native
+        model). Inputs pad to pcm-length buckets, so feeding a directory
+        of arbitrary-length WAVs compiles once per bucket."""
         pcm = np.asarray(pcm, np.float32)
-        key = ("ids", len(pcm))
+        n_bucket = self._pcm_bucket(len(pcm))
+        key = ("ids", n_bucket)
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
         if key not in self._fn_cache:
-            fn, cm, t, t_pad = self._make_ids_fn(len(pcm))
+            fn, cm, t_pad = self._make_ids_fn(n_bucket)
             # lower+compile once and call the executable directly: on a
             # tunneled TPU the per-call jit dispatch path costs ~40-70 ms;
             # a compiled-executable call is sub-ms (docs/PERF.md cold start)
-            comp = fn.lower(cm.params, pcm).compile()
-            self._fn_cache[key] = (comp, cm, t, t_pad)
-        fn, cm, t, t_pad = self._fn_cache[key]
-        ids, np_prefix = fn(cm.params, pcm)
+            probe = np.zeros(n_bucket, np.float32)
+            comp = fn.lower(cm.params, probe, np.int32(len(pcm))).compile()
+            self._fn_cache[key] = (comp, cm, t_pad)
+        fn, cm, t_pad = self._fn_cache[key]
+        padded = np.zeros(n_bucket, np.float32)
+        padded[: len(pcm)] = pcm
+        ids, np_prefix = fn(cm.params, padded, np.int32(len(pcm)))
         ids = np.asarray(ids)
         if n_prefix is None:
             n_prefix = int(np_prefix)
+        t = self._true_frames(len(pcm))
         return _collapse(ids[n_prefix : n_prefix + t], blank_id)
 
-    def _make_ids_fn(self, n_pcm: int):
+    def compile_count(self) -> int:
+        """Distinct compiled ids-programs so far (bucketing observability)."""
+        return len(getattr(self, "_fn_cache", {}))
+
+    def _make_ids_fn(self, n_bucket: int):
         import jax
         import jax.numpy as jnp
 
         from ..features.fbank import fbank_features
 
         fb = self.frontend
-        # frame count is static given the pcm length: probe with eval_shape
+        # frame count is static given the bucket length: probe w/ eval_shape
         t = jax.eval_shape(
             lambda p: fbank_features(p, fb.config, fb.window, fb.mel_t),
-            jax.ShapeDtypeStruct((n_pcm,), jnp.float32),
+            jax.ShapeDtypeStruct((n_bucket,), jnp.float32),
         ).shape[0]
         t_pad = -(-t // self.FRAME_BUCKET) * self.FRAME_BUCKET
         cm = self._compiled(t_pad)
         names = self.in_names
 
-        def run(params, pcm):
-            feats = fbank_features(pcm, fb.config, fb.window, fb.mel_t)
+        def run(params, pcm, n_valid):
+            feats, _mask = fbank_features(
+                pcm, fb.config, fb.window, fb.mel_t, n_valid=n_valid
+            )
             padded = jnp.zeros((1, t_pad, feats.shape[-1]), feats.dtype)
             padded = jax.lax.dynamic_update_slice(
                 padded, feats[None].astype(padded.dtype), (0, 0, 0)
             )
+            c = fb.config
+            t_raw = jnp.maximum((n_valid - c.frame_len) // c.hop_len + 1, 0)
+            valid = -(-t_raw // c.lfr_n) if c.apply_lfr else t_raw
             inputs = {"speech": padded}
             if "speech_lengths" in names:
-                inputs["speech_lengths"] = jnp.asarray(
-                    [t], cm._canon["speech_lengths"])
+                inputs["speech_lengths"] = jnp.reshape(
+                    valid, (1,)).astype(cm._canon["speech_lengths"])
             if "language" in names:
                 inputs["language"] = jnp.asarray(
                     [self.language], cm._canon["language"])
@@ -144,7 +177,7 @@ class SenseVoiceOnnx:
             ids = jnp.argmax(logits[0], axis=-1).astype(jnp.int32)
             return ids, n_prefix
 
-        return jax.jit(run), cm, t, t_pad
+        return jax.jit(run), cm, t_pad
 
 
 class SileroOnnx:
@@ -294,14 +327,33 @@ class SupertonicOnnx:
     """The 4-sub-model TTS chained through compiled programs with the
     5-step flow-matching loop on device values (main.rs:124-285)."""
 
+    # accepted filenames per sub-model: our fixture names AND the names the
+    # published Supertone exports ship under (scripts/fetch_models.py drops
+    # them in as-is — zero renaming glue)
+    _NAMES = {
+        "dp": ("supertonic_dp.onnx", "duration_predictor.onnx"),
+        "te": ("supertonic_te.onnx", "text_encoder.onnx"),
+        "ve": ("supertonic_ve.onnx", "vector_estimator.onnx"),
+        "voc": ("supertonic_voc.onnx", "vocoder.onnx"),
+    }
+
     def __init__(self, model_dir: str | Path, steps: int = 5):
         from ..compiler import compile_model
 
         d = Path(model_dir)
-        self.dp = compile_model(str(d / "supertonic_dp.onnx"))
-        self.te = compile_model(str(d / "supertonic_te.onnx"))
-        self.ve = compile_model(str(d / "supertonic_ve.onnx"))
-        self.voc = compile_model(str(d / "supertonic_voc.onnx"))
+
+        def find(key):
+            for name in self._NAMES[key]:
+                if (d / name).exists():
+                    return str(d / name)
+            raise FileNotFoundError(
+                f"none of {self._NAMES[key]} in {d} (run "
+                "scripts/fetch_models.py or scripts/make_fixtures.py)")
+
+        self.dp = compile_model(find("dp"))
+        self.te = compile_model(find("te"))
+        self.ve = compile_model(find("ve"))
+        self.voc = compile_model(find("voc"))
         self.steps = steps
 
     def synthesize_latent(self, ids, style, mask, latent_len: int, seed=0):
