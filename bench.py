@@ -233,6 +233,42 @@ def bench_silero(pcm, audio_s):
     return dt / audio_s
 
 
+def bench_silero_step(pcm):
+    """Per-chunk STREAMING step time (VERDICT r2 #6): the donated-state
+    step chained through its own state carry — a natural data dependency,
+    so the chained-slope protocol applies directly. This is the device
+    compute a real-time streaming caller pays per 32 ms chunk (host-side
+    dispatch/RTT is the separate tunnel figure, docs/PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lele_tpu.models import SileroConfig, SileroVad
+    from lele_tpu.models.silero import silero_step
+
+    vad = SileroVad(SileroConfig())
+    vad.init(0)
+    c = vad.cfg
+    chunk = jnp.asarray(pcm[None, : c.chunk + c.context] * 32768.0,
+                        jnp.float32)
+
+    def one(carry, params, ch):
+        # carry: f32 scalar mixed into the state → chunk perturbation
+        state = jnp.zeros((2, 1, c.d_hidden), jnp.float32) + carry * 1e-30
+
+        def body(s, _):
+            p, s2 = silero_step(params, ch + s[0, 0, 0] * 1e-30, s, c)
+            return s2, ()
+
+        s_final, _ = jax.lax.scan(body, state, None, length=8)
+        return s_final  # 8 steps per outer chain iteration
+
+    dt = _chain_slope(
+        lambda cr, p, ch: one(cr, p, ch), (vad.params, chunk),
+        Ks=(8, 64) if jax.devices()[0].platform == "tpu" else (1, 3),
+    )
+    return dt / 8 * 1e6  # µs per chunk
+
+
 def bench_supertonic():
     import jax
 
@@ -300,6 +336,8 @@ def main():
         ("sensevoice_rtf_w4a16",
          lambda: bench_sensevoice_w4(pcm, audio_s), 0.0256, "rtf"),
         ("silero_rtf", lambda: bench_silero(pcm, audio_s), 0.0022, "rtf"),
+        # reference per-chunk cost = 0.0022 RTF × 32 ms chunk = 70.4 µs
+        ("silero_step_us", lambda: bench_silero_step(pcm), 70.4, "us"),
         ("supertonic_rtf", bench_supertonic, 0.0648, "rtf"),
         ("yolo26_ms", lambda: bench_yolo(False), 534.97, "ms"),
         ("yolo26n_seg_ms", lambda: bench_yolo(True), 64.82, "ms"),

@@ -91,9 +91,11 @@ class Compiler:
         packers = None
         patterns = self._patterns
         if pack_image_stem:
-            from .s2d_stem import build_stem_rewrite
+            # whole-chain packed conv domain (conv_domain.py) — supersedes
+            # the single-conv stem rewrite (a 1-conv chain ≡ old behavior)
+            from .conv_domain import build_conv_domain
 
-            rw = build_stem_rewrite(model, specs)
+            rw = build_conv_domain(model, specs)
             if rw is not None:
                 specs, stem_pattern, packers = rw
                 # per-compile pattern: do NOT install on self (it closes

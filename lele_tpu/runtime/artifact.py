@@ -141,15 +141,36 @@ def save_aot_bundle(path_prefix: str | Path, compiled, params=None) -> None:
 
 def load_aot_bundle(path_prefix: str | Path, params: bool = True):
     """→ (callable, params_or_None). The callable takes exactly the
-    arguments the original function was lowered with."""
+    arguments the original function was lowered with.
+
+    The params transfer (the dominant cold-start cost: 0.58 s of the
+    0.73 s r2 total for the 173 MB flagship blob) runs on a WORKER THREAD
+    while the executable deserializes+loads on the main thread — the
+    host→device DMA streams during the host-side unpickle/program-load
+    work instead of after it (VERDICT r2 #7)."""
     import pickle
+    import threading
 
     from jax.experimental import serialize_executable as se
 
+    box: dict = {}
+    t = None
+    if params:
+        def _params():
+            try:
+                box["p"] = load_pytree(path_prefix)
+            except BaseException as e:  # re-raise on the caller's thread
+                box["err"] = e
+
+        t = threading.Thread(target=_params, name="aot-params")
+        t.start()
     payload = Path(str(path_prefix) + _XC_SUFFIX).read_bytes()
     in_tree, out_tree = pickle.loads(
         Path(str(path_prefix) + _XC_TREE_SUFFIX).read_bytes()
     )
     compiled = se.deserialize_and_load(payload, in_tree, out_tree)
-    p = load_pytree(path_prefix) if params else None
-    return compiled, p
+    if t is not None:
+        t.join()
+        if "err" in box:
+            raise box["err"]
+    return compiled, box.get("p")
