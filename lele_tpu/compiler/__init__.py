@@ -82,6 +82,8 @@ class Compiler:
         seq_axis: int | None = None,
         param_rules=None,
         pack_image_stem: bool = False,
+        precision: str | None = None,
+        compute: str | None = None,
     ) -> CompiledModel:
         if isinstance(model, (bytes, bytearray, memoryview)):
             model = OnnxModel.from_bytes(bytes(model))
@@ -113,6 +115,43 @@ class Compiler:
         )
         walk_fn, params = tracer.build(specs)
         stats = getattr(tracer, "stats", {})
+        if precision or compute:
+            # per-model numerics policy (VERDICT r2 #2): `precision` pins
+            # jax matmul/conv precision for THIS program's trace (the
+            # global default stays "highest" for ORT parity);
+            # `compute="bfloat16"` additionally runs the graph in bf16 —
+            # the engine stores f32 weights as bf16 and this wrapper casts
+            # live f32 inputs to match, then returns f32 outputs. Together
+            # they give compiled-ONNX graphs the same TPU dtype story as
+            # the native families (models/yolo26.py CFG.dtype).
+            from ..config import config as _cfg
+
+            inner_walk = walk_fn
+
+            def walk_fn(params_d, inputs):  # noqa: F811 (deliberate rewrap)
+                import jax.numpy as jnp
+
+                old = _cfg.matmul_precision
+                if precision:
+                    _cfg.matmul_precision = precision
+                try:
+                    if compute:
+                        cdt = jnp.dtype(compute)
+
+                        def cin(v):
+                            return (v.astype(cdt)
+                                    if getattr(v, "dtype", None) == jnp.float32
+                                    else v)
+
+                        inputs = {k: cin(v) for k, v in inputs.items()}
+                    outs = inner_walk(params_d, inputs)
+                    if compute:
+                        outs = [o.astype(jnp.float32)
+                                if getattr(o, "dtype", None) == cdt else o
+                                for o in outs]
+                    return outs
+                finally:
+                    _cfg.matmul_precision = old
         cm = CompiledModel(
             walk_fn,
             params,
@@ -125,6 +164,7 @@ class Compiler:
             seq_axis=seq_axis,
             param_rules=param_rules,
             input_packers=packers,
+            compute_dtype=compute,
         )
         import types
 
@@ -188,6 +228,8 @@ def compile_model(
     seq_axis: int | None = None,
     param_rules=None,
     pack_image_stem: bool = False,
+    precision: str | None = None,
+    compute: str | None = None,
 ) -> CompiledModel:
     c = Compiler()
     if overrides:
@@ -196,4 +238,5 @@ def compile_model(
     if strict is not None:
         c.with_strict(strict)
     return c.compile(model, input_shapes, dim_values, donate, mesh, batch_axis,
-                     seq_axis, param_rules, pack_image_stem=pack_image_stem)
+                     seq_axis, param_rules, pack_image_stem=pack_image_stem,
+                     precision=precision, compute=compute)

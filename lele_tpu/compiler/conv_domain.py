@@ -40,23 +40,34 @@ from .s2d_stem import (
 )
 
 
-def packed_conv_weight(w_oihw: np.ndarray, stride: int, pl: int, pw: int):
+def packed_conv_weight(w_oihw: np.ndarray, stride: int, pl: int, pw: int,
+                       block: int = 2):
     """EXACT packed-domain weight for an original conv, by analytic tap
     rearrangement (no probing — the packed map is channel-diagonal, so
     every packed tap is an original tap placed at a cell offset):
 
     output cell slot (p,q) of out pixel (2a+p, 2b+q) reads original input
     pixel  stride·(2a+p) + m − pl  =  S·a + (stride·p + m − pl)  with
-    S = 2·stride the input block factor (s2d2 for stride 1, s2d4 for
-    stride 2 — the caller repacks first). divmod by S gives the relative
-    input cell `da` and its slot `u`. Zero padding commutes with packing,
-    so boundaries are exact too.
+    S = `block` the INPUT cell factor (2 = s2d2 chain tensor, 4 = the
+    host-packed s2d4 stem input). divmod by S gives the relative input
+    cell `da` and its slot `u`; the leftover factor 2·stride/S becomes
+    the conv's spatial stride in the packed domain. Zero padding commutes
+    with packing, so boundaries are exact too.
+
+    The stride-2 / block-2 case is the key one (r3): a stride-2 conv on
+    an s2d2 tensor is a WINDOW-STRIDE-2 packed conv — the r2 design
+    instead repacked s2d2→s2d4 before every stride-2 conv, and those 8-D
+    reshape/transpose shuffles were ~60% of compiled-YOLO device time
+    (94 µs + 59 µs on a 0.35 ms forward, per the r3 profiler trace).
 
     w_oihw: [O, C, kh, kw] → (W [KH, KW, S²C, 4O] HWIO, pad_h (lo,hi),
-    pad_w (lo,hi)) for a stride-1 NHWC conv on the packed tensor.
+    pad_w (lo,hi), conv_stride) for an NHWC conv on the packed tensor.
     """
     O, C, kh, kw = w_oihw.shape
-    S = 2 * stride
+    S = block
+    if (2 * stride) % S:
+        raise ValueError(f"stride {stride} not expressible on block {S}")
+    conv_stride = 2 * stride // S
     taps: dict[tuple, np.ndarray] = {}
     for p in range(2):
         for q in range(2):
@@ -77,7 +88,7 @@ def packed_conv_weight(w_oihw: np.ndarray, stride: int, pl: int, pw: int):
                  np.float32)
     for (da, db), blk in taps.items():
         W[da - lo_a, db - lo_b] = blk
-    return W, (-lo_a, hi_a), (-lo_b, hi_b)
+    return W, (-lo_a, hi_a), (-lo_b, hi_b), conv_stride
 
 # stop packing once channels fill the lanes on their own
 _LANE_FULL = 128
@@ -172,20 +183,25 @@ def build_conv_domain(model, specs):
             return None
         if s == 1 and (out_h != H or out_w != W):
             return None
+        # stride-2 runs as a window-stride-2 packed conv over the s2d2
+        # grid [H/2, W/2] → needs an even grid (true for pow-2 image dims)
+        if s == 2 and not first and (H % 4 or W % 4):
+            return None
         b_np = None
         if len(node.input) > 2 and node.input[2]:
             b_np = model.initializer_array(node.input[2])
             if b_np is None:
                 return None
-        Wp, (ph_lo, ph_hi), (pw_lo, pw_hi) = packed_conv_weight(
-            w_np, s, pads[0], pads[1])
+        Wp, (ph_lo, ph_hi), (pw_lo, pw_hi), cs = packed_conv_weight(
+            w_np, s, pads[0], pads[1],
+            # the FIRST conv's input arrives host-packed s2d4; the chain
+            # then stays s2d2 forever (no repacks — see packed_conv_weight)
+            block=4 if first else 2)
         return {
             "kind": "conv",
             "W": Wp,
             "pad": ((ph_lo, ph_hi), (pw_lo, pw_hi)),
-            # stride-2 consumes a ×4-deep block (s2d2 → s2d4 repack at
-            # trace time); the FIRST conv's input arrives host-packed s2d4
-            "repack": (s == 2 and not first),
+            "stride": cs,
             "bias": None if b_np is None else np.tile(
                 np.asarray(b_np, np.float32).reshape(-1), 4),
             "out_h": out_h, "out_w": out_w, "cout": Cout,
@@ -282,28 +298,35 @@ def build_conv_domain(model, specs):
             B, H0 // 4, W0 // 4, 16 * C0
         ):
             return None
-        xp = jnp.asarray(xp, jnp.float32)
+        # dtype-preserving: under compute="bfloat16" the walk wrapper hands
+        # us a bf16 input and the engine stores the packed weights as bf16
+        # params — forcing f32 here would silently run the whole chain (and
+        # everything downstream of it) at 2× the HBM traffic
+        xp = jnp.asarray(xp)
+        if xp.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+            xp = xp.astype(jnp.float32)
         for si, stp in enumerate(steps):
             if stp["kind"] == "conv":
-                if stp["repack"]:
-                    xp = s2d2_to_s2d4(xp)
                 Wd = state.to_device(f"__s2d_chain_{si}_w__", stp["W"])
                 from ..ops.math_ops import _prec
 
                 xp = jax.lax.conv_general_dilated(
-                    xp, jnp.asarray(Wd, jnp.float32), (1, 1),
+                    xp, jnp.asarray(Wd).astype(xp.dtype),
+                    (stp["stride"], stp["stride"]),
                     list(stp["pad"]),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     precision=_prec(),
                 )
                 if stp["bias"] is not None:
                     bd = state.to_device(f"__s2d_chain_{si}_b__", stp["bias"])
-                    xp = xp + jnp.asarray(bd).reshape(1, 1, 1, -1)
+                    xp = xp + jnp.asarray(bd).astype(xp.dtype).reshape(
+                        1, 1, 1, -1)
             elif stp["kind"] == "affine":
                 sc = state.to_device(f"__s2d_chain_{si}_s__", stp["scale"])
                 sh = state.to_device(f"__s2d_chain_{si}_t__", stp["shift"])
-                xp = xp * jnp.asarray(sc).reshape(1, 1, 1, -1) \
-                    + jnp.asarray(sh).reshape(1, 1, 1, -1)
+                xp = xp * jnp.asarray(sc).astype(xp.dtype).reshape(
+                    1, 1, 1, -1) \
+                    + jnp.asarray(sh).astype(xp.dtype).reshape(1, 1, 1, -1)
             elif stp["kind"] == "silu":
                 xp = xp * jax.nn.sigmoid(xp)
             else:  # elementwise unary via the op registry (exact emitter,

@@ -212,8 +212,14 @@ def build_stem_rewrite(model, specs):
         Wd = state.to_device("__s2d_stem_w__", np.asarray(Wp))
         from ..ops.math_ops import _prec
 
+        # dtype-preserving (see conv_domain.py): bf16 compute mode must not
+        # be silently upcast back to f32 here
+        xp = jnp.asarray(xp)
+        if xp.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+            xp = xp.astype(jnp.float32)
         y = jax.lax.conv_general_dilated(
-            jnp.asarray(xp, jnp.float32), Wd, (1, 1), [(mh, mh), (mw, mw)],
+            xp, jnp.asarray(Wd).astype(xp.dtype), (1, 1),
+            [(mh, mh), (mw, mw)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=_prec(),
         )
@@ -221,7 +227,7 @@ def build_stem_rewrite(model, specs):
         y = jnp.transpose(y, (0, 3, 1, 2))       # NCHW for downstream
         if b_np is not None:
             bd = state.to_device("__s2d_stem_b__", np.asarray(b_np, np.float32))
-            y = y + bd.reshape(1, -1, 1, 1)
+            y = y + jnp.asarray(bd).astype(y.dtype).reshape(1, -1, 1, 1)
         return {i}, {node.output[0]: y}
 
     pattern.__name__ = "s2d_stem"  # tracer books pattern_hits by this name

@@ -271,7 +271,12 @@ class YoloOnnx:
     """Compiled YOLO-class detector: image → NMS-free decode
     (main.rs:41-118; logits/boxes either as two outputs or one [1,300,4+C])."""
 
-    def __init__(self, path: str | Path, img_size: int = 640):
+    def __init__(self, path: str | Path, img_size: int = 640,
+                 compute: str | None = None):
+        """compute="bfloat16" runs the compiled graph under the same TPU
+        dtype policy as the native detector (models/yolo26.py CFG.dtype):
+        bf16 weights/activations, 1-pass MXU convs. Default None keeps
+        f32 + HIGHEST precision for ORT-grade parity."""
         from ..compiler import compile_model
         from ..onnx.loader import OnnxModel
 
@@ -280,6 +285,8 @@ class YoloOnnx:
         self.cm = compile_model(
             model, input_shapes={name: (1, 3, img_size, img_size)},
             pack_image_stem=True,  # s2d stem rewrite (compiler/s2d_stem.py)
+            compute=compute,
+            precision="default" if compute else None,
         )
         self.img_size = img_size
 

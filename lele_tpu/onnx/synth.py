@@ -28,7 +28,12 @@ def build_sanm_int8_model(
     fsmn_k: int = 11,
     seed: int = 2026,
     rng: np.random.Generator | None = None,
+    int8_head: bool = False,
 ) -> bytes:
+    """int8_head: emit the CTC projection as a DQL → MatMulInteger chain
+    too (what real int8 exports do for the [d, vocab] head — at vocab 25k
+    the f32 weight alone is a 51 MB HBM stream per forward). Default False
+    keeps the checked-in fixture bytes stable; bench uses True."""
     rng = rng if rng is not None else np.random.default_rng(seed)
 
     def w(*shape, scale=None):
@@ -183,11 +188,17 @@ def build_sanm_int8_model(
         nodes.append(ob.node("Add", [f"x1_{t}", f"ff2_{t}"], [f"x2_{t}"]))
         x = f"x2_{t}"
 
-    nodes += [
-        ob.node("LayerNormalization", [x, "after_g", "after_b"], ["xf"]),
-        ob.node("MatMul", ["xf", "ctc_w"], ["lg0"]),
-        ob.node("Add", ["lg0", "ctc_b"], ["logits"]),
-    ]
+    nodes.append(
+        ob.node("LayerNormalization", [x, "after_g", "after_b"], ["xf"]))
+    if int8_head:
+        ctc_w = inits.pop("ctc_w")
+        ctc_b = inits.pop("ctc_b")
+        int8_chain("xf", "logits", ctc_w, ctc_b, "ctc", [])
+    else:
+        nodes += [
+            ob.node("MatMul", ["xf", "ctc_w"], ["lg0"]),
+            ob.node("Add", ["lg0", "ctc_b"], ["logits"]),
+        ]
     return ob.build_model_bytes(
         nodes,
         inputs=[

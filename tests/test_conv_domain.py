@@ -21,6 +21,7 @@ def _need(*names):
         pytest.skip(f"fixtures not present: {missing}")
 
 
+@pytest.mark.parametrize("block", [None, 2])
 @pytest.mark.parametrize("stride,k,pads,C,O,H", [
     (2, 3, (1, 1), 3, 8, 32),      # torch-style symmetric pads
     (2, 3, (0, 1), 4, 16, 32),     # XLA SAME-style lo0/hi1
@@ -29,8 +30,13 @@ def _need(*names):
     (2, 6, (2, 2), 3, 8, 32),      # even kernel
     (1, 5, (2, 2), 4, 8, 16),
 ])
-def test_packed_conv_weight_exact(stride, k, pads, C, O, H):
-    """Analytic packed weight ≡ original conv (boundaries included)."""
+def test_packed_conv_weight_exact(stride, k, pads, C, O, H, block):
+    """Analytic packed weight ≡ original conv (boundaries included).
+
+    block=None → the stem form (input host-packed at S=2·stride, conv
+    stride 1). block=2 → the CHAIN form (input is the running s2d2
+    tensor; a stride-2 conv becomes a window-stride-2 packed conv — the
+    r3 repack-free formulation)."""
     import jax
     import jax.numpy as jnp
 
@@ -50,12 +56,13 @@ def test_packed_conv_weight_exact(stride, k, pads, C, O, H):
         pytest.skip("shape combo leaves the s2d2 closure (not packable)")
     if stride == 1 and out_h != H:
         pytest.skip("not size-preserving (not packable)")
-    Wp, (ph_lo, ph_hi), (pw_lo, pw_hi) = packed_conv_weight(
-        w, stride, pads[0], pads[0])
-    S = 2 * stride
+    S = 2 * stride if block is None else block
+    Wp, (ph_lo, ph_hi), (pw_lo, pw_hi), cs = packed_conv_weight(
+        w, stride, pads[0], pads[0], block=S)
+    assert cs == 2 * stride // S
     xp = s2d(jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)), S)
     got_p = jax.lax.conv_general_dilated(
-        xp, jnp.asarray(Wp), (1, 1),
+        xp, jnp.asarray(Wp), (cs, cs),
         [(ph_lo, ph_hi), (pw_lo, pw_hi)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
