@@ -38,6 +38,19 @@ def make_handler(engines: dict):
         def do_GET(self):
             if self.path == "/healthz":
                 return self._json(200, {"ok": True})
+            if self.path in ("/", "/index.html"):
+                # the browser demo surface (web/index.html): mic/file ASR,
+                # image detection with box overlay, TTS playback — the
+                # server-side answer to the reference's in-browser wasm
+                # demo (docs/WEB_DEMO.md)
+                from pathlib import Path as _P
+
+                page = _P(__file__).parent / "web" / "index.html"
+                try:
+                    return self._send(200, page.read_bytes(),
+                                      "text/html; charset=utf-8")
+                except OSError:
+                    return self._json(500, {"error": "demo page missing"})
             return self._json(404, {"error": "unknown path"})
 
         def do_POST(self):

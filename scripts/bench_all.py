@@ -54,6 +54,9 @@ def main():
             lambda: bench.bench_silero_step(pcm), 70.4, 92.2),
         "supertonic_rtf": (bench.bench_supertonic, 0.0648, 0.1667),
         "yolo26_ms": (lambda: bench.bench_yolo(False), 534.97, 704.50),
+        # fixture-scale (~0.7 GFLOP) — tracked vs its own history, no
+        # reference column (the NEON number is for the full YOLO26n)
+        "compiled_yolo_fixture_ms": (bench.bench_compiled_yolo, None, None),
         "yolo26n_seg_ms": (lambda: bench.bench_yolo(True), 64.82, 126.51),
     }
     import statistics
@@ -76,7 +79,8 @@ def main():
             if med else None,
             "reference_lele": ref_lele,
             "reference_ort": ref_ort,
-            "speedup_vs_lele": ref_lele / med if med else None,
+            "speedup_vs_lele": (ref_lele / med
+                                if (med and ref_lele is not None) else None),
         }
         print(name, json.dumps(report[name]))
 

@@ -36,6 +36,18 @@ def test_healthz(server):
         assert json.loads(r.read()) == {"ok": True}
 
 
+def test_demo_page(server):
+    """GET / serves the browser demo (web/index.html) — the UI surface
+    replacing the reference's in-browser wasm demo (docs/WEB_DEMO.md).
+    The page must reference every endpoint it drives."""
+    with urllib.request.urlopen(server + "/", timeout=30) as r:
+        assert r.status == 200
+        assert r.headers.get("Content-Type", "").startswith("text/html")
+        page = r.read().decode()
+    for endpoint in ("/recognize", "/detect", "/synthesize", "/healthz"):
+        assert endpoint in page, endpoint
+
+
 def test_recognize_endpoint(server):
     wav = encode_wav(
         (np.sin(np.arange(12000) / 9) * 0.2).astype(np.float32), 16000
