@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--w8", action="store_true",
                     help="w8a16: int8 weights through the fused Pallas "
                          "stack kernel (the headline bench configuration)")
+    ap.add_argument("--w4", action="store_true",
+                    help="w4a16: groupwise-int4 weights (half the w8 "
+                         "stream — the capacity/cold-start knob: ~86 MB "
+                         "resident + transferred vs w8's 173 MB)")
     ap.add_argument("--save-aot", metavar="PREFIX", default=None,
                     help="after compiling, save prepared params + the "
                          "compiled executable (runtime/artifact.py AOT "
@@ -92,7 +96,7 @@ def main():
         return
 
     cfg = SenseVoiceConfig(n_layers=args.layers, quantized=args.quantized,
-                           weight_int8=args.w8)
+                           weight_int8=args.w8, weight_int4=args.w4)
     model = SenseVoiceModel(cfg)
 
     if args.aot:
@@ -107,20 +111,22 @@ def main():
         print(f"AOT bundle cold start: {cold:.2f}s (params+executable+run)")
     else:
         model.init(0)
-        if args.w8:
+        if args.w8 or args.w4:
             from lele_tpu.models.common import cast_big_params
             from lele_tpu.models.sensevoice import (
-                prepare_w8_params, stack_layer_params,
+                prepare_w4_params, prepare_w8_params, stack_layer_params,
             )
 
-            model.params = stack_layer_params(prepare_w8_params(
+            prep = prepare_w4_params if args.w4 else prepare_w8_params
+            model.params = stack_layer_params(prep(
                 cast_big_params(model.params, jnp.bfloat16)))
         from lele_tpu.models.common import count_params
 
         print(f"model: {args.layers} SAN-M layers, "
               f"{count_params(model.params) / 1e6:.1f}M params"
               f"{' (int8 dynamic)' if args.quantized else ''}"
-              f"{' (w8a16 fused stack)' if args.w8 else ''}")
+              f"{' (w8a16 fused stack)' if args.w8 else ''}"
+              f"{' (w4a16 fused stack)' if args.w4 else ''}")
         feats = np.asarray(model.features(np.asarray(pcm, np.float32)))
         print(f"audio {audio_s:.2f}s → features {feats.shape}")
 

@@ -297,11 +297,24 @@ class YoloOnnx:
         """Host preprocess (PIL-nearest resize parity) + upload once; the
         returned device array can be passed to `forward_device` repeatedly
         — the reference's bench times forward only (yolo26 main.rs:49-84),
-        preprocessing outside the loop."""
+        preprocessing outside the loop.
+
+        Fast path (stem rewrite active + u8 HWC input): the C++ fused
+        resize+s2d-pack (runtime/native pack_s2d_u8) on the raw u8 image,
+        then ONE /255 on the small packed array — bit-identical to
+        preprocess → NCHW → pack_host (same nearest map, /255 commutes
+        with the permutation) at a fraction of the host time."""
         import jax.numpy as jnp
 
-        from ..utils.image import preprocess
+        from ..utils.image import preprocess, preprocess_s2d
 
+        if (self.cm.input_packers and isinstance(image, np.ndarray)
+                and image.dtype == np.uint8 and image.ndim == 3
+                and image.shape[2] == 3):
+            (orig_shape, _), = self.cm.input_packers.values()
+            if orig_shape == (1, 3, self.img_size, self.img_size):
+                xp = preprocess_s2d(image, self.img_size)  # u8 packed
+                return jnp.asarray(xp.astype(np.float32) / 255.0)
         x = preprocess(image, self.img_size)  # [1, H, W, 3] float
         x = np.transpose(np.asarray(x), (0, 3, 1, 2))  # ONNX NCHW
         for orig_shape, packer in self.cm.input_packers.values():

@@ -351,6 +351,64 @@ PyObject* py_decode_wav_files(PyObject*, PyObject* args) {
 }
 
 // ---------------------------------------------------------------------------
+// Fused nearest-resize + space-to-depth pack for the vision pipelines.
+//
+// One pass u8 HWC [h, w, c] -> u8 [size/B, size/B, B*B*c] with cell slot
+// (u*B+v)*c + cc and PIL-style center-of-pixel nearest mapping
+// (utils/image.nearest_resize). Replaces a numpy chain (f32 resize +
+// transposes + pack, ~8 ms/frame at 640^2 on a 1-core host) with a single
+// byte-shuffle (~sub-ms); the packed layout is what the s2d conv domain
+// (models/s2d.py, compiler/s2d_stem.py) consumes directly.
+
+PyObject* py_pack_s2d_u8(PyObject*, PyObject* args) {
+  Py_buffer view;
+  int h, w, c, size, block;
+  if (!PyArg_ParseTuple(args, "y*iiiii", &view, &h, &w, &c, &size, &block))
+    return nullptr;
+  if (h <= 0 || w <= 0 || c <= 0 || size <= 0 || block <= 0 ||
+      size % block != 0) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "bad pack_s2d_u8 dims");
+    return nullptr;
+  }
+  if ((long long)h * w * c != (long long)view.len) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "img byte count != h*w*c");
+    return nullptr;
+  }
+  const int G = size / block;
+  PyObject* out = PyBytes_FromStringAndSize(
+      nullptr, (Py_ssize_t)G * G * block * block * c);
+  if (!out) { PyBuffer_Release(&view); return nullptr; }
+  uint8_t* dst = (uint8_t*)PyBytes_AS_STRING(out);
+  const uint8_t* src = (const uint8_t*)view.buf;
+
+  Py_BEGIN_ALLOW_THREADS;
+  // center-of-pixel nearest maps, precomputed once per axis
+  std::vector<int> yi((size_t)size), xi((size_t)size);
+  for (int i = 0; i < size; ++i) {
+    int y = (int)(((double)i + 0.5) * h / size);
+    int x = (int)(((double)i + 0.5) * w / size);
+    yi[(size_t)i] = y < h ? y : h - 1;
+    xi[(size_t)i] = x < w ? x : w - 1;
+  }
+  uint8_t* o = dst;  // output written strictly sequentially
+  for (int gy = 0; gy < G; ++gy)
+    for (int gx = 0; gx < G; ++gx)
+      for (int u = 0; u < block; ++u) {
+        const uint8_t* row = src + (size_t)yi[(size_t)(gy * block + u)] * w * c;
+        for (int v = 0; v < block; ++v) {
+          const uint8_t* p = row + (size_t)xi[(size_t)(gx * block + v)] * c;
+          for (int cc = 0; cc < c; ++cc) *o++ = p[cc];
+        }
+      }
+  Py_END_ALLOW_THREADS;
+
+  PyBuffer_Release(&view);
+  return out;
+}
+
+// ---------------------------------------------------------------------------
 
 PyObject* py_content_hash(PyObject*, PyObject* args) {
   Py_buffer view;
@@ -372,6 +430,8 @@ PyMethodDef methods[] = {
      "decode RIFF/WAVE -> (float32 mono bytes, sample_rate)"},
     {"decode_wav_files", py_decode_wav_files, METH_VARARGS,
      "threaded batch decode: [path,...] -> [(float32 bytes, sr), ...]"},
+    {"pack_s2d_u8", py_pack_s2d_u8, METH_VARARGS,
+     "fused nearest-resize + s2d pack: u8 HWC -> u8 [G, G, B*B*c]"},
     {"content_hash", py_content_hash, METH_VARARGS, "FNV-1a 64 content hash"},
     {nullptr, nullptr, 0, nullptr},
 };

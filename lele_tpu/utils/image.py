@@ -56,7 +56,20 @@ def preprocess_s2d(img: np.ndarray, size: int = 640) -> np.ndarray:
     (a 1.2 MB numpy transpose) sidesteps the device entirely: XLA's layout
     assignment for an in-program image transpose costs ~0.33 ms at 640²
     whichever input layout it starts from, while a pre-packed input param
-    reads clean. The model normalizes on device, transfer stays uint8."""
+    reads clean. The model normalizes on device, transfer stays uint8.
+
+    Fast path: the C++ fused resize+pack (runtime/native pack_s2d_u8,
+    one sequential byte-shuffle) when the native module is available;
+    exact-parity numpy fallback otherwise (test_native gates equality)."""
+    from ..runtime.native import get_native
+
+    nat = get_native()
+    if nat is not None and img.dtype == np.uint8 and img.ndim == 3 \
+            and img.flags.c_contiguous:
+        h0, w0, c = img.shape
+        g = size // 4
+        out = nat.pack_s2d_u8(img.data, h0, w0, c, size, 4)
+        return np.frombuffer(out, np.uint8).reshape(1, g, g, 16 * c)
     x = nearest_resize(img, size)
     h = size // 4
     x = x.reshape(h, 4, h, 4, 3).transpose(0, 2, 1, 3, 4)

@@ -229,3 +229,73 @@ def test_wav_batch_loader_prefetch_order(tmp_path):
     bad = tmp_path / "nope.wav"
     with pytest.raises(ValueError):
         list(WavBatchLoader([paths[0], bad], batch_size=1))
+
+
+# ---------------------------------------------------------------------------
+# fused resize + s2d pack (pack_s2d_u8)
+
+
+def test_pack_s2d_u8_matches_numpy_chain():
+    """C++ fused nearest-resize + s2d pack ≡ the numpy reference chain
+    (nearest_resize → reshape/transpose pack) byte-for-byte, including
+    non-square and upscale inputs."""
+    from lele_tpu.runtime.native import get_native
+    from lele_tpu.utils.image import nearest_resize, preprocess_s2d
+
+    nat = get_native()
+    if nat is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    for h, w, size in [(480, 640, 640), (640, 640, 640), (123, 457, 128),
+                       (64, 48, 256)]:
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        g = size // 4
+        x = nearest_resize(img, size)
+        ref = np.ascontiguousarray(
+            x.reshape(g, 4, g, 4, 3).transpose(0, 2, 1, 3, 4)
+        ).reshape(1, g, g, 48)
+        got = preprocess_s2d(img, size)  # native fast path
+        assert got.dtype == np.uint8
+        assert np.array_equal(got, ref), (h, w, size)
+
+
+def test_pack_s2d_u8_rejects_bad_dims():
+    from lele_tpu.runtime.native import get_native
+
+    nat = get_native()
+    if nat is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    import pytest
+
+    with pytest.raises(ValueError):
+        nat.pack_s2d_u8(b"\0" * 12, 2, 2, 3, 7, 4)     # size % block
+    with pytest.raises(ValueError):
+        nat.pack_s2d_u8(b"\0" * 11, 2, 2, 3, 8, 4)     # byte count
+
+
+def test_yolo_onnx_prepare_u8_fast_path_exact():
+    """YoloOnnx.prepare's u8 fast path (C++ pack + one /255) is
+    bit-identical to the f32 preprocess → NCHW → pack_host chain."""
+    from pathlib import Path
+
+    fixtures = Path(__file__).resolve().parents[1] / "fixtures"
+    if not (fixtures / "yolo26.onnx").exists():
+        import pytest
+
+        pytest.skip("fixture not present")
+    from lele_tpu.models.checkpoints import YoloOnnx
+    from lele_tpu.utils.image import preprocess
+
+    yo = YoloOnnx(fixtures / "yolo26.onnx", img_size=640)
+    rng = np.random.default_rng(9)
+    img = (rng.random((480, 640, 3)) * 255).astype(np.uint8)
+    fast = np.asarray(yo.prepare(img))
+    x = np.transpose(np.asarray(preprocess(img, 640)), (0, 3, 1, 2))
+    (orig_shape, packer), = yo.cm.input_packers.values()
+    assert x.shape == orig_shape
+    slow = np.asarray(packer(x), np.float32)
+    assert np.array_equal(fast, slow)
