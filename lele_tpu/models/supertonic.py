@@ -60,6 +60,9 @@ class SupertonicConfig:
     normalizer_scale: float = 1.0
     speed: float = 1.0
     latent_buckets: tuple = (64, 128, 256, 512, 1024)
+    est_frames_per_token: float = 8.0  # bucket guess for the fused
+    #   duration+synth program (synthesize retries one bucket up when the
+    #   in-program durations overflow the guess — one extra dispatch, rare)
     apply_latent_denorm: bool = True  # Supertonic 2; v3 skips (SURVEY §2.5)
     fused_estimator: bool = False  # experimental: fuse the 8 attn blocks
     #   into one Pallas program (kernels/est_block.py). Interleaved slope
@@ -360,10 +363,21 @@ def vocoder_forward(p: Params, latent, cfg: SupertonicConfig):
 # Full pipeline
 
 
-def sample_noisy_latent(key, shape, latent_mask):
+def sample_noisy_latent(key, shape, latent_mask, max_t: int | None = None):
     """jax.random standard-normal latent (host-RNG → device-RNG redesign;
-    fixed seed gives the parity mode from SURVEY §7)."""
-    z = jax.random.normal(key, shape, jnp.float32)
+    fixed seed gives the parity mode from SURVEY §7).
+
+    With `max_t`, the noise is sampled at [B, max_t, D] and prefix-sliced
+    to the requested length, so the SAME seed yields the SAME latent
+    regardless of which bucket the utterance landed in — same text + seed
+    + style → same audio independent of bucketing (the fused-duration
+    path may pick a larger bucket than the readback path would). The
+    full-width sample is a few hundred KB of RNG — trivial."""
+    B, T, D = shape
+    if max_t is not None and max_t >= T:
+        z = jax.random.normal(key, (B, max_t, D), jnp.float32)[:, :T]
+    else:
+        z = jax.random.normal(key, shape, jnp.float32)
     return z * latent_mask[..., None]
 
 
@@ -373,6 +387,10 @@ class SupertonicTts:
     params: Params | None = None
     indexer: UnicodeIndexer | None = None
     _fn_cache: dict = field(default_factory=dict)
+    # observed frames-per-token EMA: the fused-duration path's bucket guess
+    # converges to THIS model's actual speaking rate after the first few
+    # queries (cfg.est_frames_per_token is only the cold prior)
+    _fpt_ema: float | None = None
 
     def __post_init__(self):
         if self.indexer is None:
@@ -395,42 +413,88 @@ class SupertonicTts:
             self.params["vocoder"], self.cfg)
         return self.params
 
+    def _synth_core(
+        self, params, ids, text_mask, style_ttl, style_dp, latent_mask,
+        seed, t_latent: int,
+    ):
+        """Shared trace body: batched styles + mask → (wave, durations)."""
+        cfg = self.cfg
+        durations = duration_predictor_forward(
+            params["duration"], ids, style_dp, text_mask, cfg
+        )
+        text_emb = text_encoder_forward(
+            params["text"], ids, style_ttl, text_mask, cfg
+        )
+        key = jax.random.PRNGKey(seed)
+        xt = sample_noisy_latent(
+            key, (ids.shape[0], t_latent, cfg.d_latent), latent_mask,
+            max_t=cfg.latent_buckets[-1],
+        )
+        dt = 1.0 / cfg.flow_steps
+
+        def flow_step(i, x):
+            t = i.astype(jnp.float32) * dt
+            v = vector_estimator_forward(
+                params["estimator"], x, text_emb, style_ttl, latent_mask,
+                text_mask, t, cfg,
+            )
+            return x + dt * v
+
+        xt = jax.lax.fori_loop(0, cfg.flow_steps, flow_step, xt)
+        if cfg.apply_latent_denorm:
+            xt = xt * latent_mask[..., None] / cfg.normalizer_scale
+        wave = vocoder_forward(params["vocoder"], xt, cfg)
+        return wave, durations
+
     def synth_fn(self, t_latent: int):
         """One fused program per latent bucket: ids → waveform.
 
         The 5-step flow-matching loop is a lax.fori_loop; nothing leaves the
         device between sub-models (contrast: main.rs:240 host .to_vec()
         between each of the 4 programs)."""
-        cfg = self.cfg
 
         def fn(params, ids, text_mask, style_ttl, style_dp, latent_mask, seed):
-            style_ttl = style_ttl[None]
-            style_dp = style_dp[None]
+            return self._synth_core(
+                params, ids, text_mask, style_ttl[None], style_dp[None],
+                latent_mask, seed, t_latent,
+            )
+
+        return fn
+
+    def synth_e2e_fn(self, t_latent: int, min_frames: int = 8):
+        """Duration → latent mask → synth as ONE program:
+        (params, ids, text_mask, style_ttl, style_dp, seed)
+        → (wave [1, t_latent·hop], t_real frames, durations).
+
+        The two-step flow (duration program, host readback + rounding,
+        mask build, synth program) pays a device→host sync between the
+        two dispatches — ~33 ms on a tunneled TPU. Here the mask is built
+        in-program from the predicted durations (static bucket shape,
+        dynamic values; matches the host rounding: floor(Σdur/speed),
+        clamped to [min_frames, t_latent]) and the caller trims the wave
+        with the returned t_real. XLA CSEs the duration subgraph shared
+        with `_synth_core`, so nothing runs twice."""
+        cfg = self.cfg
+
+        def fn(params, ids, text_mask, style_ttl, style_dp, seed):
+            style_ttl_b = style_ttl[None]
+            style_dp_b = style_dp[None]
             durations = duration_predictor_forward(
-                params["duration"], ids, style_dp, text_mask, cfg
+                params["duration"], ids, style_dp_b, text_mask, cfg
             )
-            text_emb = text_encoder_forward(
-                params["text"], ids, style_ttl, text_mask, cfg
+            t_real = jnp.maximum(
+                min_frames,
+                jnp.floor(jnp.sum(durations) / cfg.speed).astype(jnp.int32),
             )
-            key = jax.random.PRNGKey(seed)
-            xt = sample_noisy_latent(
-                key, (ids.shape[0], t_latent, cfg.d_latent), latent_mask
+            t_real = jnp.minimum(t_real, t_latent)
+            latent_mask = (
+                jnp.arange(t_latent)[None, :] < t_real
+            ).astype(jnp.float32)
+            wave, _ = self._synth_core(
+                params, ids, text_mask, style_ttl_b, style_dp_b,
+                latent_mask, seed, t_latent,
             )
-            dt = 1.0 / cfg.flow_steps
-
-            def flow_step(i, x):
-                t = i.astype(jnp.float32) * dt
-                v = vector_estimator_forward(
-                    params["estimator"], x, text_emb, style_ttl, latent_mask,
-                    text_mask, t, cfg,
-                )
-                return x + dt * v
-
-            xt = jax.lax.fori_loop(0, cfg.flow_steps, flow_step, xt)
-            if cfg.apply_latent_denorm:
-                xt = xt * latent_mask[..., None] / cfg.normalizer_scale
-            wave = vocoder_forward(params["vocoder"], xt, cfg)
-            return wave, durations
+            return wave, t_real, durations
 
         return fn
 
@@ -442,17 +506,67 @@ class SupertonicTts:
 
     def synthesize(
         self, text: str, style: dict[str, np.ndarray], lang: str = "en",
-        seed: int = 0, min_frames: int = 8,
+        seed: int = 0, min_frames: int = 8, fused_duration: bool = True,
     ) -> np.ndarray:
-        """Host orchestration: normalize → chunk → per-chunk fused synth."""
+        """Host orchestration: normalize → chunk → per-chunk fused synth.
+
+        fused_duration=True (default): ONE dispatch per chunk — the
+        duration→mask→synth composite program (`synth_e2e_fn`), bucket
+        guessed from token count (`est_frames_per_token`) with a one-bucket
+        retry if the predicted frames overflow the guess. False: the
+        two-dispatch flow (duration program, host rounding, synth program)
+        — kept as the oracle; both paths produce identical audio for the
+        same bucket (tested)."""
         import jax
 
         waves = []
         for chunk in chunk_text(normalize_text(text, lang)):
             ids = self.indexer(chunk)[None]
             text_mask = np.ones(ids.shape, np.float32)
-            # latent length from predicted durations (host rounding, then
-            # bucketed static shape); jitted fns cached per bucket
+            if fused_duration:
+                # the guess (adaptive frames/token EMA, cold prior from
+                # cfg) only predicts WHICH bucket to dispatch first; the
+                # result is always taken from the CANONICAL bucket — the
+                # one the model's own durations map to, identical to the
+                # two-dispatch oracle's choice — so the audio is a pure
+                # function of (text, style, seed): bit-deterministic
+                # across calls, processes, and EMA state. A wrong guess
+                # costs one extra dispatch, never a different waveform.
+                fpt = self._fpt_ema or self.cfg.est_frames_per_token
+                t_buck = self._bucket(max(
+                    min_frames,
+                    int(ids.shape[1] * fpt / self.cfg.speed),
+                ))
+                for _attempt in range(2):
+                    key = ("synth_e2e", t_buck, min_frames)
+                    if key not in self._fn_cache:
+                        self._fn_cache[key] = jax.jit(
+                            self.synth_e2e_fn(t_buck, min_frames)
+                        )
+                    wave, _t, durations = self._fn_cache[key](
+                        self.params, ids, text_mask,
+                        np.asarray(style["ttl"]), np.asarray(style["dp"]),
+                        seed,
+                    )
+                    t_true = max(
+                        min_frames,
+                        int(np.asarray(durations).sum() / self.cfg.speed),
+                    )
+                    ratio = t_true * self.cfg.speed / max(1, ids.shape[1])
+                    self._fpt_ema = (
+                        ratio if self._fpt_ema is None
+                        else 0.7 * self._fpt_ema + 0.3 * ratio
+                    )
+                    canonical = self._bucket(t_true)
+                    if t_buck == canonical:
+                        break
+                    t_buck = canonical  # guess missed: one re-dispatch
+                # trim with the program's own (clamped) frame count — the
+                # value the mask was built from
+                waves.append(np.asarray(wave[0, : int(_t) * self.cfg.hop]))
+                continue
+            # two-dispatch oracle: latent length from predicted durations
+            # (host rounding, then bucketed static shape)
             if "dur" not in self._fn_cache:
                 self._fn_cache["dur"] = jax.jit(
                     lambda p, i, s, m: duration_predictor_forward(

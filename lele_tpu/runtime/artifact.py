@@ -100,6 +100,19 @@ def load_pytree(path_prefix: str | Path, device: bool = True):
     if device:
         import jax
 
+        # LELE_PACKED_LOAD=0 disables the single-DMA path: loading the
+        # unpack EXECUTABLE costs a device program-load, which on a
+        # tunneled TPU can exceed the per-leaf DMA overhead it saves
+        # (host-attached chips load programs in ms and the single DMA
+        # wins; see docs/PERF.md cold-start table)
+        import os
+
+        if (os.environ.get("LELE_PACKED_LOAD", "1") != "0"
+                and Path(str(path_prefix) + _UP_SUFFIX).exists()):
+            try:  # single-DMA fast path (bundle ships an unpack executable)
+                return _load_pytree_packed(path_prefix, structure)
+            except Exception:  # stale/foreign .up.xc → per-leaf fallback
+                pass
         # per-leaf puts: jax.device_put on the whole pytree takes the
         # batched-transfer path, which is ~90× slower than leaf-at-a-time
         # over the tunneled TPU backend (measured 10.7 s vs 0.12 s for the
@@ -121,6 +134,100 @@ def load_pytree(path_prefix: str | Path, device: bool = True):
 
 _XC_SUFFIX = ".xc"
 _XC_TREE_SUFFIX = ".xc.tree"
+_UP_SUFFIX = ".up.xc"
+_UP_TREE_SUFFIX = ".up.xc.tree"
+
+
+def _build_unpack_fn(manifest: dict, structure: dict):
+    """Device-side blob unpack: u8[nbytes] → flat leaf list (manifest
+    order). One host→device DMA of the raw blob replaces N per-leaf puts —
+    the single large transfer runs at wire speed (~3× the effective
+    bandwidth of sequential per-leaf DMAs on the tunneled backend), and the
+    slicing/bitcasting happens at HBM speed on device."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    entries = manifest["tensors"]
+    metas = [(e["name"], entries[e["name"]]) for e in structure["leaves"]]
+
+    def unpack(buf):
+        out = []
+        for _, m in metas:
+            dt = np.dtype(m["dtype"])
+            raw = lax.dynamic_slice(buf, (m["offset"],), (m["nbytes"],))
+            if dt == np.bool_:
+                arr = raw != 0
+            elif dt.itemsize == 1:
+                arr = lax.bitcast_convert_type(raw, jnp.dtype(dt))
+            else:
+                arr = lax.bitcast_convert_type(
+                    raw.reshape(-1, dt.itemsize), jnp.dtype(dt)
+                )
+            arr = arr.reshape(m["shape"])
+            if "dequant_scale" in m:
+                arr = arr.astype(m.get("dequant_dtype", "float32")) * (
+                    m["dequant_scale"]
+                )
+            out.append(arr)
+        return out
+
+    return unpack
+
+
+def save_unpack_exec(path_prefix: str | Path) -> None:
+    """Compile + serialize the blob-unpack program for <prefix>.bin →
+    <prefix>.up.xc (+ .tree). Written by `save_aot_bundle`; `load_pytree`
+    uses it when present for a single-DMA params load."""
+    import pickle
+
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    prefix = Path(path_prefix)
+    manifest = json.loads(prefix.with_suffix(".json").read_text())
+    structure = json.loads(Path(str(path_prefix) + _TREE_SUFFIX).read_text())
+    nbytes = prefix.with_suffix(".bin").stat().st_size
+    unpack = _build_unpack_fn(manifest, structure)
+    # pin to ONE device: the loader feeds a single-device u8 array, and on
+    # multi-device test hosts an unpinned jit would compile 8-shard
+    dev = jax.devices()[0]
+    spec = jax.ShapeDtypeStruct(
+        (nbytes,), np.uint8,
+        sharding=jax.sharding.SingleDeviceSharding(dev),
+    )
+    compiled = jax.jit(unpack).lower(spec).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    Path(str(path_prefix) + _UP_SUFFIX).write_bytes(payload)
+    Path(str(path_prefix) + _UP_TREE_SUFFIX).write_bytes(
+        pickle.dumps((in_tree, out_tree))
+    )
+
+
+def _load_pytree_packed(path_prefix: str | Path, structure: dict):
+    """Single-DMA load: push the whole .bin as ONE u8 array, run the
+    bundled unpack executable, rebuild the pytree from the leaf list."""
+    import pickle
+
+    import jax
+    from jax.experimental import serialize_executable as se
+
+    prefix = Path(path_prefix)
+    buf = np.fromfile(prefix.with_suffix(".bin"), np.uint8)
+    d = jax.device_put(buf, jax.devices()[0])  # one wire-speed DMA
+    payload = Path(str(path_prefix) + _UP_SUFFIX).read_bytes()
+    in_tree, out_tree = pickle.loads(
+        Path(str(path_prefix) + _UP_TREE_SUFFIX).read_bytes()
+    )
+    upfn = se.deserialize_and_load(payload, in_tree, out_tree)
+    flat = upfn(d)
+    leaves = structure["leaves"]
+    if len(leaves) == 1 and leaves[0]["keys"] == []:
+        return flat[0]
+    root_kind = leaves[0]["keys"][0][0]
+    tree = [] if root_kind == "l" else {}
+    for e, leaf in zip(leaves, flat):
+        _insert(tree, e["keys"], leaf)
+    return tree
 
 
 def save_aot_bundle(path_prefix: str | Path, compiled, params=None) -> None:
@@ -137,6 +244,10 @@ def save_aot_bundle(path_prefix: str | Path, compiled, params=None) -> None:
     )
     if params is not None:
         save_pytree(path_prefix, params)
+        try:  # single-DMA loader (optional: absent → per-leaf fallback)
+            save_unpack_exec(path_prefix)
+        except Exception:  # pragma: no cover - e.g. unserializable backend
+            pass
 
 
 def load_aot_bundle(path_prefix: str | Path, params: bool = True):

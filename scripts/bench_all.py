@@ -53,6 +53,7 @@ def main():
         "silero_step_us": (
             lambda: bench.bench_silero_step(pcm), 70.4, 92.2),
         "supertonic_rtf": (bench.bench_supertonic, 0.0648, 0.1667),
+        "supertonic_rtf_e2e": (bench.bench_supertonic_e2e, 0.0648, 0.1667),
         "yolo26_ms": (lambda: bench.bench_yolo(False), 534.97, 704.50),
         # fixture-scale (~0.7 GFLOP) — tracked vs its own history, no
         # reference column (the NEON number is for the full YOLO26n)

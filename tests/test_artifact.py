@@ -128,3 +128,64 @@ print("AOT_OK")
                            capture_output=True, text=True, timeout=300)
         assert r.returncode == 0, f"{tag} failed: {r.stderr[-2000:]}"
     assert "AOT_OK" in r.stdout
+
+
+def test_packed_single_dma_load(tmp_path):
+    """Single-DMA load path: blob pushed as ONE u8 array + bundled unpack
+    executable must reproduce the per-leaf load bit-for-bit (incl. bf16,
+    int8, scalars, nested lists). Runs in a single-device subprocess — a
+    1-device serialized executable can't execute on the in-process
+    8-virtual-device mesh (load_pytree falls back per-leaf there, covered
+    below)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = f"""
+import sys; sys.path.insert(0, {str(Path(__file__).resolve().parents[1])!r})
+import json, numpy as np, jax, jax.numpy as jnp
+from lele_tpu.runtime.artifact import (
+    _load_pytree_packed, load_pytree, save_pytree, save_unpack_exec)
+rng = np.random.default_rng(3)
+tree = {{
+    "w_bf16": jnp.asarray(rng.standard_normal((8, 128)), jnp.bfloat16),
+    "wq8": np.asarray(rng.integers(-127, 127, (4, 128)), np.int8),
+    "b": rng.standard_normal(128).astype(np.float32),
+    "n": np.int32(7),
+    "layers": [rng.standard_normal((2, 2)).astype(np.float32)],
+}}
+prefix = {str(tmp_path / "p")!r}
+save_pytree(prefix, tree)
+save_unpack_exec(prefix)
+structure = json.loads(open(prefix + ".tree.json").read())
+got = _load_pytree_packed(prefix, structure)
+want = load_pytree(prefix, device=False)
+ga = jax.tree_util.tree_leaves_with_path(got)
+wa = jax.tree_util.tree_leaves_with_path(want)
+assert [k for k, _ in ga] == [k for k, _ in wa]
+for (_, x), (_, y) in zip(ga, wa):
+    x, y = np.asarray(x), np.asarray(y)
+    assert x.dtype == y.dtype and x.shape == y.shape, (x.dtype, y.dtype)
+    np.testing.assert_array_equal(x, y)
+print("PACKED_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"packed load failed: {r.stderr[-2000:]}"
+    assert "PACKED_OK" in r.stdout
+
+
+def test_packed_load_falls_back_on_mesh_mismatch(tmp_path):
+    """A .up.xc that can't execute in this process (here: 1-device
+    executable on the 8-virtual-device mesh) must degrade silently to the
+    per-leaf path with identical results."""
+    from lele_tpu.runtime.artifact import _UP_SUFFIX, save_unpack_exec
+
+    tree = {"w": np.arange(24, dtype=np.float32).reshape(4, 6),
+            "q": np.ones((2, 3), np.int8)}
+    save_pytree(tmp_path / "p", tree)
+    save_unpack_exec(tmp_path / "p")
+    assert (tmp_path / ("p" + _UP_SUFFIX)).exists()
+    out = load_pytree(tmp_path / "p", device=True)
+    _assert_tree_equal(tree, out)

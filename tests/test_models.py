@@ -233,6 +233,65 @@ def test_supertonic_synthesize_pipeline():
     assert not np.array_equal(w1, w3)
 
 
+def test_supertonic_fused_duration_parity():
+    """The one-dispatch duration→mask→synth composite must produce the
+    same audio as the two-dispatch oracle (duration readback + host mask):
+    bit-exact when both land in the same bucket, allclose when the bucket
+    guess overshoots (same prefix-consistent noise, different compiled
+    shape → ulp-level reduction-order differences only). Also covers the
+    overflow-retry branch."""
+    cfg = SupertonicConfig(
+        n_text_layers=1, n_est_layers=1, latent_buckets=(8, 32, 64, 128)
+    )
+    tts = SupertonicTts(cfg)
+    tts.init(0)
+    style = {
+        "ttl": rng.standard_normal(128).astype(np.float32),
+        "dp": rng.standard_normal(128).astype(np.float32),
+    }
+    text = "Parity of the fused duration path."
+    w_oracle = tts.synthesize(text, style, seed=3, fused_duration=False)
+    t_real = len(w_oracle) // cfg.hop
+    n_tok = len(tts.indexer(normalize_text(text, "en")))
+
+    # accurate guess → one dispatch, bit-exact parity
+    tts.cfg.est_frames_per_token = t_real / n_tok
+    tts._fpt_ema = None
+    w_same = tts.synthesize(text, style, seed=3, fused_duration=True)
+    np.testing.assert_array_equal(w_same, w_oracle)
+    # the adaptive ratio converged to the model's actual speaking rate
+    assert tts._fpt_ema is not None
+    assert abs(tts._fpt_ema - t_real / n_tok) / (t_real / n_tok) < 0.5
+
+    # overshooting guess → re-dispatch DOWN to the canonical bucket:
+    # still bit-exact (the result always comes from the oracle's bucket)
+    tts.cfg.est_frames_per_token = 64.0
+    tts._fpt_ema = None
+    w_big = tts.synthesize(text, style, seed=3, fused_duration=True)
+    np.testing.assert_array_equal(w_big, w_oracle)
+
+    # undershooting guess → in-program clamp, overflow retry up: exact
+    tts.cfg.est_frames_per_token = 0.01
+    tts._fpt_ema = None
+    w_retry = tts.synthesize(text, style, seed=3, fused_duration=True)
+    np.testing.assert_array_equal(w_retry, w_oracle)
+
+    # bucket-invariance of the program itself (mask correctness + prefix-
+    # consistent noise): the composite at a LARGER bucket produces the
+    # same trimmed audio up to cross-shape reduction-order ulps
+    import jax
+
+    ids = np.asarray(tts.indexer(normalize_text(text, "en")))[None]
+    tm = np.ones(ids.shape, np.float32)
+    big = tts.cfg.latent_buckets[-1]
+    wave_big, t_big, _ = jax.jit(tts.synth_e2e_fn(big))(
+        tts.params, ids, tm, style["ttl"], style["dp"], 3)
+    assert int(t_big) == t_real
+    np.testing.assert_allclose(
+        np.clip(np.asarray(wave_big[0, : t_real * cfg.hop]), -1.0, 1.0),
+        w_oracle, atol=1e-4)
+
+
 def test_supertonic_config_json_nested_and_flat(tmp_path):
     p = tmp_path / "tts.json"
     p.write_text('{"ae": {"d_latent": 48}, "ttl": {"d_text": 96}, "speed": 1.05}')
