@@ -348,8 +348,9 @@ def bench_supertonic_e2e():
     style_dp = rng.standard_normal(cfg.d_style).astype(np.float32)
     text = ("The quick onyx goblin jumps over the lazy dwarf while the "
             "band plays a cheerful waltz by the riverside.")
-    ids = np.asarray(tts.indexer(normalize_text(text, "en")))[None]
-    tm = np.ones(ids.shape, np.float32)
+    ids, tm = tts.pad_tokens(
+        np.asarray(tts.indexer(normalize_text(text, "en")))[None]
+    )  # the serving path pads to token buckets; time the program it runs
 
     # steady state of a serving process: a converged frames-per-token EMA
     # guesses the canonical bucket directly, so one dispatch per query —

@@ -60,6 +60,11 @@ class SupertonicConfig:
     normalizer_scale: float = 1.0
     speed: float = 1.0
     latent_buckets: tuple = (64, 128, 256, 512, 1024)
+    token_buckets: tuple = (48, 96, 160, 256, 320)  # ids pad to these, so
+    #   the compile count is bounded by buckets², not by distinct text
+    #   lengths (chunk_text caps chunks at ~300 chars → ≤ ~310 tokens);
+    #   duration/text models are mask-exact under padding (see
+    #   duration_predictor_forward)
     est_frames_per_token: float = 8.0  # bucket guess for the fused
     #   duration+synth program (synthesize retries one bucket up when the
     #   in-program durations overflow the guess — one extra dispatch, rare)
@@ -250,10 +255,17 @@ def init_duration_predictor(key, cfg: SupertonicConfig) -> Params:
 
 
 def duration_predictor_forward(p: Params, ids, style, mask, cfg: SupertonicConfig):
-    """→ per-token durations in frames (softplus, masked)."""
-    x = p["embed"][ids] + linear(p["style_proj"], style)[:, None, :]
-    x = jax.nn.relu(conv1d(p["conv1"], x))
-    x = jax.nn.relu(conv1d(p["conv2"], x))
+    """→ per-token durations in frames (softplus, masked).
+
+    Inputs and every conv output are re-masked so a PADDED sequence (ids
+    padded to a token bucket, mask 0 on the pad) computes exactly what the
+    unpadded program's SAME zero-padding would: the k=3 convs at the last
+    real token see zeros either way. This makes token-length bucketing
+    (synthesize) semantics-preserving, not just approximately right."""
+    x = (p["embed"][ids] + linear(p["style_proj"], style)[:, None, :])
+    x = x * mask[..., None]
+    x = jax.nn.relu(conv1d(p["conv1"], x)) * mask[..., None]
+    x = jax.nn.relu(conv1d(p["conv2"], x)) * mask[..., None]
     x = layer_norm(p["norm"], x)
     d = jax.nn.softplus(linear(p["out"], x))[..., 0]
     return d * mask
@@ -504,6 +516,24 @@ class SupertonicTts:
                 return b
         return self.cfg.latent_buckets[-1]
 
+    def pad_tokens(self, ids: np.ndarray):
+        """ids [1, n] → (padded ids [1, bucket], text_mask [1, bucket]).
+        Zero-pad to the token bucket; the duration/text models are
+        mask-exact under padding, so this only bounds the compile count."""
+        n = ids.shape[1]
+        b = n
+        for tb in self.cfg.token_buckets:
+            if n <= tb:
+                b = tb
+                break
+        else:
+            b = max(n, self.cfg.token_buckets[-1])
+        padded = np.zeros((1, b), ids.dtype)
+        padded[:, :n] = ids
+        mask = np.zeros((1, b), np.float32)
+        mask[:, :n] = 1.0
+        return padded, mask
+
     def synthesize(
         self, text: str, style: dict[str, np.ndarray], lang: str = "en",
         seed: int = 0, min_frames: int = 8, fused_duration: bool = True,
@@ -521,8 +551,8 @@ class SupertonicTts:
 
         waves = []
         for chunk in chunk_text(normalize_text(text, lang)):
-            ids = self.indexer(chunk)[None]
-            text_mask = np.ones(ids.shape, np.float32)
+            n_real = len(self.indexer(chunk))
+            ids, text_mask = self.pad_tokens(self.indexer(chunk)[None])
             if fused_duration:
                 # the guess (adaptive frames/token EMA, cold prior from
                 # cfg) only predicts WHICH bucket to dispatch first; the
@@ -535,7 +565,7 @@ class SupertonicTts:
                 fpt = self._fpt_ema or self.cfg.est_frames_per_token
                 t_buck = self._bucket(max(
                     min_frames,
-                    int(ids.shape[1] * fpt / self.cfg.speed),
+                    int(n_real * fpt / self.cfg.speed),
                 ))
                 for _attempt in range(2):
                     key = ("synth_e2e", t_buck, min_frames)
@@ -552,7 +582,7 @@ class SupertonicTts:
                         min_frames,
                         int(np.asarray(durations).sum() / self.cfg.speed),
                     )
-                    ratio = t_true * self.cfg.speed / max(1, ids.shape[1])
+                    ratio = t_true * self.cfg.speed / max(1, n_real)
                     self._fpt_ema = (
                         ratio if self._fpt_ema is None
                         else 0.7 * self._fpt_ema + 0.3 * ratio

@@ -281,8 +281,8 @@ def test_supertonic_fused_duration_parity():
     # same trimmed audio up to cross-shape reduction-order ulps
     import jax
 
-    ids = np.asarray(tts.indexer(normalize_text(text, "en")))[None]
-    tm = np.ones(ids.shape, np.float32)
+    ids, tm = tts.pad_tokens(
+        np.asarray(tts.indexer(normalize_text(text, "en")))[None])
     big = tts.cfg.latent_buckets[-1]
     wave_big, t_big, _ = jax.jit(tts.synth_e2e_fn(big))(
         tts.params, ids, tm, style["ttl"], style["dp"], 3)
@@ -290,6 +290,70 @@ def test_supertonic_fused_duration_parity():
     np.testing.assert_allclose(
         np.clip(np.asarray(wave_big[0, : t_real * cfg.hop]), -1.0, 1.0),
         w_oracle, atol=1e-4)
+
+
+def test_supertonic_token_pad_invariance():
+    """Zero-padded ids + zero mask must compute EXACTLY what the unpadded
+    program's own SAME zero-padding computes: per-token durations on the
+    real region agree, padded region is exactly zero (the convs re-mask
+    between layers), and text-encoder outputs at real positions ignore
+    padded keys."""
+    import jax
+
+    from lele_tpu.models.supertonic import (
+        duration_predictor_forward,
+        text_encoder_forward,
+    )
+
+    cfg = SupertonicConfig(n_text_layers=1, n_est_layers=1)
+    tts = SupertonicTts(cfg)
+    tts.init(0)
+    ids = rng.integers(2, 90, (1, 13)).astype(np.int32)
+    style = rng.standard_normal((1, cfg.d_style)).astype(np.float32)
+    ones = np.ones((1, 13), np.float32)
+    padded, mask = tts.pad_tokens(ids)
+    assert padded.shape[1] == cfg.token_buckets[0]
+
+    d_ref = np.asarray(duration_predictor_forward(
+        tts.params["duration"], ids, style, ones, cfg))
+    d_pad = np.asarray(duration_predictor_forward(
+        tts.params["duration"], padded, style, mask, cfg))
+    np.testing.assert_allclose(d_pad[:, :13], d_ref, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(d_pad[:, 13:], 0.0)
+
+    e_ref = np.asarray(text_encoder_forward(
+        tts.params["text"], ids, style, ones, cfg))
+    e_pad = np.asarray(text_encoder_forward(
+        tts.params["text"], padded, style, mask, cfg))
+    np.testing.assert_allclose(e_pad[:, :13], e_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_supertonic_token_bucketing_bounds_compiles():
+    """Different text lengths inside one token bucket reuse the SAME
+    padded shapes — the jit cache stays at one trace per (latent bucket ×
+    token bucket), not one per distinct text length."""
+    cfg = SupertonicConfig(
+        n_text_layers=1, n_est_layers=1, latent_buckets=(32, 64)
+    )
+    tts = SupertonicTts(cfg)
+    tts.init(0)
+    style = {
+        "ttl": rng.standard_normal(128).astype(np.float32),
+        "dp": rng.standard_normal(128).astype(np.float32),
+    }
+    shapes = set()
+    for text in ("Hi.", "Hello there.", "A slightly longer sentence here."):
+        ids, _ = tts.pad_tokens(tts.indexer(
+            normalize_text(text, "en"))[None])
+        shapes.add(ids.shape)
+        tts.synthesize(text, style, seed=0)
+    assert shapes == {(1, cfg.token_buckets[0])}
+    fused = [k for k in tts._fn_cache if k and k[0] == "synth_e2e"]
+    # one jit entry per latent bucket touched; each traced exactly once
+    # (tracing a second token shape would show up as a cache miss in
+    # jit._cache_size if lengths weren't bucketed)
+    for k in fused:
+        assert tts._fn_cache[k]._cache_size() == 1
 
 
 def test_supertonic_config_json_nested_and_flat(tmp_path):
