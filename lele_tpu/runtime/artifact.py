@@ -127,8 +127,10 @@ def load_pytree(path_prefix: str | Path, device: bool = True):
 # Our equivalent: pickle the XLA *executable* (jax.experimental.
 # serialize_executable) next to the prepared-params blob. A fresh process
 # then does mmap → device_put → executable load → run: 0.73 s measured for
-# the 50-layer w8a16 flagship (vs 12.6 s re-jitting through the tunnel, and
-# vs 4.5 s with persistent-cache compile + retrace). The bundle is pinned to
+# the 50-layer w8a16 flagship in a calm-weather r2 session (vs 12.6 s
+# re-jitting through the tunnel, and vs 4.5 s with persistent-cache compile
+# + retrace); the r3 re-measurement (docs/PERF.md) found the first-exec
+# term is tunnel-service weather (2–160 s spread). The bundle is pinned to
 # the compiling jax version + device kind — a deployment artifact, not a
 # portable program (use compiler/aot.py's .shlo export for portability).
 
