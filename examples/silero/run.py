@@ -33,6 +33,13 @@ def main():
                     help="run a real checkpoint (fixtures/silero.onnx or the "
                          "published Silero VAD export) through the compiler")
     ap.add_argument("--threshold", type=float, default=0.3)
+    ap.add_argument("--save-aot", metavar="PREFIX", default=None,
+                    help="save params + the compiled whole-utterance scan "
+                         "program (pinned to this wav's chunk count) as an "
+                         "AOT bundle for cold starts without trace/compile")
+    ap.add_argument("--aot", metavar="PREFIX", default=None,
+                    help="cold-start from a --save-aot bundle (same-length "
+                         "audio)")
     args = ap.parse_args()
 
     if Path(args.wav).exists():
@@ -69,11 +76,43 @@ def main():
         return
 
     vad = SileroVad(SileroConfig(sample_rate=sr if sr in (8000, 16000) else 16000))
-    vad.init(0)
+
+    if args.aot:
+        import jax as _jax
+
+        from lele_tpu.runtime.artifact import load_aot_bundle
+
+        cfgv = vad.cfg
+        n = (len(pcm) - cfgv.context) // cfgv.chunk
+        idx = (np.arange(n)[:, None] * cfgv.chunk
+               + np.arange(cfgv.chunk + cfgv.context)[None, :])
+        chunks_in = np.ascontiguousarray(np.asarray(pcm)[idx])
+        t0 = time.perf_counter()
+        scan, vad.params = load_aot_bundle(args.aot)
+        probs_d, _state = scan(vad.params, chunks_in)
+        _jax.block_until_ready(probs_d)
+        cold = time.perf_counter() - t0
+        vad._fn_cache[("scan", 16000)] = scan  # speech_probs reuses it
+        print(f"AOT bundle cold start: {cold:.2f}s (params+executable+run)")
+    else:
+        vad.init(0)
 
     t0 = time.perf_counter()
     probs = vad.speech_probs(pcm, sr=16000)
     elapsed = time.perf_counter() - t0
+    if args.save_aot:
+        import jax as _jax
+
+        from lele_tpu.runtime.artifact import save_aot_bundle
+
+        cfgv = vad.cfg
+        n = (len(pcm) - cfgv.context) // cfgv.chunk
+        idx = (np.arange(n)[:, None] * cfgv.chunk
+               + np.arange(cfgv.chunk + cfgv.context)[None, :])
+        chunks_in = np.ascontiguousarray(np.asarray(pcm)[idx])
+        compiled = vad.scan_fn(n).lower(vad.params, chunks_in).compile()
+        save_aot_bundle(args.save_aot, compiled, vad.params)
+        print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     # steady-state: second pass with compiled step
     t0 = time.perf_counter()
     probs = vad.speech_probs(pcm, sr=16000)

@@ -43,6 +43,14 @@ def main():
                     help="directory with supertonic_{dp,te,ve,voc}.onnx "
                          "(fixtures/ or real exports): chain the 4 compiled "
                          "sub-models instead of the native model")
+    ap.add_argument("--save-aot", metavar="PREFIX", default=None,
+                    help="save params + the compiled one-dispatch synth "
+                         "program (pinned to this text's token/latent "
+                         "buckets) as an AOT bundle for cold starts without "
+                         "trace/compile")
+    ap.add_argument("--aot", metavar="PREFIX", default=None,
+                    help="cold-start from a --save-aot bundle (text must hit "
+                         "the saved token/latent buckets)")
     args = ap.parse_args()
 
     if args.onnx_dir:
@@ -78,8 +86,20 @@ def main():
         cfg.speed = 1.05
     tts = SupertonicTts(cfg)
     timer = ScopeTimer()
-    with timer.scope("init"):
-        tts.init(0)
+    if args.aot:
+        from lele_tpu.runtime.artifact import load_aot_bundle
+
+        with timer.scope("aot-load"):
+            fn, tts.params = load_aot_bundle(args.aot)
+            meta = json.loads(Path(args.aot + ".meta.json").read_text())
+        if bool(meta.get("v3", False)) != bool(args.v3):
+            sys.exit("--aot bundle was saved in a different --v3 mode")
+        tts._fn_cache[("synth_e2e", meta["t_buck"], meta["min_frames"])] = fn
+        tts._fpt_ema = meta["fpt"]  # so the bucket guess hits the bundle
+        args.min_frames = meta["min_frames"]
+    else:
+        with timer.scope("init"):
+            tts.init(0)
     voice = args.voice or str(Path(__file__).parent / "voice_styles" / "M1.json")
     if Path(voice).exists():
         style = load_voice_style(voice)
@@ -96,6 +116,33 @@ def main():
     wave = tts.synthesize(args.text, style, lang=args.lang, seed=0,
                           min_frames=args.min_frames)
     steady = time.perf_counter() - t0
+    if args.save_aot:
+        import jax
+
+        from lele_tpu.models.supertonic import chunk_text, normalize_text
+        from lele_tpu.runtime.artifact import save_aot_bundle
+
+        # pin the bundle to the buckets the steady-state run converged to
+        # (EMA-guided guess == canonical bucket after the warm pass above)
+        chunk = chunk_text(normalize_text(args.text, args.lang))[0]
+        n_real = len(tts.indexer(chunk))
+        ids, text_mask = tts.pad_tokens(tts.indexer(chunk)[None])
+        fpt = tts._fpt_ema or cfg.est_frames_per_token
+        t_buck = tts._bucket(
+            max(args.min_frames, int(n_real * fpt / cfg.speed)))
+        compiled = jax.jit(
+            tts.synth_e2e_fn(t_buck, args.min_frames)
+        ).lower(
+            tts.params, ids, text_mask, np.asarray(style["ttl"]),
+            np.asarray(style["dp"]), 0,
+        ).compile()
+        save_aot_bundle(args.save_aot, compiled, tts.params)
+        Path(args.save_aot + ".meta.json").write_text(json.dumps({
+            "t_buck": t_buck, "min_frames": args.min_frames,
+            "fpt": tts._fpt_ema, "v3": bool(args.v3),
+        }))
+        print(f"AOT bundle saved to {args.save_aot}[.bin/.xc] "
+              f"(latent bucket {t_buck})")
     audio_s = len(wave) / cfg.sample_rate
     write_wav(args.out, wave, cfg.sample_rate)
     timer.print_scope()

@@ -33,6 +33,12 @@ def run(segmentation: bool = False):
                          "published YOLO26 export) through the compiler")
     ap.add_argument("--threshold", type=float, default=0.25)
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument("--save-aot", metavar="PREFIX", default=None,
+                    help="save params + the compiled 640² forward as an "
+                         "AOT bundle (runtime/artifact.py) for cold starts "
+                         "that skip init/trace/compile")
+    ap.add_argument("--aot", metavar="PREFIX", default=None,
+                    help="cold-start from a --save-aot bundle")
     args = ap.parse_args()
 
     if Path(args.image).exists():
@@ -70,12 +76,29 @@ def run(segmentation: bool = False):
         return
 
     model = Yolo26Model(Yolo26Config(segmentation=segmentation))
-    model.init(0)
-    fn = jax.jit(model.forward_fn())
-    t0 = time.perf_counter()
-    outs = fn(model.params, x)
-    jax.block_until_ready(outs)
-    cold = time.perf_counter() - t0
+    if args.aot:
+        from lele_tpu.runtime.artifact import load_aot_bundle
+
+        t0 = time.perf_counter()
+        fn, model.params = load_aot_bundle(args.aot)
+        outs = fn(model.params, x)
+        jax.block_until_ready(outs)
+        cold = time.perf_counter() - t0
+        print(f"AOT bundle cold start: {cold:.2f}s (params+executable+run)")
+    else:
+        model.init(0)
+        fn = jax.jit(model.forward_fn())
+        t0 = time.perf_counter()
+        outs = fn(model.params, x)
+        jax.block_until_ready(outs)
+        cold = time.perf_counter() - t0
+        if args.save_aot:
+            from lele_tpu.runtime.artifact import save_aot_bundle
+
+            compiled = jax.jit(model.forward_fn()).lower(
+                model.params, x).compile()
+            save_aot_bundle(args.save_aot, compiled, model.params)
+            print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     best = np.inf
     for _ in range(3):  # best-of-3 averages (reference protocol)
         times = []
