@@ -470,7 +470,12 @@ def gen_supertonic():
 
 
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["silero", "sensevoice", "yolo", "supertonic"]
+    gens = {"silero": gen_silero, "sensevoice": gen_sensevoice,
+            "yolo": gen_yolo, "supertonic": gen_supertonic}
+    which = sys.argv[1:] or list(gens)
+    bad = [n for n in which if n not in gens]
+    if bad:
+        sys.exit(f"usage: make_fixtures.py [{'|'.join(gens)} ...]   "
+                 f"(unknown: {' '.join(bad)})")
     for name in which:
-        {"silero": gen_silero, "sensevoice": gen_sensevoice,
-         "yolo": gen_yolo, "supertonic": gen_supertonic}[name]()
+        gens[name]()

@@ -21,6 +21,9 @@ from pathlib import Path
 
 import numpy as np
 
+if any(a.startswith("-") for a in sys.argv[1:]):
+    sys.exit(__doc__)
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from lele_tpu.runtime import enable_cache  # noqa: E402

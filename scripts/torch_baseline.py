@@ -107,9 +107,15 @@ def main():
     Ks = (8, 40)
     tpu_ms = (timed(Ks[1]) - timed(Ks[0])) / (Ks[1] - Ks[0]) * 1e3
 
+    plat = jax.devices()[0].platform
+    label = "lele-tpu (1x v5e)  " if plat != "cpu" else \
+        "lele-tpu (CPU!)    "  # honest label when run off-TPU
     print(f"transformer encoder {layers}L d512 T{T} (batch 1):")
     print(f"  torch-CPU 1-thread : {torch_ms:8.2f} ms")
-    print(f"  lele-tpu (1x v5e)  : {tpu_ms:8.3f} ms  ({torch_ms / tpu_ms:.0f}x)")
+    print(f"  {label}: {tpu_ms:8.3f} ms  ({torch_ms / tpu_ms:.0f}x)")
+    if plat == "cpu":
+        print("  (JAX backend is CPU here — the honest device number needs "
+              "the TPU; see docs/PERF.md)")
 
 
 if __name__ == "__main__":
