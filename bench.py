@@ -177,9 +177,21 @@ def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool):
 
     dims = dict(L=50, d=512, h=4, ffn=2048, vocab=25055) if on_tpu else \
         dict(L=4, d=128, h=4, ffn=256, vocab=512)
-    path = Path(tempfile.gettempdir()) / f"sanm_int8_{dims['L']}l_i8h.onnx"
+    # cache key covers the builder SOURCE and every dim — a stale /tmp file
+    # from an older synth.py (or another user) must never be benchmarked
+    import hashlib
+
+    from lele_tpu.onnx import synth as _synth_mod
+
+    key = hashlib.sha256(
+        Path(_synth_mod.__file__).read_bytes()
+        + json.dumps(dims, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    path = Path(tempfile.gettempdir()) / f"sanm_int8_{dims['L']}l_{key}.onnx"
     if not path.exists():
-        path.write_bytes(build_sanm_int8_model(**dims, int8_head=True))
+        tmp = path.with_suffix(".onnx.tmp")
+        tmp.write_bytes(build_sanm_int8_model(**dims, int8_head=True))
+        tmp.replace(path)
     sv = SenseVoiceOnnx(path)
     fb = sv.frontend
     t = jax.eval_shape(

@@ -82,11 +82,7 @@ def main():
 
         from lele_tpu.runtime.artifact import load_aot_bundle
 
-        cfgv = vad.cfg
-        n = (len(pcm) - cfgv.context) // cfgv.chunk
-        idx = (np.arange(n)[:, None] * cfgv.chunk
-               + np.arange(cfgv.chunk + cfgv.context)[None, :])
-        chunks_in = np.ascontiguousarray(np.asarray(pcm)[idx])
+        chunks_in = vad.frame_chunks(pcm)
         t0 = time.perf_counter()
         scan, vad.params = load_aot_bundle(args.aot)
         probs_d, _state = scan(vad.params, chunks_in)
@@ -101,16 +97,11 @@ def main():
     probs = vad.speech_probs(pcm, sr=16000)
     elapsed = time.perf_counter() - t0
     if args.save_aot:
-        import jax as _jax
-
         from lele_tpu.runtime.artifact import save_aot_bundle
 
-        cfgv = vad.cfg
-        n = (len(pcm) - cfgv.context) // cfgv.chunk
-        idx = (np.arange(n)[:, None] * cfgv.chunk
-               + np.arange(cfgv.chunk + cfgv.context)[None, :])
-        chunks_in = np.ascontiguousarray(np.asarray(pcm)[idx])
-        compiled = vad.scan_fn(n).lower(vad.params, chunks_in).compile()
+        chunks_in = vad.frame_chunks(pcm)
+        compiled = vad.scan_fn(chunks_in.shape[0]).lower(
+            vad.params, chunks_in).compile()
         save_aot_bundle(args.save_aot, compiled, vad.params)
         print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     # steady-state: second pass with compiled step
@@ -121,12 +112,8 @@ def main():
     # which on a tunneled TPU dominates tiny outputs)
     import jax
 
-    cfgv = vad.cfg
-    n = (len(pcm) - cfgv.context) // cfgv.chunk
-    idx = (np.arange(n)[:, None] * cfgv.chunk
-           + np.arange(cfgv.chunk + cfgv.context)[None, :])
-    chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
-    fn = vad.scan_fn(n)
+    chunks = vad.frame_chunks(pcm)
+    fn = vad.scan_fn(chunks.shape[0])
     t0 = time.perf_counter()
     jax.block_until_ready(fn(vad.params, chunks))
     device_steady = time.perf_counter() - t0

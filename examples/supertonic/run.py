@@ -130,9 +130,11 @@ def main():
         fpt = tts._fpt_ema or cfg.est_frames_per_token
         t_buck = tts._bucket(
             max(args.min_frames, int(n_real * fpt / cfg.speed)))
-        compiled = jax.jit(
-            tts.synth_e2e_fn(t_buck, args.min_frames)
-        ).lower(
+        # reuse the jitted program the steady pass above already compiled
+        key = ("synth_e2e", t_buck, args.min_frames)
+        fn = tts._fn_cache.get(key) or jax.jit(
+            tts.synth_e2e_fn(t_buck, args.min_frames))
+        compiled = fn.lower(
             tts.params, ids, text_mask, np.asarray(style["ttl"]),
             np.asarray(style["dp"]), 0,
         ).compile()

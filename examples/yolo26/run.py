@@ -95,8 +95,9 @@ def run(segmentation: bool = False):
         if args.save_aot:
             from lele_tpu.runtime.artifact import save_aot_bundle
 
-            compiled = jax.jit(model.forward_fn()).lower(
-                model.params, x).compile()
+            # reuse the jit wrapper the cold run above already compiled —
+            # .lower().compile() on the SAME traced fn is a cache hit
+            compiled = fn.lower(model.params, x).compile()
             save_aot_bundle(args.save_aot, compiled, model.params)
             print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     best = np.inf

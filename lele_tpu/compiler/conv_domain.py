@@ -145,12 +145,6 @@ def build_conv_domain(model, specs):
     steps: list[dict] = []
     consumed: list[int] = []
 
-    def only_consumer(name):
-        if name in graph_outputs:
-            return None
-        c = cons.get(name, [])
-        return nodes[c[0]] if len(c) == 1 else None
-
     def node_index(n):
         return next(j for j, m in enumerate(nodes) if m is n)
 
@@ -286,7 +280,7 @@ def build_conv_domain(model, specs):
             if any(k not in consumed_set for k in cons.get(out, [])):
                 return None
 
-    from ..models.s2d import s2d2_to_s2d4, s2d_undo
+    from ..models.s2d import s2d_undo
 
     n_chain = len(steps)
 

@@ -518,8 +518,8 @@ def sanm_stack_dataflow(tracer, state, nodes, i, env, scope):
             n in m.claimed for n in nodes[j].input
         ):
             return None
-    if final_out in state.graph_outputs and state.mode == "final":
-        pass  # binding the name is enough; canonicalization happens upstream
+    # (final_out may itself be a graph output — binding it in env below is
+    # enough; output canonicalization happens upstream in the tracer)
 
     import jax.numpy as jnp
 

@@ -56,19 +56,6 @@ def s2d_chw(x, b: int = 4):
     return x.reshape(B, H // b, W // b, b * b * C)
 
 
-def s2d2_to_s2d4(x):
-    """[B, G, G, 4C] s2d2-packed → [B, G/2, G/2, 16C] in PURE s2d4 slot
-    order ((u*4+v)*C + c). Note `s2d(s2d(·,2),2)` is NOT this — the naive
-    composition interleaves the two stages' row/column bits ((A2·2+B2)·4C
-    + (a2·2+b2)·C), which silently miswires any kernel derived for the
-    pure order (compiler/conv_domain.py depends on this function)."""
-    B, G, G2, CC = x.shape
-    C = CC // 4
-    x = x.reshape(B, G // 2, 2, G2 // 2, 2, 2, 2, C)  # A,A2,B,B2,a2,b2,C
-    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)           # A,B,A2,a2,B2,b2,C
-    return x.reshape(B, G // 2, G2 // 2, 16 * C)
-
-
 def s2d_undo(x, b: int = 2):
     """Inverse of s2d."""
     B, H, W, CC = x.shape

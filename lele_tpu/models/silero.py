@@ -167,20 +167,28 @@ class SileroVad:
         self._fn_cache[("scan", sr)] = jitted
         return jitted
 
-    def speech_probs(self, pcm: np.ndarray, sr: int = 16000) -> np.ndarray:
-        """Per-chunk speech probabilities over a full waveform (offline:
-        one fused scan program)."""
+    def frame_chunks(self, pcm: np.ndarray) -> np.ndarray:
+        """pcm → host-framed [N, chunk+context] matrix — the scan program's
+        input layout. The single source of truth for chunking (speech_probs
+        and the runner's AOT save/load paths must agree on this shape)."""
         cfg = self.cfg
         n = (len(pcm) - cfg.context) // cfg.chunk
         if n <= 0:
-            return np.zeros(0, np.float32)
+            return np.zeros((0, cfg.chunk + cfg.context), np.float32)
         idx = (
             np.arange(n)[:, None] * cfg.chunk
             + np.arange(cfg.chunk + cfg.context)[None, :]
         )
         # frame on host (numpy strided gather), ship one [N, win] f32 buffer
-        chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
-        fn = self.scan_fn(n, sr)
+        return np.ascontiguousarray(np.asarray(pcm)[idx])
+
+    def speech_probs(self, pcm: np.ndarray, sr: int = 16000) -> np.ndarray:
+        """Per-chunk speech probabilities over a full waveform (offline:
+        one fused scan program)."""
+        chunks = self.frame_chunks(pcm)
+        if chunks.shape[0] == 0:
+            return np.zeros(0, np.float32)
+        fn = self.scan_fn(chunks.shape[0], sr)
         probs, _ = fn(self.params, chunks)
         return np.asarray(probs)
 

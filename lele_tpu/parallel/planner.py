@@ -146,12 +146,16 @@ def plan_encoder(
         act = model.batch * model.seq * model.d_model * model.act_bytes
         stream_s = (per_chip_w + act / (dp * sp)) / chip.hbm_bw
         # ICI per layer: tp → all-reduce activations twice (attn out + ffn
-        # out); sp → all-gather once around attention
+        # out); sp → all-gather once around attention. Collectives move the
+        # PER-REPLICA shard, not the full batch: dp shards the batch before
+        # any tp/sp collective runs, and the tp all-reduce operates on the
+        # sequence shard sp leaves on each chip.
+        act_rep = act / dp
         coll_bytes = 0.0
         if tp > 1:
-            coll_bytes += 2 * 2 * act * (tp - 1) / tp
+            coll_bytes += 2 * 2 * (act_rep / sp) * (tp - 1) / tp
         if sp > 1:
-            coll_bytes += act * (sp - 1) / sp
+            coll_bytes += act_rep * (sp - 1) / sp
         collective_s = model.n_layers * coll_bytes / chip.ici_bw
         if tp > 1 and model.d_model // tp < 128:
             notes.append(

@@ -222,6 +222,10 @@ def _load_pytree_packed(path_prefix: str | Path, structure: dict):
     )
     upfn = se.deserialize_and_load(payload, in_tree, out_tree)
     flat = upfn(d)
+    # force completion HERE: dispatch errors from a stale/foreign unpack
+    # executable surface asynchronously on first use otherwise — they must
+    # land inside load_pytree's try/except for the per-leaf fallback to fire
+    jax.block_until_ready(flat)
     leaves = structure["leaves"]
     if len(leaves) == 1 and leaves[0]["keys"] == []:
         return flat[0]

@@ -99,7 +99,9 @@ def fetch_family(name: str, spec: dict, update_lock: bool) -> list[tuple]:
                 rows.append((entry["dest"], "hash-mismatch",
                              f"want {want[:12]} got {got[:12]}"))
         else:
-            rows.append((entry["dest"], "missing", "needs local export"))
+            # export families can never be downloaded by this script — the
+            # user runs the recipe; not a failure even under --strict
+            rows.append((entry["dest"], "needs-export", "recipe below"))
     return rows
 
 
@@ -110,8 +112,9 @@ def main() -> int:
                     help="record sha256 of fetched/present files into the "
                          "lock (trust-on-first-use pinning)")
     ap.add_argument("--strict", action="store_true",
-                    help="exit 1 if any file is missing/failed (the "
-                         "with-network CI mode)")
+                    help="exit 1 if any DOWNLOADABLE file failed or a pin "
+                         "mismatched (with-network CI mode; export-recipe "
+                         "families are informational either way)")
     args = ap.parse_args()
 
     lock = json.loads(LOCK.read_text())
@@ -131,7 +134,7 @@ def main() -> int:
             if status in ("missing", "failed", "hash-mismatch"):
                 bad = True
         if spec["source"] == "export" and any(
-            r[1] == "missing" for r in rows
+            r[1] == "needs-export" for r in rows
         ):
             print("  export recipe:")
             for line in spec.get("recipe", []):

@@ -22,13 +22,24 @@ def _load(tmp_path, lock: dict):
 
 
 def test_offline_soft_fail_and_strict(tmp_path, monkeypatch):
+    # export-recipe families are informational: this script can never
+    # download them, so they must not fail even --strict (a with-network
+    # CI run where every downloadable file verified should exit 0)
     lock = {"fam": {"source": "export", "files": [{"dest": "m.onnx"}],
                     "recipe": ["echo export it"]}}
     mod = _load(tmp_path, lock)
     monkeypatch.setattr(sys, "argv", ["fetch_models.py"])
     assert mod.main() == 0
     monkeypatch.setattr(sys, "argv", ["fetch_models.py", "--strict"])
-    assert mod.main() == 1
+    assert mod.main() == 0
+    # a DOWNLOADABLE family that fails to fetch is what --strict catches
+    lock2 = {"fam": {"source": "hf-hub", "repo": "nobody/nothing",
+                     "files": [{"dest": "m.onnx", "file": "m.onnx"}]}}
+    mod2 = _load(tmp_path, lock2)
+    monkeypatch.setattr(sys, "argv", ["fetch_models.py"])
+    assert mod2.main() == 0          # offline: soft
+    monkeypatch.setattr(sys, "argv", ["fetch_models.py", "--strict"])
+    assert mod2.main() == 1          # strict: hard
 
 
 def test_hash_verify_and_tofu(tmp_path, monkeypatch):
