@@ -49,6 +49,32 @@ def _consumers(nodes, start, name):
     return [j for j in range(start, len(nodes)) if name in nodes[j].input]
 
 
+def _dataflow_index(tracer, nodes):
+    """(consumers, producers) for a node list: name → consumer indices /
+    producing index. Built ONCE per graph walk and cached on the tracer —
+    the tracer materializes `list(graph.node)` once and passes the same
+    object to every pattern call, so O(N) scans per pattern attempt become
+    O(1) lookups. The cache holds the node list itself (identity-checked):
+    keying on id() alone could collide when a freed subgraph list's id is
+    reused by a sibling branch."""
+    cache = getattr(tracer, "_dataflow_index_cache", None)
+    if cache is None or cache[0] is not nodes:
+        cons: dict[str, list[int]] = {}
+        prod: dict[str, int] = {}
+        for j, n in enumerate(nodes):
+            for name in n.input:
+                if name:
+                    lst = cons.setdefault(name, [])
+                    if not lst or lst[-1] != j:  # one entry per node
+                        lst.append(j)
+            for name in n.output:
+                if name:
+                    prod[name] = j
+        cache = (nodes, cons, prod)
+        tracer._dataflow_index_cache = cache
+    return cache[1], cache[2]
+
+
 def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
     """Fuse DynamicQuantizeLinear-rooted int8 matmul chains via dataflow.
 
@@ -70,10 +96,14 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
         return None  # fully static — normal folding handles it
     q_name, scale_name, zp_name = (list(node.output) + ["", ""])[:3]
 
+    cons_map, prod_map = _dataflow_index(tracer, nodes)
+
     # every MatMulInteger fed by our quantized activation, with static
     # weight/zero-points and our zp as the activation zero point
     matches = []
-    for j in _consumers(nodes, i + 1, q_name):
+    for j in cons_map.get(q_name, []):
+        if j <= i:
+            continue
         mmi = nodes[j]
         if mmi.op_type != "MatMulInteger" or mmi.input[0] != q_name:
             continue
@@ -123,7 +153,8 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
         clean_bzp = bool(np.all(bzp_i == 0))
 
         epi = _match_dequant_epilogue(
-            nodes, j, mm_out, env, scale_name, state.graph_outputs
+            nodes, j, mm_out, env, scale_name, state.graph_outputs,
+            cons_map, prod_map,
         ) if clean_bzp else None
 
         if epi is not None:
@@ -165,7 +196,8 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
     return consumed, results
 
 
-def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
+def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs,
+                            cons_map, prod_map):
     """Find the standard dequant epilogue of a MatMulInteger by dataflow:
     Cast(int32→f32) → Mul(·, b_scale or Mul(a_scale, b_scale)). Returns
     (cast_idx, mul_idx, combined_idx|None, mul_out, combined_out, b_scale)
@@ -173,7 +205,7 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
     the chain and aren't graph outputs (we don't materialize them)."""
     if mm_out in graph_outputs:
         return None
-    cons = _consumers(nodes, j + 1, mm_out)
+    cons = [x for x in cons_map.get(mm_out, []) if x > j]
     if len(cons) != 1 or nodes[cons[0]].op_type != "Cast":
         return None
     jc = cons[0]
@@ -183,7 +215,7 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
     cast_out = cast.output[0]
     if cast_out in graph_outputs:
         return None
-    cons = _consumers(nodes, j + 1, cast_out)
+    cons = [x for x in cons_map.get(cast_out, []) if x > j]
     if len(cons) != 1 or nodes[cons[0]].op_type != "Mul":
         return None
     jm = cons[0]
@@ -194,12 +226,8 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs):
     sv = env.get(other)
     if sv is not None and _is_static(sv) and np.asarray(sv).size == 1:
         return jc, jm, None, mul.output[0], "", float(np.asarray(sv))
-    jp = next(
-        (jx for jx in range(len(nodes))
-         if other in nodes[jx].output and nodes[jx].op_type == "Mul"),
-        None,
-    )
-    if jp is None:
+    jp = prod_map.get(other)
+    if jp is None or nodes[jp].op_type != "Mul":
         return None
     smul = nodes[jp]
     if scale_name not in smul.input:

@@ -76,19 +76,13 @@ class _Match:
     """One attempted match over a node list (shared consumer index)."""
 
     def __init__(self, tracer, state, nodes, env):
+        from .patterns import _dataflow_index
+
         self.nodes = nodes
         self.env = env
         self.state = state
         self.graph_outputs = state.graph_outputs
-        cache = getattr(tracer, "_sanm_cons_cache", None)
-        if cache is None or cache[0] != id(nodes):
-            cons: dict[str, list[int]] = {}
-            for j, n in enumerate(nodes):
-                for name in n.input:
-                    if name:
-                        cons.setdefault(name, []).append(j)
-            tracer._sanm_cons_cache = (id(nodes), cons)
-        self.cons_map = tracer._sanm_cons_cache[1]
+        self.cons_map, _ = _dataflow_index(tracer, nodes)
         self.claimed: set[str] = set()   # intermediate output names
         self.matched: set[int] = set()   # node indices consumed
 
@@ -465,6 +459,11 @@ def sanm_stack_dataflow(tracer, state, nodes, i, env, scope):
             or x0.shape[0] != 1:
         return None
     T0, D0 = int(x0.shape[1]), int(x0.shape[2])
+    # gates that don't need a match go FIRST: off-TPU (and lane-misaligned
+    # d_model) compiles used to pay the full 50-layer structural match at
+    # every LayerNormalization before bailing here — ~2 s of a CPU trace
+    if mode != "interpret" and not (_on_tpu() and D0 % 128 == 0):
+        return None
 
     m = _Match(tracer, state, nodes, env)
     layers = []
