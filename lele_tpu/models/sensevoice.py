@@ -692,15 +692,22 @@ class SenseVoiceModel:
         longest = max(len(p) for p in pcms)
         padded0, _ = pad_pcm(np.zeros(longest, np.float32))
         bucket = len(padded0)
-        batch = np.zeros((len(pcms), bucket), np.float32)
-        lens = np.zeros((len(pcms),), np.int32)
+        # batch dim buckets to powers of two: a serving queue hands this
+        # every size 1..max_batch, and without bucketing each distinct size
+        # compiles its own program (scripts/serve_bench.py made that tail
+        # visible). Padded rows carry n_valid=0 and decode to nothing.
+        nb = 1
+        while nb < len(pcms):
+            nb *= 2
+        batch = np.zeros((nb, bucket), np.float32)
+        lens = np.zeros((nb,), np.int32)
         for i, p in enumerate(pcms):
             batch[i, : len(p)] = p
             lens[i] = len(p)
 
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
-        key = ("batched", bucket, len(pcms))
+        key = ("batched", bucket, nb)
         if key not in self._fn_cache:
             cfg = self.cfg
             fb = self.fbank

@@ -137,3 +137,26 @@ def test_transcribe_batch_matches_single():
     batch_ids = m.transcribe_batch(pcms)
     single_ids = [m.transcribe_ids(p) for p in pcms]
     assert batch_ids == single_ids
+
+
+def test_transcribe_batch_buckets_batch_dim():
+    """The batch dimension pads to powers of two: a serving queue hands
+    every size 1..max_batch, and without bucketing each distinct size
+    compiles its own program. Results must be unaffected by the padded
+    zero-length rows."""
+    cfg = SenseVoiceConfig(
+        n_layers=1, d_model=32, ffn_dim=64, vocab_size=40, n_heads=2,
+        dtype="float32",
+    )
+    m = SenseVoiceModel(cfg)
+    m.init(0)
+    pcms = [
+        (rng.standard_normal(9_000 + 700 * i) * 0.1).astype(np.float32)
+        for i in range(5)
+    ]
+    singles = [m.transcribe_ids(p) for p in pcms]
+    for n in (1, 2, 3, 4, 5):
+        assert m.transcribe_batch(pcms[:n]) == singles[:n], n
+    batched_keys = [k for k in m._fn_cache if k[0] == "batched"]
+    sizes = {k[2] for k in batched_keys}
+    assert sizes <= {1, 2, 4, 8}, batched_keys  # 3 and 5 ride 4 and 8
