@@ -51,6 +51,81 @@ def test_random_dags_match_numpy():
                                    err_msg=f"trial {trial}")
 
 
+def test_random_dags_broadcast_and_mixed_static():
+    """Harder fuzz: broadcastable operand shapes ((a,b) × (1,b)/(a,1)/(b,)
+    variants), reductions back into the variant family, and a random
+    SUBSET of inputs burned in as initializers — every static/dynamic
+    mixing at a node is a fold-vs-trace decision, which is where tracer
+    bugs hide (the reference's −1-sentinel machinery, mod.rs:401-429)."""
+    rng = np.random.default_rng(2024)
+    for trial in range(20):
+        a, b = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+        full = (a, b)
+        variants = [full, (1, b), (a, 1), (1, 1), (b,)]
+
+        def rand_val(shape):
+            return rng.standard_normal(shape).astype(np.float32)
+
+        n_inputs = int(rng.integers(2, 4))
+        values = {}
+        for i in range(n_inputs):
+            shape = full if i == 0 else variants[rng.integers(len(variants))]
+            values[f"in{i}"] = rand_val(shape)
+        # burn a random subset (never all) in as initializers
+        names = list(values)
+        n_static = int(rng.integers(0, n_inputs))
+        static = {n: values[n] for n in names[:n_static]}
+        dynamic = {n: values[n] for n in names[n_static:]}
+
+        host = dict(values)
+        pool_full = [n for n in names if host[n].shape == full]
+        pool_any = list(names)
+        nodes = []
+        for step in range(int(rng.integers(3, 10))):
+            out = f"t{trial}_s{step}"
+            kind = rng.choice(
+                ["Add", "Mul", "Sub", "Max", "Min", "Relu", "Neg", "Abs",
+                 "Sqrt", "ReduceSum", "ReduceMean"])
+            if kind in ("Add", "Mul", "Sub", "Max", "Min"):
+                x = str(rng.choice(pool_full)) if pool_full else \
+                    str(rng.choice(pool_any))
+                y = str(rng.choice(pool_any))
+                nodes.append(ob.node(kind, [x, y], [out]))
+                f = {"Add": np.add, "Mul": np.multiply, "Sub": np.subtract,
+                     "Max": np.maximum, "Min": np.minimum}[kind]
+                host[out] = f(host[x], host[y]).astype(np.float32)
+            elif kind in ("Relu", "Neg", "Abs", "Sqrt"):
+                x = str(rng.choice(pool_any))
+                if kind == "Sqrt":  # domain: route through Abs first
+                    mid = out + "_abs"
+                    nodes.append(ob.node("Abs", [x], [mid]))
+                    nodes.append(ob.node("Sqrt", [mid], [out]))
+                    host[out] = np.sqrt(np.abs(host[x])).astype(np.float32)
+                else:
+                    nodes.append(ob.node(kind, [x], [out]))
+                    f = {"Relu": lambda v: np.maximum(v, 0),
+                         "Neg": np.negative, "Abs": np.abs}[kind]
+                    host[out] = f(host[x]).astype(np.float32)
+            else:  # ReduceSum / ReduceMean over axis 0, keepdims → variant
+                cands = [n for n in pool_any if host[n].ndim == 2]
+                if not cands:
+                    continue
+                x = str(rng.choice(cands))
+                nodes.append(ob.node(kind, [x], [out], keepdims=1, axes=[0]))
+                f = np.sum if kind == "ReduceSum" else np.mean
+                host[out] = f(host[x], axis=0, keepdims=True).astype(np.float32)
+            pool_any.append(out)
+            if host[out].shape == full:
+                pool_full.append(out)
+        final = pool_any[-1]
+        if final in values:  # degenerate trial (every step continue'd)
+            continue
+        (got,) = run_graph(nodes, dynamic, [final], initializers=static)
+        np.testing.assert_allclose(
+            got, host[final], atol=1e-4, rtol=1e-4,
+            err_msg=f"trial {trial} (static={list(static)})")
+
+
 def test_random_dag_with_static_inputs_folds():
     """Same DAG with every input an initializer must fully fold (output is
     computed at trace time) and still match."""
