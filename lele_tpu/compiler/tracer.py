@@ -171,11 +171,14 @@ class GraphTracer:
             ctx = make_ctx(np, node, self.opset, tracer=self)
             out = emitter(ctx, *ins)
             return _np_ify(out)
-        if all_static and not foldable:
+        if all_static and not foldable and ins:
             # eager jax evaluation of a constant subcomputation (e.g. Conv on
             # consts). In discovery mode this would execute real FLOPs, so
             # materialize via concrete eager call only once; results are
-            # host numpy afterwards.
+            # host numpy afterwards. Zero-INPUT non-foldables (generator-style
+            # RandomNormal/RandomUniform, SequenceEmpty) are excluded: they
+            # must trace into the program (the dynamic path below), not
+            # materialize at trace time.
             ctx = make_ctx(jnp, node, self.opset, tracer=self)
             conv_ins = [
                 jnp.asarray(_canon_np(np.asarray(v), strict=self.strict))

@@ -420,15 +420,24 @@ def dropout(ctx: OpContext, x, ratio=None, training_mode=None):
 
 
 def _rng_key(ctx: OpContext):
+    import zlib
+
     import jax
 
     from ..config import config
 
     seed = getattr(config, "rng_seed", 0)
-    # distinct stream per node (deterministic across runs — the fixed-seed
-    # parity mode from SURVEY §7 "host RNG in TTS")
+    # the ONNX `seed` float attr folds in when present (the spec's
+    # reproducibility contract); the node tag gives each op its own stream.
+    # crc32, not hash(): Python string hashing is randomized per process,
+    # which would break cross-process determinism even with explicit seeds
+    node_seed = ctx.attr("seed") if ctx.node is not None else None
     tag = (ctx.node.name or ctx.node.output[0]) if ctx.node is not None else ""
-    return jax.random.fold_in(jax.random.PRNGKey(seed), hash(tag) % (2**31))
+    key = jax.random.PRNGKey(seed)
+    if node_seed is not None:
+        key = jax.random.fold_in(
+            key, np.float32(node_seed).view(np.int32).item() & 0x7FFFFFFF)
+    return jax.random.fold_in(key, zlib.crc32(tag.encode()) & 0x7FFFFFFF)
 
 
 @op("RandomNormal", foldable=False)
