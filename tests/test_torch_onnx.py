@@ -197,10 +197,12 @@ def test_transformers_whisper_encoder(tmp_path):
     roundtrip(Wrap(), (feats,), tmp_path)
 
 
-@pytest.mark.parametrize("opset", [11, 13, 17])
+@pytest.mark.parametrize("opset", [11, 13, 17, 18, 20])
 def test_torch_composite_across_opsets(tmp_path, opset):
-    """Same model exported at opset 11/13/17 — exercises attr-vs-input forms
-    of Squeeze/Unsqueeze/Split/ReduceSum and Softmax semantics changes."""
+    """Same model exported at opset 11/13/17/18/20 — exercises attr-vs-input
+    forms of Squeeze/Unsqueeze/Split/ReduceSum and Softmax semantics changes
+    (18/20 export through the torch shim, which stands in for the `onnx`
+    package the exporter wants for newer opsets)."""
     torch.manual_seed(8)
 
     class C(nn.Module):
