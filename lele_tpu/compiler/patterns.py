@@ -44,11 +44,6 @@ def _is_static(v) -> bool:
     return v is None or isinstance(v, (np.ndarray, np.generic))
 
 
-def _consumers(nodes, start, name):
-    """Indices of all nodes from `start` that read `name`."""
-    return [j for j in range(start, len(nodes)) if name in nodes[j].input]
-
-
 def _dataflow_index(tracer, nodes):
     """(consumers, producers) for a node list: name → consumer indices /
     producing index. Built ONCE per graph walk and cached on the tracer —

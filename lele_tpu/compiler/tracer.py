@@ -165,7 +165,9 @@ class GraphTracer:
         all_static = all(_is_static(v) for v in ins)
         foldable = opdef.foldable if opdef is not None else False
         state.n_nodes += 1
-        if all_static:
+        if all_static and (foldable or ins):
+            # zero-input NON-foldables (RNG generators) trace, not fold;
+            # zero-input foldables (Constant) do fold and count
             state.n_folded += 1
         if all_static and foldable:
             ctx = make_ctx(np, node, self.opset, tracer=self)

@@ -427,17 +427,18 @@ def _rng_key(ctx: OpContext):
     from ..config import config
 
     seed = getattr(config, "rng_seed", 0)
-    # the ONNX `seed` float attr folds in when present (the spec's
-    # reproducibility contract); the node tag gives each op its own stream.
-    # crc32, not hash(): Python string hashing is randomized per process,
-    # which would break cross-process determinism even with explicit seeds
+    # ONNX `seed` float attr: ORT gives every kernel with the same explicit
+    # seed the same stream, so when present the key derives from the seed
+    # ALONE (full 32 bits — masking the sign bit would alias ±x). Without
+    # it, each node gets its own stream via a crc32 of its tag — crc32,
+    # not hash(), because Python string hashing is randomized per process
     node_seed = ctx.attr("seed") if ctx.node is not None else None
-    tag = (ctx.node.name or ctx.node.output[0]) if ctx.node is not None else ""
     key = jax.random.PRNGKey(seed)
     if node_seed is not None:
-        key = jax.random.fold_in(
-            key, np.float32(node_seed).view(np.int32).item() & 0x7FFFFFFF)
-    return jax.random.fold_in(key, zlib.crc32(tag.encode()) & 0x7FFFFFFF)
+        return jax.random.fold_in(
+            key, np.float32(node_seed).view(np.uint32).item())
+    tag = (ctx.node.name or ctx.node.output[0]) if ctx.node is not None else ""
+    return jax.random.fold_in(key, zlib.crc32(tag.encode()))
 
 
 @op("RandomNormal", foldable=False)

@@ -98,11 +98,14 @@ def run_load(port: int, endpoint: str, clients: int, requests: int):
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    import math
+
     a = np.sort(np.asarray(lat))
+    p95 = a[min(len(a) - 1, max(0, math.ceil(len(a) * 0.95) - 1))]
     print(f"{path}: {requests} requests / {clients} clients → "
           f"{requests / wall:.1f} req/s")
     print(f"  latency p50 {a[len(a) // 2] * 1e3:.1f} ms  "
-          f"p95 {a[int(len(a) * 0.95) - 1] * 1e3:.1f} ms  "
+          f"p95 {p95 * 1e3:.1f} ms  "
           f"max {a[-1] * 1e3:.1f} ms"
           + (f"  ({len(errs)} ERRORS {errs[:3]})" if errs else ""))
     return a, wall
@@ -134,14 +137,18 @@ def main():
         import http.client
 
         for _ in range(600):
+            if not srv.is_alive():
+                raise SystemExit(
+                    "daemon thread died (port in use? see traceback above)")
             try:
                 c = http.client.HTTPConnection("127.0.0.1", args.port,
                                                timeout=5)
                 c.request("GET", "/healthz")
                 if c.getresponse().status == 200:
                     break
-            except OSError:
-                time.sleep(0.5)
+            except Exception:
+                pass
+            time.sleep(0.5)
         else:
             raise SystemExit("daemon did not become healthy")
 
