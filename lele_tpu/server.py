@@ -76,7 +76,11 @@ def make_handler(engines: dict):
                     outs = engines["asr"].recognize_batch(wavs)
                     return self._json(200, {"results": outs})
                 if self.path == "/detect":
-                    dets = engines["det"].detect(body)
+                    batcher = engines.get("det_batcher")
+                    if batcher is not None:
+                        dets = batcher.submit(body)
+                    else:
+                        dets = engines["det"].detect(body)
                     return self._json(200, {"detections": dets})
                 if self.path == "/synthesize":
                     req = json.loads(body or b"{}")
@@ -117,11 +121,14 @@ def build_engines(tiny: bool = False) -> dict:
     from .runtime.batcher import MicroBatcher
 
     asr = SenseVoiceEngine(model=asr_m)
+    det = Yolo26Engine(model=det_m)
     return {
         "asr": asr,
         "asr_batcher": MicroBatcher(asr.recognize_batch,
                                     max_batch=8, window_ms=5.0),
-        "det": Yolo26Engine(model=det_m),
+        "det": det,
+        "det_batcher": MicroBatcher(det.detect_batch,
+                                    max_batch=8, window_ms=5.0),
         "tts": TtsEngine(tts=tts_m),
     }
 

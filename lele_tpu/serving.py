@@ -125,23 +125,47 @@ class Yolo26Engine:
             self.model = Yolo26Model()
             self.model.init(0)
 
-    def detect(self, image) -> list[dict]:
-        import jax
-
-        from .models import decode_detections
+    def _to_input(self, image) -> np.ndarray:
         from .utils.image import preprocess
 
         if isinstance(image, (bytes, bytearray)):
             from PIL import Image
 
             image = np.asarray(Image.open(io.BytesIO(image)).convert("RGB"))
-        x = preprocess(image, self.model.cfg.img_size)
+        return preprocess(image, self.model.cfg.img_size)[0]
+
+    def detect(self, image) -> list[dict]:
+        return self.detect_batch([image])[0]
+
+    def detect_batch(self, images: list) -> list[list[dict]]:
+        """One batched forward for N images (batch throughput scales nearly
+        linearly, docs/PERF.md) — the MicroBatcher serving path. The batch
+        dim pads to powers of two up to 8, bounding the compile count."""
+        import jax
+
+        from .models import decode_detections
+
+        arrs = [self._to_input(im) for im in images]
+        n = len(arrs)
+        nb = n
+        if nb <= 8:
+            p = 1
+            while p < nb:
+                p *= 2
+            nb = p
+        x = np.zeros((nb,) + arrs[0].shape, np.float32)
+        for i, a in enumerate(arrs):
+            x[i] = a
         if self._fn is None:
             self._fn = jax.jit(self.model.forward_fn())
         outs = self._fn(self.model.params, x)
-        return decode_detections(
-            np.asarray(outs[0]), np.asarray(outs[1]), self.conf_threshold
-        )
+        scores = np.asarray(outs[0])
+        boxes = np.asarray(outs[1])
+        return [
+            decode_detections(scores[i : i + 1], boxes[i : i + 1],
+                              self.conf_threshold)
+            for i in range(n)
+        ]
 
 
 @dataclass

@@ -69,6 +69,20 @@ def run_load(port: int, endpoint: str, clients: int, requests: int):
         bodies = [json.dumps({"text": f"load test sentence number {i}"})
                   .encode() for i in range(min(requests, 8))]
         path = "/synthesize"
+    elif endpoint == "detect":
+        import io
+
+        from PIL import Image
+
+        r = np.random.default_rng(0)
+        bodies = []
+        for i in range(min(requests, 4)):
+            buf = io.BytesIO()
+            Image.fromarray(
+                (r.random((480, 640, 3)) * 255).astype(np.uint8)
+            ).save(buf, format="JPEG")
+            bodies.append(buf.getvalue())
+        path = "/detect"
     else:
         raise SystemExit(f"unknown endpoint {endpoint!r}")
 
@@ -119,7 +133,8 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--endpoint", default="recognize",
-                    choices=["recognize", "synthesize", "both"])
+                    choices=["recognize", "synthesize", "detect", "all",
+                             "both"])
     ap.add_argument("--attach", action="store_true",
                     help="don't start a daemon; hit an existing one")
     args = ap.parse_args()
@@ -152,8 +167,9 @@ def main():
         else:
             raise SystemExit("daemon did not become healthy")
 
-    eps = (["recognize", "synthesize"] if args.endpoint == "both"
-           else [args.endpoint])
+    eps = {"both": ["recognize", "synthesize"],
+           "all": ["recognize", "synthesize", "detect"]}.get(
+        args.endpoint, [args.endpoint])
     for ep in eps:
         run_load(args.port, ep, args.clients, args.requests)
         if ep == "recognize" and not args.attach:

@@ -81,6 +81,27 @@ def test_yolo_engine_detect_from_array_and_bytes():
     assert len(dets2) > 0
 
 
+def test_yolo_engine_detect_batch_matches_single():
+    """detect_batch pads the batch dim (pow2 ≤ 8) — per-image results must
+    be identical to single detect, dead rows invisible."""
+    m = Yolo26Model(
+        Yolo26Config(img_size=128, widths=(8, 16, 32, 64), dtype="float32")
+    )
+    m.init(0)
+    eng = Yolo26Engine(model=m, conf_threshold=0.0)
+    imgs = [rng.integers(0, 255, (200 + 8 * i, 320, 3)).astype(np.uint8)
+            for i in range(3)]
+    batch = eng.detect_batch(imgs)          # n=3 rides the nb=4 program
+    singles = [eng.detect(im) for im in imgs]
+    assert len(batch) == 3
+    for b, s in zip(batch, singles):
+        assert len(b) == len(s)
+        for db, ds in zip(b, s):
+            assert db["class_id"] == ds["class_id"]
+            np.testing.assert_allclose(db["xyxy"], ds["xyxy"], atol=1e-4)
+            np.testing.assert_allclose(db["score"], ds["score"], atol=1e-5)
+
+
 def test_tts_engine_synthesize(tmp_path):
     tts = SupertonicTts(
         SupertonicConfig(n_text_layers=1, n_est_layers=1, latent_buckets=(32,))
