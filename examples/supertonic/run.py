@@ -100,7 +100,9 @@ def main():
     else:
         with timer.scope("init"):
             tts.init(0)
-    voice = args.voice or str(Path(__file__).parent / "voice_styles" / "M1.json")
+    style_dir = Path(__file__).parents[1] / (
+        "supertonic3" if args.v3 else "supertonic") / "voice_styles"
+    voice = args.voice or str(style_dir / "M1.json")
     if Path(voice).exists():
         style = load_voice_style(voice)
     else:
