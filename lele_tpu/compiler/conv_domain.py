@@ -17,11 +17,12 @@ compiled graph's leading conv CHAIN in the packed domain:
     or the tensor fans out — then ONE `s2d_undo` + NCHW transpose hands
     the rest of the graph to the per-op path.
 
-Extraction is numeric (s2d_stem.extract_packed_conv2d): each conv's packed
-equivalent is probed from the ORIGINAL conv at build time, so any
-kernel/pad combo that preserves the s2d2-form output is exact — no
-per-shape hand derivation. Everything is planned BEFORE tracing; the
-installed pattern replays the plan on device values at trace time.
+Extraction is ANALYTIC (`packed_conv_weight` below): each conv's packed
+equivalent is derived directly from its OIHW weights and pads via the
+s2d slot algebra — exact for any kernel/pad combo that preserves the
+s2d2-form output, with parity gates in tests/test_conv_domain.py.
+Everything is planned BEFORE tracing; the installed pattern replays the
+plan on device values at trace time.
 
 Reference counterpart: none (lele's answer to small-channel convs is NEON
 fast paths, conv2d.rs:535-567; this is the TPU answer).
@@ -136,6 +137,14 @@ def build_conv_domain(model, specs):
         for name in n.input:
             if name:
                 cons.setdefault(name, []).append(j)
+        for a in n.attribute:  # names read inside If/Loop bodies escape too
+            from .patterns import _collect_subgraph_refs
+
+            if a.type == 5:
+                _collect_subgraph_refs(a.g, graph_outputs)
+            elif a.type == 10:
+                for g in a.graphs:
+                    _collect_subgraph_refs(g, graph_outputs)
 
     B, C0, H0, W0 = specs[x_name][0]
 

@@ -53,21 +53,53 @@ def _dataflow_index(tracer, nodes):
     keying on id() alone could collide when a freed subgraph list's id is
     reused by a sibling branch."""
     cache = getattr(tracer, "_dataflow_index_cache", None)
-    if cache is None or cache[0] is not nodes:
-        cons: dict[str, list[int]] = {}
-        prod: dict[str, int] = {}
-        for j, n in enumerate(nodes):
-            for name in n.input:
-                if name:
-                    lst = cons.setdefault(name, [])
-                    if not lst or lst[-1] != j:  # one entry per node
-                        lst.append(j)
-            for name in n.output:
-                if name:
-                    prod[name] = j
-        cache = (nodes, cons, prod)
-        tracer._dataflow_index_cache = cache
-    return cache[1], cache[2]
+    if cache is None:
+        cache = tracer._dataflow_index_cache = []
+    for entry in cache:  # small identity-keyed LRU: nested If/Loop subgraph
+        if entry[0] is nodes:  # walks must not evict the outer graph's index
+            return entry[1], entry[2], entry[3]
+    cons: dict[str, list[int]] = {}
+    prod: dict[str, int] = {}
+    captured: set[str] = set()
+    for j, n in enumerate(nodes):
+        for name in n.input:
+            if name:
+                lst = cons.setdefault(name, [])
+                if not lst or lst[-1] != j:  # one entry per node
+                    lst.append(j)
+        for name in n.output:
+            if name:
+                prod[name] = j
+        # If/Loop/Scan bodies capture OUTER values implicitly (never listed
+        # in node.input); anything a body references must count as escaping
+        # so no fusion pattern claims it as chain-internal
+        for a in n.attribute:
+            if a.type == 5:  # single GraphProto attr
+                _collect_subgraph_refs(a.g, captured)
+            elif a.type == 10:  # repeated GraphProto attr
+                for g in a.graphs:
+                    _collect_subgraph_refs(g, captured)
+    cache.insert(0, (nodes, cons, prod, captured))
+    del cache[4:]
+    return cons, prod, captured
+
+
+def _collect_subgraph_refs(g, out: set) -> None:
+    """Names a subgraph reads that it does not itself produce (recursive)."""
+    local = {vi.name for vi in g.input} | {t.name for t in g.initializer}
+    for n in g.node:
+        for name in n.input:
+            if name and name not in local:
+                out.add(name)
+        for name in n.output:
+            if name:
+                local.add(name)
+        for a in n.attribute:
+            if a.type == 5:
+                _collect_subgraph_refs(a.g, out)
+            elif a.type == 10:
+                for gg in a.graphs:
+                    _collect_subgraph_refs(gg, out)
 
 
 def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
@@ -91,10 +123,12 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
         return None  # fully static — normal folding handles it
     q_name, scale_name, zp_name = (list(node.output) + ["", ""])[:3]
 
-    cons_map, prod_map = _dataflow_index(tracer, nodes)
+    cons_map, prod_map, captured = _dataflow_index(tracer, nodes)
+    escapes = state.graph_outputs | captured
 
     # every MatMulInteger fed by our quantized activation, with static
-    # weight/zero-points and our zp as the activation zero point
+    # weight/zero-points and our zp (or ONNX's default 0) as the
+    # activation zero point
     matches = []
     for j in cons_map.get(q_name, []):
         if j <= i:
@@ -112,7 +146,7 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
             continue
         if bzp_n and not _is_static(bzp):
             continue
-        matches.append((j, mmi, b, bzp))
+        matches.append((j, mmi, b, bzp, bool(azp_n)))
     if not matches:
         return None
 
@@ -130,7 +164,7 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
     ai = (q_f - 128.0).astype(jnp.int8)  # u8→i8 domain shift (XLA CSEs)
     a_zp_i = (a_zp_f - 128.0).astype(jnp.int32)
 
-    for j, mmi, b, bzp in matches:
+    for j, mmi, b, bzp, azp_present in matches:
         mm_out = mmi.output[0]
         # prepared weights at trace time: i8 shift + zero-point col-sums
         b_np = np.asarray(b)
@@ -147,10 +181,13 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
         colsum_dev = state.to_device(scope + mmi.input[1] + "::colsum", colsum_np)
         clean_bzp = bool(np.all(bzp_i == 0))
 
+        # the fused-dequant epilogue assumes the zero-point-CORRECTED dot;
+        # an MMI with azp omitted computes the uncorrected q·w (ONNX
+        # default azp=0), so it takes the int32 path below instead
         epi = _match_dequant_epilogue(
-            nodes, j, mm_out, env, scale_name, state.graph_outputs,
+            nodes, j, mm_out, env, scale_name, escapes,
             cons_map, prod_map,
-        ) if clean_bzp else None
+        ) if (clean_bzp and azp_present) else None
 
         if epi is not None:
             jc, jm, jp, mul_out, combined_out, b_scale = epi
@@ -171,9 +208,12 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
             )
         else:
             # int32-level fusion: exact MatMulInteger semantics with the
-            # col-sums precomputed at trace time instead of per forward
+            # col-sums precomputed at trace time instead of per forward.
+            # azp omitted → ONNX default 0 in u8 domain = -128 in the
+            # shifted i8 domain (q·w = (ai+128)·w), NOT the DQL zp
+            azp_i = a_zp_i if azp_present else jnp.int32(-128)
             c = jnp.matmul(ai, bi_dev, preferred_element_type=jnp.int32)
-            c = c - a_zp_i * colsum_dev.reshape(
+            c = c - azp_i * colsum_dev.reshape(
                 (1,) * (c.ndim - 1) + (-1,)
             )
             if not clean_bzp:
@@ -181,7 +221,7 @@ def dql_matmul_dataflow(tracer, state, nodes, i, env, scope):
                 rowsum = jnp.sum(ai.astype(jnp.int32), axis=-1, keepdims=True)
                 bzp_t = jnp.asarray(bzp_i).reshape(1, -1) if np.ndim(bzp_i) \
                     else jnp.int32(bzp_i)
-                c = c - bzp_t * rowsum + k * a_zp_i * bzp_t
+                c = c - bzp_t * rowsum + k * azp_i * bzp_t
             results[mm_out] = c
             consumed.add(j)
             state.pattern_hits["dql_fused_int32"] = (
@@ -217,10 +257,10 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs,
     mul = nodes[jm]
     other = mul.input[1] if mul.input[0] == cast_out else mul.input[0]
 
-    # the scale operand: a static b_scale, or Mul(a_scale, static b_scale)
-    sv = env.get(other)
-    if sv is not None and _is_static(sv) and np.asarray(sv).size == 1:
-        return jc, jm, None, mul.output[0], "", float(np.asarray(sv))
+    # the scale operand must be Mul(a_scale, static b_scale): the DQL
+    # activation scale is dynamic by construction, so a STATIC scalar here
+    # cannot be the complete dequant scale — fusing it would multiply by a
+    # spurious extra a_scale. (Such graphs take the int32 path instead.)
     jp = prod_map.get(other)
     if jp is None or nodes[jp].op_type != "Mul":
         return None

@@ -82,7 +82,7 @@ class _Match:
         self.env = env
         self.state = state
         self.graph_outputs = state.graph_outputs
-        self.cons_map, _ = _dataflow_index(tracer, nodes)
+        self.cons_map, _, self.captured = _dataflow_index(tracer, nodes)
         self.claimed: set[str] = set()   # intermediate output names
         self.matched: set[int] = set()   # node indices consumed
 
@@ -133,7 +133,10 @@ class _Match:
         if w is None or w.ndim != 2:
             return None
         azp_n = m.input[2] if len(m.input) > 2 else ""
-        if azp_n and azp_n != az_name:
+        # the stack kernel implements the zero-point-corrected dot, so the
+        # export must wire the DQL zp here (omitted azp = ONNX default 0 —
+        # different math; the per-op path handles it)
+        if not azp_n or azp_n != az_name:
             return None
         bzp_n = m.input[3] if len(m.input) > 3 else ""
         bzp = self.static(bzp_n) if bzp_n else None
@@ -508,8 +511,8 @@ def sanm_stack_dataflow(tracer, state, nodes, i, env, scope):
     # safety sweep: every claimed intermediate stays inside the matched set
     last = max(m.matched)
     for name in m.claimed:
-        if name in state.graph_outputs:
-            return None
+        if name in state.graph_outputs or name in m.captured:
+            return None  # captured = read inside some If/Loop body
         if any(j not in m.matched for j in m.cons(name)):
             return None
     for j in range(i, last + 1):

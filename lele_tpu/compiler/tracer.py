@@ -280,7 +280,10 @@ class GraphTracer:
         v_init = [env[n] for n in node.input[2:]]
 
         max_iter = (
-            jnp.asarray(np.int32(np.asarray(m_in)))
+            # clamp, don't cast: exporters encode while-loops as
+            # M = INT64_MAX, which a raw np.int32() WRAPS to -1 and the
+            # loop would silently never run
+            jnp.asarray(np.int32(min(int(np.asarray(m_in)), 2**31 - 1)))
             if m_in is not None and _is_static(m_in)
             else (m_in.astype(jnp.int32) if m_in is not None else jnp.int32(2**31 - 1))
         )
@@ -435,6 +438,10 @@ class GraphTracer:
 
         m_in = env[node.input[0]] if node.input[0] else None
         if m_in is None or not _is_static(m_in):
+            return None
+        if int(np.asarray(m_in)) >= 2**31 - 1:
+            # M = INT64_MAX is the exporter sentinel for "no bound" (a pure
+            # while-loop) — there is no real static trip count to scan over
             return None
         cond_in = (
             env[node.input[1]] if len(node.input) > 1 and node.input[1] else None

@@ -78,19 +78,30 @@ def save_weights(
 ) -> None:
     """Writes <prefix>.bin + <prefix>.json."""
     blob, manifest = pack_weights(params, quantize=quantize)
-    prefix = Path(path_prefix)
-    prefix.with_suffix(".bin").write_bytes(blob)
-    prefix.with_suffix(".json").write_text(json.dumps(manifest, indent=1))
+    # APPEND suffixes — with_suffix would REPLACE a dot-containing final
+    # component ("model.enc" and "model.dec" would silently collide)
+    bin_path(path_prefix).write_bytes(blob)
+    json_path(path_prefix).write_text(json.dumps(manifest, indent=1))
+
+
+def bin_path(path_prefix: str | Path) -> Path:
+    p = Path(path_prefix)
+    return p.parent / (p.name + ".bin")
+
+
+def json_path(path_prefix: str | Path) -> Path:
+    p = Path(path_prefix)
+    return p.parent / (p.name + ".json")
 
 
 def load_weights(path_prefix: str | Path) -> dict[str, np.ndarray]:
     """mmap the blob; tensors are zero-copy views (reference: zero-copy f32
     views over the weights file, tensor.rs:131)."""
     prefix = Path(path_prefix)
-    manifest = json.loads(prefix.with_suffix(".json").read_text())
+    manifest = json.loads(json_path(prefix).read_text())
     if manifest.get("magic") != MAGIC:
         raise ValueError(f"{prefix}: bad weights manifest magic")
-    f = open(prefix.with_suffix(".bin"), "rb")
+    f = open(bin_path(prefix), "rb")
     buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
     out = {}
     for name, e in manifest["tensors"].items():

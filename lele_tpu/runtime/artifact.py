@@ -185,10 +185,11 @@ def save_unpack_exec(path_prefix: str | Path) -> None:
     import jax
     from jax.experimental import serialize_executable as se
 
-    prefix = Path(path_prefix)
-    manifest = json.loads(prefix.with_suffix(".json").read_text())
+    from ..compiler.weights import bin_path, json_path
+
+    manifest = json.loads(json_path(path_prefix).read_text())
     structure = json.loads(Path(str(path_prefix) + _TREE_SUFFIX).read_text())
-    nbytes = prefix.with_suffix(".bin").stat().st_size
+    nbytes = bin_path(path_prefix).stat().st_size
     unpack = _build_unpack_fn(manifest, structure)
     # pin to ONE device: the loader feeds a single-device u8 array, and on
     # multi-device test hosts an unpinned jit would compile 8-shard
@@ -213,8 +214,9 @@ def _load_pytree_packed(path_prefix: str | Path, structure: dict):
     import jax
     from jax.experimental import serialize_executable as se
 
-    prefix = Path(path_prefix)
-    buf = np.fromfile(prefix.with_suffix(".bin"), np.uint8)
+    from ..compiler.weights import bin_path
+
+    buf = np.fromfile(bin_path(path_prefix), np.uint8)
     d = jax.device_put(buf, jax.devices()[0])  # one wire-speed DMA
     payload = Path(str(path_prefix) + _UP_SUFFIX).read_bytes()
     in_tree, out_tree = pickle.loads(

@@ -189,3 +189,23 @@ def test_packed_load_falls_back_on_mesh_mismatch(tmp_path):
     assert (tmp_path / ("p" + _UP_SUFFIX)).exists()
     out = load_pytree(tmp_path / "p", device=True)
     _assert_tree_equal(tree, out)
+
+
+def test_dotted_prefix_does_not_collide(tmp_path):
+    """Prefixes with dots in the final component ('model.enc'/'model.dec')
+    must address distinct artifacts — Path.with_suffix would REPLACE the
+    dot segment and silently collide both onto model.bin."""
+    import numpy as np
+
+    from lele_tpu.runtime.artifact import load_pytree, save_pytree
+
+    enc = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    dec = {"w": np.arange(6, dtype=np.float32).reshape(2, 3) * 10}
+    save_pytree(tmp_path / "model.enc", enc)
+    save_pytree(tmp_path / "model.dec", dec)
+    got_enc = load_pytree(tmp_path / "model.enc", device=False)
+    got_dec = load_pytree(tmp_path / "model.dec", device=False)
+    np.testing.assert_array_equal(np.asarray(got_enc["w"]), enc["w"])
+    np.testing.assert_array_equal(np.asarray(got_dec["w"]), dec["w"])
+    assert (tmp_path / "model.enc.bin").exists()
+    assert (tmp_path / "model.dec.bin").exists()

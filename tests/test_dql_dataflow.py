@@ -151,3 +151,76 @@ def test_quantized_output_with_external_consumer_stays_bound():
     q = np.clip(np.round(x / scale) + zp, 0, 255)
     assert_close(y, want, tol=np.abs(want).max() * 1e-5 + 1e-5)
     assert abs(float(qsum) - q.sum()) < 1e-3
+
+
+def test_mmi_omitted_azp_uses_onnx_default_zero():
+    """MatMulInteger with NO a_zero_point input: ONNX default is 0, NOT the
+    DQL-produced zp — the int32 fusion must compute raw q·(w−wzp)."""
+    x = rng.standard_normal((3, 48)).astype(np.float32)
+    w = rng.integers(0, 255, (48, 8)).astype(np.uint8)
+    nodes = [
+        ob.node("DynamicQuantizeLinear", ["x"], ["q", "ascale", "azp"]),
+        ob.node("MatMulInteger", ["q", "w"], ["mm"]),   # azp + wzp omitted
+        ob.node("Cast", ["mm"], ["y"], to=1),
+    ]
+    cm = _compile(nodes, {"x": x}, ["y"], {"w": w})
+    assert cm.stats["pattern_hits"].get("dql_fused_int32") == 1
+    (y,) = cm.run_np(x=x)
+    scale = (max(x.max(), 0) - min(x.min(), 0)) / 255.0
+    zp = np.round(np.clip(-min(x.min(), 0) / scale, 0, 255))
+    q = np.clip(np.round(x / scale) + zp, 0, 255).astype(np.int64)
+    want = (q @ w.astype(np.int64)).astype(np.float32)  # azp = 0: raw q·w
+    assert_close(y, want, tol=np.abs(want).max() * 1e-6 + 1e-5)
+
+
+def test_partial_dequant_static_scalar_not_misfused():
+    """float(mm) * static_const is NOT the full dequant (a_scale is dynamic
+    by construction) — fusing it as one used to multiply by a spurious
+    a_scale. Must take the int32 path and stay exact."""
+    x = rng.standard_normal((2, 32)).astype(np.float32)
+    w = rng.integers(0, 255, (32, 4)).astype(np.uint8)
+    nodes = [
+        ob.node("DynamicQuantizeLinear", ["x"], ["q", "ascale", "azp"]),
+        ob.node("MatMulInteger", ["q", "w", "azp", "z"], ["mm"]),
+        ob.node("Cast", ["mm"], ["mmf"], to=1),
+        ob.node("Mul", ["mmf", "k"], ["y"]),   # k static: partial dequant
+    ]
+    cm = _compile(nodes, {"x": x}, ["y"],
+                  {"w": w, "z": np.uint8(128), "k": np.float32(0.25)})
+    assert cm.stats["pattern_hits"].get("dql_fused_epilogue") is None
+    assert cm.stats["pattern_hits"].get("dql_fused_int32") == 1
+    (y,) = cm.run_np(x=x)
+    _, mm = _dql_oracle(x, w, 128, 1.0)
+    want = mm.astype(np.float32) * 0.25
+    assert_close(y, want, tol=np.abs(want).max() * 1e-6 + 1e-5)
+
+
+def test_chain_intermediate_read_by_subgraph_not_claimed():
+    """An If body implicitly captures the Cast output of a DQL chain: the
+    epilogue must NOT claim it (the body needs the value bound)."""
+    x = rng.standard_normal((2, 32)).astype(np.float32)
+    w = rng.integers(0, 255, (32, 4)).astype(np.uint8)
+    then_g = ob.graph(
+        [ob.node("ReduceSum", ["mmf"], ["t_out"], keepdims=0)],
+        name="then", inputs=[], outputs=[ob.value_info("t_out", 1, [])],
+    )
+    else_g = ob.graph(
+        [ob.node("ReduceMax", ["mmf"], ["e_out"], keepdims=0)],
+        name="else", inputs=[], outputs=[ob.value_info("e_out", 1, [])],
+    )
+    nodes = [
+        ob.node("DynamicQuantizeLinear", ["x"], ["q", "ascale", "azp"]),
+        ob.node("MatMulInteger", ["q", "w", "azp", "z"], ["mm"]),
+        ob.node("Cast", ["mm"], ["mmf"], to=1),
+        ob.node("Mul", ["ascale", "ws"], ["c"]),
+        ob.node("Mul", ["mmf", "c"], ["y"]),
+        ob.node("If", ["flag"], ["s"], then_branch=then_g, else_branch=else_g),
+        ob.node("Add", ["y", "s"], ["out"]),
+    ]
+    cm = _compile(nodes, {"x": x}, ["out"],
+                  {"w": w, "z": np.uint8(128), "ws": np.float32(0.02),
+                   "flag": np.array(True)})
+    (out,) = cm.run_np(x=x)
+    want_y, mm = _dql_oracle(x, w, 128, 0.02)
+    want = want_y + mm.astype(np.float32).sum()
+    assert_close(out, want, tol=np.abs(want).max() * 1e-5 + 1e-4)

@@ -72,6 +72,45 @@ def test_loop_early_exit_condition():
     assert_close(y, x * 4)
 
 
+def test_loop_int64max_sentinel_runs_as_while():
+    """M = INT64_MAX is the exporter encoding of a pure while-loop. A raw
+    int32 cast WRAPS it to -1 (loop never runs, silent wrong output); it
+    must clamp so the data-dependent exit governs."""
+    x = np.ones(4, np.float32) * 10  # sums: 80, 160 → exits after iter 1
+    nodes, gin, inits = _loop_model(m_value=2**63 - 1, with_cond=True)
+    bs = ob.build_model_bytes(nodes, gin, [ob.value_info("y", 1, [4])],
+                              [ob.tensor_from_array(v, k) for k, v in inits.items()])
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    cm = compile_model(OnnxModel.from_bytes(bs))
+    (y,) = cm.run_np(x)
+    assert_close(y, x * 4)  # NOT x (never-ran) — the r3 wrap bug
+
+
+def test_loop_scan_int64max_sentinel_falls_back():
+    """The padded-scan path must refuse the INT64_MAX 'bound' (scanning
+    2^63 steps) and take the documented no-static-bound fallback."""
+    import io
+    from contextlib import redirect_stderr
+
+    body = _dyn_exit_scan_body()
+    nodes = [ob.node("Loop", ["M", "", "v0"], ["v_fin", "ys"], body=body)]
+    bs = ob.build_model_bytes(
+        nodes, [ob.value_info("v0", 1, [2])],
+        [ob.value_info("v_fin", 1, [2]), ob.value_info("ys", 1, ["n", 2])],
+        [ob.tensor_from_array(np.array(2**63 - 1, np.int64), "M"),
+         ob.tensor_from_array(np.float32(100.0), "lim")],
+    )
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.compiler import compile_model
+
+    with redirect_stderr(io.StringIO()):
+        cm = compile_model(OnnxModel.from_bytes(bs))
+    v_fin, ys = cm.run_np(np.ones(2, np.float32))
+    assert np.asarray(ys).shape[0] == 0  # warned + empty, not a 2^63 scan
+
+
 def test_loop_dynamic_trip_count():
     x = np.ones(4, np.float32)
     nodes, gin, inits = _loop_model(m_value=1, dynamic_m=True)
