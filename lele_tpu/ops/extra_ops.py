@@ -77,9 +77,21 @@ def shrink(ctx: OpContext, x):
 def hardmax(ctx: OpContext, x):
     xp = ctx.xp
     axis = ctx.attr("axis", -1 if ctx.opset >= 13 else 1)
+    dt = np.asarray(x).dtype if ctx.is_fold else x.dtype
+    if ctx.opset < 13:
+        # pre-13 semantics: flatten to 2-D at `axis`, one hot per trailing
+        # BLOCK (same coercion this file's Softmax/LogSoftmax apply)
+        shape = np.shape(x)
+        axis = axis if axis >= 0 else axis + len(shape)
+        lead = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+        flat = xp.reshape(x, (lead, -1))
+        idx = xp.argmax(flat, axis=-1)
+        eye = xp.eye(flat.shape[-1] if not ctx.is_fold else
+                     np.shape(flat)[-1], dtype=dt)
+        return xp.reshape(eye[idx], shape)
     idx = xp.argmax(x, axis=axis)
     n = np.shape(x)[axis]
-    eye = xp.eye(n, dtype=np.asarray(x).dtype if ctx.is_fold else x.dtype)
+    eye = xp.eye(n, dtype=dt)
     out = eye[idx]  # one-hot goes to the last axis
     return xp.moveaxis(out, -1, axis)
 
@@ -158,13 +170,9 @@ def lp_pool(ctx: OpContext, x):
     return jnp.power(s, 1.0 / p)
 
 
-@op("MeanVarianceNormalization")
-def mean_variance_normalization(ctx: OpContext, x):
-    xp = ctx.xp
-    axes = tuple(ctx.attr_ints("axes", [0, 2, 3]))
-    mean = xp.mean(x, axis=axes, keepdims=True)
-    std = xp.std(x, axis=axes, keepdims=True)
-    return (x - mean) / (std + 1e-9)
+# (MeanVarianceNormalization lives in nn_ops.py — this module used to carry
+# a second registration with different numerics that silently lost the
+# import-order race; one copy only.)
 
 
 # -- sequence-axis utilities ---------------------------------------------------
@@ -514,6 +522,10 @@ def grid_sample(ctx: OpContext, x, grid):
     mode = ctx.attr("mode", "linear")
     if isinstance(mode, bytes):
         mode = mode.decode()
+    if mode not in ("linear", "bilinear", "nearest"):
+        # bicubic would silently evaluate as bilinear — wrong numbers are
+        # worse than an error (Resize raises for cubic the same way)
+        raise NotImplementedError(f"GridSample mode {mode!r} unsupported")
     padding = ctx.attr("padding_mode", "zeros")
     if isinstance(padding, bytes):
         padding = padding.decode()

@@ -87,8 +87,27 @@ def conv_transpose(ctx: OpContext, x, w, b=None):
     dilations = ctx.attr_ints("dilations", [1] * rank)
     group = ctx.attr("group", 1)
     out_pad = ctx.attr_ints("output_padding", [0] * rank)
+    out_shape = ctx.attr_ints("output_shape")
     pads_attr = ctx.attr_ints("pads")
-    if pads_attr is None:
+    if out_shape is not None:
+        # spec: output_shape OVERRIDES pads — total padding derives from
+        # the requested spatial size
+        auto = ctx.attr("auto_pad", "NOTSET")
+        heads, tails = [], []
+        for i in range(rank):
+            eff_k = (kshape[i] - 1) * dilations[i] + 1
+            in_dim = np.shape(x)[2 + i]
+            total = max(0, strides[i] * (in_dim - 1) + out_pad[i] + eff_k
+                        - int(out_shape[i]))
+            half = total // 2
+            if auto == "SAME_UPPER":
+                heads.append(total - half)
+                tails.append(half)
+            else:
+                heads.append(half)
+                tails.append(total - half)
+        pads_attr = heads + tails
+    elif pads_attr is None:
         auto = ctx.attr("auto_pad", "NOTSET")
         if auto in ("NOTSET", "", None, "VALID"):
             pads_attr = [0] * (2 * rank)
@@ -189,8 +208,13 @@ def _pool(ctx: OpContext, x, reducer, init, is_avg=False):
 def max_pool(ctx: OpContext, x):
     import jax
 
-    out = _pool(ctx, x, jax.lax.max, -np.inf if np.issubdtype(
-        np.dtype(str(x.dtype)), np.floating) else np.iinfo(np.int32).min)
+    dt = np.dtype(str(x.dtype))
+    # identity must be representable IN x's dtype (np.int32 min overflows
+    # i8/u8 at trace time and under-reaches i64), and reduce_window wants
+    # the init value in the operand dtype exactly
+    init = (np.array(-np.inf, dt) if np.issubdtype(dt, np.floating)
+            else np.array(np.iinfo(dt).min, dt))[()]
+    out = _pool(ctx, x, jax.lax.max, init)
     n_out = len(ctx.node.output) if ctx.node is not None else 1
     if n_out > 1 and ctx.node.output[1]:
         return out, _max_pool_indices(ctx, x)
@@ -472,6 +496,14 @@ def _rnn_prep(ctx: OpContext, x, seq_axis_layout):
     return x, layout
 
 
+def _rnn_init_state(ctx: OpContext, init, layout):
+    """layout=1 stores initial states [B, num_dir, H]; the loops below
+    index direction-major [num_dir, B, H]."""
+    if init is None or layout != 1:
+        return init
+    return ctx.xp.swapaxes(init, 0, 1)
+
+
 def _directions(direction: str):
     if direction == "bidirectional":
         return [False, True]
@@ -526,6 +558,8 @@ def lstm(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None, init_c=Non
     import jax.numpy as jnp
 
     x, layout = _rnn_prep(ctx, x, 0)
+    init_h = _rnn_init_state(ctx, init_h, layout)
+    init_c = _rnn_init_state(ctx, init_c, layout)
     direction = ctx.attr("direction", "forward")
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
     S, B = np.shape(x)[0], np.shape(x)[1]
@@ -614,6 +648,7 @@ def rnn_op(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
     import jax.numpy as jnp
 
     x, layout = _rnn_prep(ctx, x, 0)
+    init_h = _rnn_init_state(ctx, init_h, layout)
     direction = ctx.attr("direction", "forward")
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
     acts = ctx.attr("activations", None) or ["Tanh"] * 2
@@ -674,6 +709,7 @@ def gru(ctx: OpContext, x, w, r, b=None, seq_lens=None, init_h=None):
     import jax.numpy as jnp
 
     x, layout = _rnn_prep(ctx, x, 0)
+    init_h = _rnn_init_state(ctx, init_h, layout)
     direction = ctx.attr("direction", "forward")
     hidden = ctx.attr("hidden_size", np.shape(r)[-1])
     lbr = bool(ctx.attr("linear_before_reset", 0))

@@ -134,7 +134,12 @@ def conv_integer(ctx: OpContext, x, w, xzp=None, wzp=None):
     if xzp is not None:
         xi = xi - jnp.asarray(xzp).astype(jnp.int32)
     if wzp is not None:
-        wi = wi - jnp.asarray(wzp).astype(jnp.int32)
+        wz = jnp.asarray(wzp).astype(jnp.int32)
+        if wz.ndim == 1:
+            # per-OUTPUT-CHANNEL zero point: align with wi's leading M axis
+            # (raw broadcast would line it up with the kernel-width axis)
+            wz = wz.reshape((-1,) + (1,) * (np.ndim(w) - 1))
+        wi = wi - wz
     return jax.lax.conv_general_dilated(
         xi,
         wi,

@@ -280,6 +280,8 @@ def pad(ctx: OpContext, x, pads=None, constant_value=None, axes=None):
     mode = ctx.attr("mode", "constant")
     if pads is None:
         plist = ctx.attr_ints("pads")
+        if constant_value is None:  # opset<11 fill lives in the attr
+            constant_value = ctx.attr("value", None)
     else:
         plist = static_ints(pads, "pads")
     rank = np.ndim(x)
@@ -347,7 +349,12 @@ def argmax(ctx: OpContext, x):
 def argmin(ctx: OpContext, x):
     axis = ctx.attr("axis", 0)
     keepdims = bool(ctx.attr("keepdims", 1))
-    idx = ctx.xp.argmin(x, axis=axis)
+    if ctx.attr("select_last_index", 0):
+        rev = ctx.xp.flip(x, axis=axis)
+        idx = ctx.xp.argmin(rev, axis=axis)
+        idx = np.shape(x)[axis] - 1 - idx
+    else:
+        idx = ctx.xp.argmin(x, axis=axis)
     if keepdims:
         idx = ctx.xp.expand_dims(idx, axis)
     dt = np.int64 if ctx.is_fold else canonical_dtype(np.dtype(np.int64), True)
@@ -451,13 +458,24 @@ def random_normal(ctx: OpContext):
     return mean + scale * jax.random.normal(_rng_key(ctx), shape, jnp_dtype(ctx))
 
 
+def _like_dtype(ctx: OpContext, x):
+    """Random*Like: the optional `dtype` attr overrides the input's."""
+    dt = ctx.attr("dtype")
+    if dt is None:
+        return x.dtype
+    from ..onnx.loader import DTYPE_MAP
+
+    return canonical_dtype(DTYPE_MAP[int(dt)], device=not ctx.is_fold)
+
+
 @op("RandomNormalLike", foldable=False)
 def random_normal_like(ctx: OpContext, x):
     import jax
 
     mean = ctx.attr("mean", 0.0)
     scale = ctx.attr("scale", 1.0)
-    return mean + scale * jax.random.normal(_rng_key(ctx), np.shape(x), x.dtype)
+    return mean + scale * jax.random.normal(
+        _rng_key(ctx), np.shape(x), _like_dtype(ctx, x))
 
 
 @op("RandomUniform", foldable=False)
@@ -476,7 +494,8 @@ def random_uniform_like(ctx: OpContext, x):
 
     lo = ctx.attr("low", 0.0)
     hi = ctx.attr("high", 1.0)
-    return jax.random.uniform(_rng_key(ctx), np.shape(x), x.dtype, lo, hi)
+    return jax.random.uniform(
+        _rng_key(ctx), np.shape(x), _like_dtype(ctx, x), lo, hi)
 
 
 def jnp_dtype(ctx: OpContext):
