@@ -230,11 +230,8 @@ def bench_silero(pcm, audio_s):
 
     vad = SileroVad(SileroConfig())
     vad.init(0)
-    c = vad.cfg
-    n = (len(pcm) - c.context) // c.chunk
-    idx = (np.arange(n)[:, None] * c.chunk
-           + np.arange(c.chunk + c.context)[None, :])
-    chunks = np.ascontiguousarray(pcm[idx])
+    chunks = vad.frame_chunks(pcm)  # the model's own framing contract
+    n = chunks.shape[0]
     sfn = vad.scan_fn(n)
     # whole-utterance VAD is tens of µs of compute — needs large K to put
     # the chained wall well above tunnel RTT noise

@@ -121,12 +121,12 @@ def main():
     if args.save_aot:
         import jax
 
-        from lele_tpu.models.supertonic import chunk_text, normalize_text
+        from lele_tpu.models.supertonic import prepare_chunks
         from lele_tpu.runtime.artifact import save_aot_bundle
 
         # pin the bundle to the buckets the steady-state run converged to
         # (EMA-guided guess == canonical bucket after the warm pass above)
-        chunk = chunk_text(normalize_text(args.text, args.lang))[0]
+        chunk = prepare_chunks(args.text, args.lang)[0]
         n_real = len(tts.indexer(chunk))
         ids, text_mask = tts.pad_tokens(tts.indexer(chunk)[None])
         fpt = tts._fpt_ema or cfg.est_frames_per_token

@@ -28,6 +28,7 @@ from .supertonic import (  # noqa: F401
     chunk_text,
     load_voice_style,
     normalize_text,
+    prepare_chunks,
 )
 from .sensevoice import (  # noqa: F401
     prepare_quantized_params,

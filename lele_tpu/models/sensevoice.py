@@ -572,9 +572,11 @@ class SenseVoiceModel:
             ids.extend(_collapse_ids(frame_ids[lo:hi], blank_id))
         return ids
 
-    def _batched_window_ids(self, pieces, win: int):
-        """Equal-length padded windows through one batched program; per-frame
-        argmax computed on device (tiny readback)."""
+    def _batched_ids(self, batch: np.ndarray, lens: np.ndarray):
+        """[B, n] padded pcm + [B] valid lengths → (ids [B, T], masks) via
+        the ONE traced batched body (vmapped fbank → encode → on-device
+        argmax) — shared by the window-stitching and serving batch paths so
+        their numerics/caching can never diverge."""
         import jax
         import jax.numpy as jnp
 
@@ -582,15 +584,9 @@ class SenseVoiceModel:
 
         if self.params is None:
             self.init()
-        B = len(pieces)
-        batch = np.zeros((B, win), np.float32)
-        lens = np.zeros((B,), np.int32)
-        for i, p in enumerate(pieces):
-            batch[i, : len(p)] = p
-            lens[i] = len(p)
         if not hasattr(self, "_fn_cache"):
             self._fn_cache = {}
-        key = ("windows", win, B)
+        key = ("batched_ids", batch.shape[1], batch.shape[0])
         if key not in self._fn_cache:
             cfg = self.cfg
             fb = self.fbank
@@ -607,26 +603,19 @@ class SenseVoiceModel:
 
             self._fn_cache[key] = jax.jit(fn)
         ids, masks = self._fn_cache[key](self.params, batch, lens)
-        ids = np.asarray(ids)
-        masks = np.asarray(masks)
+        return np.asarray(ids), np.asarray(masks)
+
+    def _batched_window_ids(self, pieces, win: int):
+        """Equal-length padded windows through one batched program; per-frame
+        argmax computed on device (tiny readback)."""
+        B = len(pieces)
+        batch = np.zeros((B, win), np.float32)
+        lens = np.zeros((B,), np.int32)
+        for i, p in enumerate(pieces):
+            batch[i, : len(p)] = p
+            lens[i] = len(p)
+        ids, masks = self._batched_ids(batch, lens)
         return [(ids[i], int(masks[i].sum())) for i in range(B)]
-
-    def _bucketed_logits(self, pcm: np.ndarray):
-        import jax
-
-        from ..runtime.bucketing import pad_pcm
-
-        if self.params is None:
-            self.init()
-        padded, true_len = pad_pcm(np.asarray(pcm, np.float32))
-        key = ("bucketed", len(padded))
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        if key not in self._fn_cache:
-            self._fn_cache[key] = jax.jit(self.forward_bucketed_fn())
-        logits, fmask = self._fn_cache[key](self.params, padded, true_len)
-        valid = int(np.asarray(fmask).sum())
-        return np.asarray(logits[0, self.cfg.n_prefix :]), valid
 
     def transcribe_ids(self, pcm: np.ndarray, blank_id: int = 0) -> list[int]:
         """Bucketed waveform → token ids (compile count bounded by buckets).
@@ -674,14 +663,8 @@ class SenseVoiceModel:
         """Serving-style batching: utterances pad to one shared bucket and
         run as a single batched program (batch is nearly free on the MXU —
         docs/PERF.md)."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..features.fbank import fbank_features
         from ..runtime.bucketing import pad_pcm
 
-        if self.params is None:
-            self.init()
         if not pcms:
             return []
         from ..runtime.bucketing import max_bucket_samples
@@ -710,28 +693,7 @@ class SenseVoiceModel:
         for i, p in enumerate(pcms):
             batch[i, : len(p)] = p
             lens[i] = len(p)
-
-        if not hasattr(self, "_fn_cache"):
-            self._fn_cache = {}
-        key = ("batched", bucket, nb)
-        if key not in self._fn_cache:
-            cfg = self.cfg
-            fb = self.fbank
-
-            def fn(params, pcm_b, n_valid_b):
-                feats, masks = jax.vmap(
-                    lambda p_, n_: fbank_features(
-                        p_, fb.config, fb.window, fb.mel_t, n_valid=n_
-                    )
-                )(pcm_b, n_valid_b)
-                logits = sensevoice_encode(params, feats, masks, cfg)
-                ids = jnp.argmax(logits[:, cfg.n_prefix :], axis=-1)
-                return ids.astype(jnp.int32), masks
-
-            self._fn_cache[key] = jax.jit(fn)
-        ids_b, masks = self._fn_cache[key](self.params, batch, lens)
-        ids_b = np.asarray(ids_b)
-        masks = np.asarray(masks)
+        ids_b, masks = self._batched_ids(batch, lens)
         out = []
         for i in range(len(pcms)):
             valid = int(masks[i].sum())

@@ -114,9 +114,17 @@ def stream_step(params: Params, feats, mask, state, cfg: SenseVoiceConfig):
     x = feats * (cfg.d_model**0.5) / (cfg.input_dim**0.5)
     x = linear(params["embed"], x).astype(jnp.float32)
     pos = state["pos"]
-    # absolute positions continue across chunks
-    pe_table = sinusoidal_positions(8192, cfg.d_model)
-    pe = jax.lax.dynamic_slice(jnp.asarray(pe_table), (pos, 0), (T, cfg.d_model))
+    # absolute positions continue across chunks — computed IN-PROGRAM from
+    # the traced position (a fixed table + dynamic_slice silently CLAMPS
+    # past its last row, repeating positions after ~8k frames of stream)
+    p = (pos + 1 + jnp.arange(T)).astype(jnp.float32)[:, None]  # FunASR 1-based
+    div = jnp.exp(
+        jnp.arange(0, cfg.d_model, 2, dtype=jnp.float32)
+        * -(np.log(10000.0) / cfg.d_model)
+    )
+    pe = jnp.zeros((T, cfg.d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(p * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(p * div))
     x = x + pe
     new_layers = []
     for lp, cache in zip(params["layers"], state["layers"]):

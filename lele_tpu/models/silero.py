@@ -168,19 +168,28 @@ class SileroVad:
         return jitted
 
     def frame_chunks(self, pcm: np.ndarray) -> np.ndarray:
-        """pcm → host-framed [N, chunk+context] matrix — the scan program's
-        input layout. The single source of truth for chunking (speech_probs
-        and the runner's AOT save/load paths must agree on this shape)."""
+        """pcm → host-framed [N, context+chunk] matrix — the scan program's
+        input layout. The single source of truth for chunking (speech_probs,
+        segments, and the runner's AOT save/load paths must agree).
+
+        Window i carries the LAST `context` samples of the previous chunk
+        as a zero-padded leading prefix (Silero-v5 / reference streaming
+        semantics, main.rs:110-130) — every complete chunk is scored,
+        including the last one (the old trailing-lookahead framing dropped
+        up to chunk+context−1 tail samples and scored nothing for
+        exactly-one-chunk audio)."""
         cfg = self.cfg
-        n = (len(pcm) - cfg.context) // cfg.chunk
+        pcm = np.asarray(pcm, np.float32)
+        n = len(pcm) // cfg.chunk
         if n <= 0:
             return np.zeros((0, cfg.chunk + cfg.context), np.float32)
+        padded = np.concatenate([np.zeros(cfg.context, pcm.dtype), pcm])
         idx = (
             np.arange(n)[:, None] * cfg.chunk
             + np.arange(cfg.chunk + cfg.context)[None, :]
         )
         # frame on host (numpy strided gather), ship one [N, win] f32 buffer
-        return np.ascontiguousarray(np.asarray(pcm)[idx])
+        return np.ascontiguousarray(padded[idx])
 
     def speech_probs(self, pcm: np.ndarray, sr: int = 16000) -> np.ndarray:
         """Per-chunk speech probabilities over a full waveform (offline:
@@ -270,15 +279,21 @@ class SileroVad:
         """WAV → merged speech segments with the automaton ON DEVICE; host
         only pads+merges the (tiny) raw segment list."""
         seg_cfg = seg_cfg or VadSegmentConfig()
-        cfg = self.cfg
-        n = (len(pcm) - cfg.context) // cfg.chunk
+        if (seg_cfg.chunk, seg_cfg.sample_rate) != (
+            self.cfg.chunk, self.cfg.sample_rate
+        ):
+            # the automaton's chunk→seconds conversion must use the ACTUAL
+            # chunking, or every timestamp scales silently
+            import dataclasses
+
+            seg_cfg = dataclasses.replace(
+                seg_cfg, chunk=self.cfg.chunk,
+                sample_rate=self.cfg.sample_rate,
+            )
+        chunks = self.frame_chunks(pcm)
+        n = chunks.shape[0]
         if n <= 0:
             return []
-        idx = (
-            np.arange(n)[:, None] * cfg.chunk
-            + np.arange(cfg.chunk + cfg.context)[None, :]
-        )
-        chunks = np.ascontiguousarray(np.asarray(pcm)[idx])
         fn = self.segments_fn(n, seg_cfg, sr)
         segs, count, _ = fn(self.params, chunks)
         raw = np.asarray(segs)[: int(count)]

@@ -120,6 +120,18 @@ def normalize_text(text: str, lang: str = "en") -> str:
     return f"<{lang}>{s}</{lang}>"
 
 
+def prepare_chunks(text: str, lang: str = "en", max_len: int = 300) -> list[str]:
+    """normalize → chunk → wrap EACH chunk in <lang> tags. Chunking the
+    already-tagged string would leave every chunk but the first without its
+    opening tag (out-of-distribution conditioning for per-utterance-tagged
+    checkpoints)."""
+    import re
+
+    s = normalize_text(text, lang)
+    s = re.sub(rf"^<{re.escape(lang)}>|</{re.escape(lang)}>$", "", s)
+    return [f"<{lang}>{c}</{lang}>" for c in chunk_text(s, max_len)]
+
+
 def chunk_text(text: str, max_len: int = 300) -> list[str]:
     """Sentence-boundary chunking at ~max_len chars (processor.rs:193-217)."""
     if len(text) <= max_len:
@@ -550,7 +562,7 @@ class SupertonicTts:
         import jax
 
         waves = []
-        for chunk in chunk_text(normalize_text(text, lang)):
+        for chunk in prepare_chunks(text, lang):
             n_real = len(self.indexer(chunk))
             ids, text_mask = self.pad_tokens(self.indexer(chunk)[None])
             if fused_duration:

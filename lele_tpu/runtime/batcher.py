@@ -62,8 +62,13 @@ class MicroBatcher:
         while True:
             with self._lock:
                 if not self._queue:
-                    # linger one window for stragglers, then retire
-                    if not self._lock.wait(timeout=self.window_s):
+                    # linger one window for stragglers, then retire. A
+                    # timed-out wait() can race a submit() that saw this
+                    # thread alive and enqueued without spawning a
+                    # replacement — retiring without re-checking the queue
+                    # would strand that submitter forever
+                    timed_out = not self._lock.wait(timeout=self.window_s)
+                    if timed_out and not self._queue:
                         return
                     continue
                 # window: let the batch fill up to max_batch, bounded by an

@@ -55,22 +55,39 @@ class WavBatchLoader:
         ]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that notices consumer abandonment: a plain
+            # q.put() would block FOREVER holding a decoded batch when the
+            # caller breaks out of the loop early
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for b in batches:
-                    q.put(decode_wav_files(b))
+                    if not _put(decode_wav_files(b)):
+                        return
             except BaseException as e:  # surface in the consumer thread
-                q.put(e)
+                _put(e)
                 return
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # releases a producer blocked on a full queue

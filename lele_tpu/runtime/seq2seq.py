@@ -88,6 +88,11 @@ class Seq2SeqGenerator:
         return self._cut_eos(ids)
 
     def _cut_eos(self, ids) -> list[int]:
+        if ids and isinstance(ids[0], (list, tuple)):
+            # decoder compiled with batch > 1 returns per-row lists; this
+            # single-sequence API reports row 0 (generate_beam is the
+            # batched surface)
+            ids = ids[0]
         out = []
         for t in ids:
             if int(t) == self.eos_id:

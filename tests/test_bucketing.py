@@ -157,6 +157,6 @@ def test_transcribe_batch_buckets_batch_dim():
     singles = [m.transcribe_ids(p) for p in pcms]
     for n in (1, 2, 3, 4, 5):
         assert m.transcribe_batch(pcms[:n]) == singles[:n], n
-    batched_keys = [k for k in m._fn_cache if k[0] == "batched"]
+    batched_keys = [k for k in m._fn_cache if k[0] == "batched_ids"]
     sizes = {k[2] for k in batched_keys}
     assert sizes <= {1, 2, 4, 8}, batched_keys  # 3 and 5 ride 4 and 8
