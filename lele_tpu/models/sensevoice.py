@@ -675,19 +675,11 @@ class SenseVoiceModel:
         longest = max(len(p) for p in pcms)
         padded0, _ = pad_pcm(np.zeros(longest, np.float32))
         bucket = len(padded0)
-        # batch dim buckets to powers of two UP TO the serving queue's
-        # max_batch=8: a serving queue hands this every size 1..max_batch,
-        # and without bucketing each distinct size compiles its own program
-        # (scripts/serve_bench.py made that tail visible). Above 8 the
-        # exact size runs — padding 33→64 would pay 2× encoder FLOPs on
-        # dead rows every call, worse than one extra compile. Padded rows
-        # carry n_valid=0 and decode to nothing.
-        nb = len(pcms)
-        if nb <= 8:
-            p = 1
-            while p < nb:
-                p *= 2
-            nb = p
+        # batch dim buckets (runtime/bucketing.pad_batch_pow2; rationale
+        # there). Padded rows carry n_valid=0 and decode to nothing.
+        from ..runtime.bucketing import pad_batch_pow2
+
+        nb = pad_batch_pow2(len(pcms))
         batch = np.zeros((nb, bucket), np.float32)
         lens = np.zeros((nb,), np.int32)
         for i, p in enumerate(pcms):

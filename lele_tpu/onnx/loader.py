@@ -76,7 +76,23 @@ def tensor_to_array(t: Proto) -> np.ndarray:
     elif t.uint64_data and dt in (12, 13):
         arr = np.asarray(t.uint64_data, dtype=np.uint64).astype(np_dtype)
     else:
-        arr = np.zeros(int(np.prod(dims)) if dims else 0, dtype=np_dtype)
+        n = int(np.prod(dims)) if dims else 0
+        if n > 0:
+            # a NON-empty tensor with no inline payload is external data or
+            # an unrecognized storage form — zeros here would compile and
+            # run a garbage model with no error anywhere
+            if int(t.data_location) == 1:
+                raise ValueError(
+                    f"tensor {t.name!r} uses external data "
+                    "(data_location=EXTERNAL) — consolidate the model "
+                    "(e.g. onnx.save with save_as_external_data=False) "
+                    "before compiling"
+                )
+            raise ValueError(
+                f"tensor {t.name!r} ({dims}, data_type {dt}) carries no "
+                "recognized payload"
+            )
+        arr = np.zeros(n, dtype=np_dtype)
     return arr.reshape(dims) if dims else arr.reshape(())
 
 

@@ -50,7 +50,9 @@ def parse_attr(a: Proto) -> Any:
         return float(a.f)
     if t == schema.ATTR_STRING:
         s = a.s
-        return s.decode() if isinstance(s, (bytes, memoryview)) else s
+        if isinstance(s, memoryview):  # wire's >256B zero-copy fast path
+            s = bytes(s)
+        return s.decode() if isinstance(s, bytes) else s
     if t == schema.ATTR_INTS:
         return [int(v) for v in a.ints]
     if t == schema.ATTR_FLOATS:

@@ -10,6 +10,7 @@ Activations shard on batch over the "data" axis.
 from __future__ import annotations
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -56,15 +57,31 @@ def _tree_paths(tree, prefix=""):
 
 
 def shard_params(params, mesh: Mesh, rules=sensevoice_param_rules):
-    """Place a param pytree on the mesh per the rules (device_put once)."""
+    """Place a param pytree on the mesh per the rules (device_put once).
+
+    A rule only applies when every named axis DIVIDES the corresponding
+    array dimension — otherwise that leaf replicates. The flagship's CTC
+    head is the canonical case: vocab 25055 has no power-of-two factor, so
+    on model=2/4/8 meshes it stays replicated instead of device_put
+    raising, and the matmul still runs with sharded activations."""
     flat = dict(_tree_paths(params))
-    specs = {p: rules(p) for p in flat}
 
-    def place(path_leaf):
-        path, leaf = path_leaf
-        return jax.device_put(leaf, NamedSharding(mesh, specs[path]))
+    def spec_for(path, leaf):
+        spec = rules(path)
+        shape = getattr(leaf, "shape", ())
+        for i, axis in enumerate(spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis] if isinstance(axis, str) else \
+                int(np.prod([mesh.shape[a] for a in axis]))
+            if i >= len(shape) or shape[i] % size:
+                return P()  # not evenly partitionable → replicate
+        return spec
 
-    placed = {p: place((p, l)) for p, l in flat.items()}
+    placed = {
+        p: jax.device_put(l, NamedSharding(mesh, spec_for(p, l)))
+        for p, l in flat.items()
+    }
     # rebuild tree
     return _unflatten(placed)
 

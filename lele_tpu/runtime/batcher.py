@@ -62,13 +62,16 @@ class MicroBatcher:
         while True:
             with self._lock:
                 if not self._queue:
-                    # linger one window for stragglers, then retire. A
-                    # timed-out wait() can race a submit() that saw this
-                    # thread alive and enqueued without spawning a
-                    # replacement — retiring without re-checking the queue
-                    # would strand that submitter forever
+                    # linger one window for stragglers, then retire. Two
+                    # races to close: (a) a timed-out wait() can lose to a
+                    # submit() that already enqueued — re-check the queue;
+                    # (b) submit() trusts is_alive(), which stays True for
+                    # a few instructions after this return — clear
+                    # self._worker UNDER THE LOCK first so the next
+                    # submit() spawns a replacement
                     timed_out = not self._lock.wait(timeout=self.window_s)
                     if timed_out and not self._queue:
+                        self._worker = None
                         return
                     continue
                 # window: let the batch fill up to max_batch, bounded by an

@@ -24,6 +24,20 @@ def bucket_for(n: int, buckets: Sequence[int]) -> int:
     return int(buckets[-1])
 
 
+def pad_batch_pow2(n: int, cap: int = 8) -> int:
+    """Batch-dimension bucket: next power of two up to `cap` (bounds the
+    compile count for serving queues that hand every size 1..max_batch),
+    exact size above (padding 33→64 would pay ~2× FLOPs on dead rows every
+    call — worse than one extra compile). Shared by ASR transcribe_batch
+    and the vision detect_batch path."""
+    if n > cap:
+        return n
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 def max_bucket_samples(
     sr: int = 16000, buckets_s: Sequence[int] = DEFAULT_AUDIO_BUCKETS_S
 ) -> int:

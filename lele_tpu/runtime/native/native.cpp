@@ -209,7 +209,11 @@ const char* decode_wav_core(const uint8_t* d, size_t n,
       memcpy(&n_ch, body + 2, 2);
       memcpy(&sr, body + 4, 4);
       memcpy(&bits, body + 14, 2);
-      if (fmt == 0xFFFE) fmt = 1;  // extensible: assume PCM
+      if (fmt == 0xFFFE) {
+        // extensible: the REAL format code leads the SubFormat GUID
+        if (avail >= 26) memcpy(&fmt, body + 24, 2);
+        else fmt = 1;
+      }
     } else if (!memcmp(d + pos, "data", 4)) {
       pcm = body;
       pcm_len = size < avail ? size : avail;
@@ -219,6 +223,13 @@ const char* decode_wav_core(const uint8_t* d, size_t n,
     pos += 8 + step;
   }
   if (!pcm || !n_ch || !sr) return "missing fmt/data chunk";
+  // validate the (fmt, bits) combination UP FRONT — decoding A-law/mu-law/
+  // ADPCM as raw PCM returns garbage-with-HTTP-200 where the pure-Python
+  // parser raises; the two decoders must agree on what's supported
+  bool ok = (fmt == 3 && (bits == 32 || bits == 64)) ||
+            (fmt == 1 && (bits == 8 || bits == 16 || bits == 24 ||
+                          bits == 32));
+  if (!ok) return "unsupported WAV format/bit depth";
 
   size_t bytes_per = bits / 8;
   if (!bytes_per) return "bad bit depth";

@@ -18,24 +18,11 @@ import numpy as np
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes → (mono f32 samples, sample_rate); native C++ fast path."""
-    try:
-        from .runtime.native import get_native
+    """WAV bytes → (mono f32 samples, sample_rate); native C++ fast path,
+    pure-Python byte parser fallback (no temp-file round trip)."""
+    from .utils.wav import decode_wav_bytes
 
-        nat = get_native()
-        if nat is not None:
-            raw, sr = nat.decode_wav(data)
-            return np.frombuffer(raw, np.float32).copy(), sr
-    except Exception:
-        pass
-    import tempfile
-
-    from .utils.wav import read_wav
-
-    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-        f.write(data)
-        f.flush()
-        return read_wav(f.name)
+    return decode_wav_bytes(data, label="<request>")
 
 
 def resample(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
@@ -145,14 +132,13 @@ class Yolo26Engine:
 
         from .models import decode_detections
 
+        from .runtime.bucketing import pad_batch_pow2
+
+        if not images:
+            return []
         arrs = [self._to_input(im) for im in images]
         n = len(arrs)
-        nb = n
-        if nb <= 8:
-            p = 1
-            while p < nb:
-                p *= 2
-            nb = p
+        nb = pad_batch_pow2(n)
         x = np.zeros((nb,) + arrs[0].shape, np.float32)
         for i, a in enumerate(arrs):
             x[i] = a

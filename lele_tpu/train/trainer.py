@@ -37,10 +37,21 @@ def ctc_loss_fn(params, batch, cfg: SenseVoiceConfig):
     return jnp.sum(loss) / denom
 
 
+def _step_body(params, opt_state, batch, cfg: SenseVoiceConfig, tx):
+    """The one training-step body (value_and_grad → tx.update → apply) —
+    ctc_train_step and make_train_step both run THIS, so a change (grad
+    clipping, loss scaling) can never reach one and miss the other."""
+    loss, grads = jax.value_and_grad(ctc_loss_fn)(params, batch, cfg)
+    updates, new_opt = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, new_opt, loss
+
+
 def ctc_train_step(state: TrainState, batch, cfg: SenseVoiceConfig, tx):
-    loss, grads = jax.value_and_grad(ctc_loss_fn)(state.params, batch, cfg)
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
+    """TrainState convenience wrapper (unjitted: the debugging/eager
+    surface; production loops use make_train_step's jitted step)."""
+    new_params, new_opt, loss = _step_body(
+        state.params, state.opt_state, batch, cfg, tx)
     return TrainState(new_params, new_opt, state.step + 1), loss
 
 
@@ -55,10 +66,7 @@ def make_train_step(cfg: SenseVoiceConfig, lr: float = 1e-4):
     tx = optax.adamw(lr)
 
     def step(params, opt_state, batch):
-        loss, grads = jax.value_and_grad(ctc_loss_fn)(params, batch, cfg)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt, loss
+        return _step_body(params, opt_state, batch, cfg, tx)
 
     return tx, jax.jit(step, donate_argnums=(0, 1))
 

@@ -17,21 +17,34 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     """Returns (mono float32 samples in [-1, 1], sample_rate).
 
     Uses the native C++ decoder when available (runtime/native), falling
-    back to the pure-Python path below."""
-    data = Path(path).read_bytes()
-    try:
-        from ..runtime.native import get_native
+    back to the pure-Python parser."""
+    return decode_wav_bytes(Path(path).read_bytes(), label=str(path))
 
-        nat = get_native()
-        if nat is not None:
-            raw, sr = nat.decode_wav(data)
-            return np.frombuffer(raw, np.float32).copy(), sr
-    except Exception:
-        pass  # fall back to the Python decoder
+
+def decode_wav_bytes(data: bytes, label: str = "<bytes>",
+                     try_native: bool = True) -> tuple[np.ndarray, int]:
+    """Parse WAV bytes directly (one native attempt, then pure Python) —
+    serving paths call this instead of round-tripping through a temp file."""
+    if try_native:
+        try:
+            from ..runtime.native import get_native
+
+            nat = get_native()
+            if nat is not None:
+                raw, sr = nat.decode_wav(data)
+                return np.frombuffer(raw, np.float32).copy(), sr
+        except Exception:
+            pass  # fall back to the Python decoder
+    return _parse_wav(data, label)
+
+
+def _parse_wav(data: bytes, label: str) -> tuple[np.ndarray, int]:
+    path = label
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     pcm = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -39,14 +52,21 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)
     if fmt is None or pcm is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_fmt, n_ch, sr, _, _, bits = fmt
-    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: assume PCM subformat
-        audio_fmt = 1
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first two
+        # bytes of the SubFormat GUID (fmt-body offset 24) — assuming PCM
+        # turns extensible float WAVs into reinterpreted integer noise
+        if len(fmt_body) >= 26:
+            audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
+        else:
+            audio_fmt = 1
     if audio_fmt == 3:  # IEEE float
         x = np.frombuffer(pcm, dtype=np.float32 if bits == 32 else np.float64)
         x = x.astype(np.float32)
