@@ -291,8 +291,10 @@ def bench_silero_step(pcm):
     vad = SileroVad(SileroConfig())
     vad.init(0)
     c = vad.cfg
-    chunk = jnp.asarray(pcm[None, : c.chunk + c.context] * 32768.0,
-                        jnp.float32)
+    # [-1, 1] float samples — the native model's input contract (the same
+    # scale frame_chunks/scan_fn feed; i16 scaling belongs to checkpoint
+    # adapters whose exports bake it in)
+    chunk = jnp.asarray(pcm[None, : c.chunk + c.context], jnp.float32)
 
     def one(carry, params, ch):
         # carry: f32 scalar mixed into the state → chunk perturbation

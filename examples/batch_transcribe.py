@@ -61,8 +61,14 @@ def main():
     total_audio = 0.0
     n_done = 0
     for batch in loader:
-        pcms = [pcm for pcm, _ in batch]
-        total_audio += sum(len(p) for p in pcms) / 16000.0
+        from lele_tpu.serving import resample
+
+        # honor each file's actual rate: duration uses it, and the 16 kHz
+        # model must not be fed raw 8 k/44.1 k samples
+        pcms = []
+        for pcm, fsr in batch:
+            total_audio += len(pcm) / float(fsr)
+            pcms.append(resample(pcm, fsr, 16000) if fsr != 16000 else pcm)
         ids = model.transcribe_batch(pcms)
         for path, out in zip(paths[n_done:], ids):
             print(f"{path.name}: {len(out)} tokens")

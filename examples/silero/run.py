@@ -54,16 +54,17 @@ def main():
              np.zeros(sr, np.float32)]
         )
     print(f"audio: {len(pcm) / sr:.2f}s @ {sr} Hz")
+    vsr = sr if sr in (8000, 16000) else 16000
 
     if args.onnx:
         from lele_tpu.models.checkpoints import SileroOnnx
 
         vad = SileroOnnx(args.onnx)
         t0 = time.perf_counter()
-        probs = vad.speech_probs(pcm, sr=16000)
+        probs = vad.speech_probs(pcm, sr=vsr)
         cold = time.perf_counter() - t0
         t0 = time.perf_counter()
-        probs = vad.speech_probs(pcm, sr=16000)
+        probs = vad.speech_probs(pcm, sr=vsr)
         steady = time.perf_counter() - t0
         audio_s = len(pcm) / sr
         print(f"chunks: {len(probs)}  prob range "
@@ -88,32 +89,32 @@ def main():
         probs_d, _state = scan(vad.params, chunks_in)
         _jax.block_until_ready(probs_d)
         cold = time.perf_counter() - t0
-        vad._fn_cache[("scan", 16000)] = scan  # speech_probs reuses it
+        vad._fn_cache[("scan", vsr)] = scan  # speech_probs reuses it
         print(f"AOT bundle cold start: {cold:.2f}s (params+executable+run)")
     else:
         vad.init(0)
 
     t0 = time.perf_counter()
-    probs = vad.speech_probs(pcm, sr=16000)
+    probs = vad.speech_probs(pcm, sr=vsr)
     elapsed = time.perf_counter() - t0
     if args.save_aot:
         from lele_tpu.runtime.artifact import save_aot_bundle
 
         chunks_in = vad.frame_chunks(pcm)
-        compiled = vad.scan_fn(chunks_in.shape[0]).lower(
+        compiled = vad.scan_fn(chunks_in.shape[0], sr=vsr).lower(
             vad.params, chunks_in).compile()
         save_aot_bundle(args.save_aot, compiled, vad.params)
         print(f"AOT bundle saved to {args.save_aot}[.bin/.xc]")
     # steady-state: second pass with compiled step
     t0 = time.perf_counter()
-    probs = vad.speech_probs(pcm, sr=16000)
+    probs = vad.speech_probs(pcm, sr=vsr)
     steady = time.perf_counter() - t0
     # device-compute-only steady state (excludes the fixed host-readback RTT,
     # which on a tunneled TPU dominates tiny outputs)
     import jax
 
     chunks = vad.frame_chunks(pcm)
-    fn = vad.scan_fn(chunks.shape[0])
+    fn = vad.scan_fn(chunks.shape[0], sr=vsr)
     t0 = time.perf_counter()
     jax.block_until_ready(fn(vad.params, chunks))
     device_steady = time.perf_counter() - t0

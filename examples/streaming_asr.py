@@ -78,7 +78,6 @@ def main():
             prev = t
         tag = "compile+" if idx == 0 else ""
         print(f"  chunk {idx:2d}: +{len(emitted)} tokens ({tag}{dt * 1000:.1f} ms)")
-    rtf = (total - (total if feats.shape[0] <= C else 0)) and total
     print(f"total stream compute: {total:.2f}s "
           f"(per-chunk steady ≈ {dt * 1000:.1f} ms vs {chunk_s * 1000:.0f} ms budget)")
 

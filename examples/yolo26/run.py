@@ -118,7 +118,10 @@ def run(segmentation: bool = False):
         from lele_tpu.models import compose_masks
 
         coeffs, protos = np.asarray(outs[2]), np.asarray(outs[3])
-        masks = compose_masks(coeffs, protos, boxes, list(range(min(5, len(dets)))))
+        # compose masks for the DETECTED anchors (dets are score-sorted and
+        # threshold-filtered — raw indices 0..4 would be arbitrary queries)
+        keep = [d["anchor"] for d in dets[:5]]
+        masks = compose_masks(coeffs, protos, boxes, keep)
         print(f"masks: {masks.shape}, coverage {masks.mean():.3f}")
     print(f"avg {best * 1000:.2f} ms/frame (cold {cold * 1000:.0f} ms), "
           f"RTF@30fps {best / (1 / 30):.4f}")

@@ -241,6 +241,9 @@ def decode_detections(
             ),
             "score": float(conf[i]),
             "class_id": int(best[i]),
+            # anchor/query index into the raw head outputs — what
+            # compose_masks needs to pick the RIGHT coeff/box rows
+            "anchor": int(i),
         }
         if class_names:
             det["class"] = class_names[det["class_id"]]

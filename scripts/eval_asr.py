@@ -94,9 +94,9 @@ def main() -> int:
 
     tok = None
     if args.vocab:
-        from lele_tpu.utils.tokenizer import Tokenizer
+        from lele_tpu.utils.tokenizer import CtcTokenizer
 
-        tok = Tokenizer(args.vocab)
+        tok = CtcTokenizer.load(args.vocab)
 
     if args.onnx:
         from lele_tpu.models.checkpoints import SenseVoiceOnnx

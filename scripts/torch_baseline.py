@@ -85,27 +85,17 @@ def main():
     wf = cm._walk_fn
     name = cm.input_order[0]
 
-    # chained-scan slope with carried dependency + readback gating — the
-    # only honest protocol through the tunneled TPU (docs/PERF.md)
-    def timed(K):
-        @jax.jit
-        def run(p, xx):
-            def body(c, _):
-                out = wf(p, {name: xx + c * 1e-30})
-                return jnp.mean(jax.tree.leaves(out)[0]).astype(jnp.float32), ()
-            s, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K)
-            return s
+    # the CANONICAL chained-slope protocol (bench._chain_slope): carried
+    # dependency + readback gating + INTERLEAVED K measurements — a local
+    # re-implementation here used to run the two K walls sequentially,
+    # letting sustained device-load drift skew the slope
+    import bench
 
-        float(run(cm.params, xd))
-        best = float("inf")
-        for _ in range(6):
-            t0 = time.perf_counter()
-            float(run(cm.params, xd))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    Ks = (8, 40)
-    tpu_ms = (timed(Ks[1]) - timed(Ks[0])) / (Ks[1] - Ks[0]) * 1e3
+    tpu_ms = bench._chain_slope(
+        lambda c, p, xx: jax.tree.leaves(wf(p, {name: xx + c * 1e-30}))[0],
+        (cm.params, xd),
+        Ks=(8, 40) if jax.devices()[0].platform == "tpu" else (1, 3),
+    ) * 1e3
 
     plat = jax.devices()[0].platform
     label = "lele-tpu (1x v5e)  " if plat != "cpu" else \
