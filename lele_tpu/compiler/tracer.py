@@ -188,8 +188,10 @@ class GraphTracer:
                 for v in ins
             ]
             out = emitter(ctx, *conv_ins)
-            if isinstance(out, TensorSeq):
-                return out  # sequence values stay host-level lists
+            from ..ops.extra_ops import OptionalVal
+
+            if isinstance(out, (TensorSeq, OptionalVal)):
+                return out  # sequence/optional values stay host-level
             return _np_ify(out)
         # dynamic: convert static inputs, hoisting large ones to params;
         # shape-position args (static_args) stay host-static for the emitter

@@ -613,6 +613,79 @@ def roi_align(ctx: OpContext, x, rois, batch_indices):
     return jax.vmap(one_roi)(rois, bi)  # [R, C, oh, ow]
 
 
+@op("MaxRoiPool", foldable=False)
+def max_roi_pool(ctx: OpContext, x, rois):
+    """Caffe-style ROI max pooling (ONNX opset 1): integer-rounded ROI
+    coords, ceil/floor bin edges, max per bin; empty bins read 0. Bin
+    membership is computed as coordinate masks so data-dependent ROI
+    extents stay XLA-expressible (reference handles ROI ops not at all —
+    this exceeds its surface like the rest of this module)."""
+    import jax
+    import jax.numpy as jnp
+
+    ph, pw = static_ints(ctx.attr("pooled_shape"), "pooled_shape")
+    scale = float(ctx.attr("spatial_scale", 1.0))
+    x = jnp.asarray(x)
+    H, W = x.shape[2], x.shape[3]
+    rois = jnp.asarray(rois).astype(jnp.float32)
+    neg = jnp.finfo(jnp.float32).min
+
+    def one_roi(roi):
+        b = roi[0].astype(jnp.int32)
+        x1, y1, x2, y2 = jnp.round(roi[1:] * scale)
+        roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
+        roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
+        ib = jnp.arange(ph, dtype=jnp.float32)
+        jb = jnp.arange(pw, dtype=jnp.float32)
+        hs = jnp.clip(jnp.floor(ib * roi_h / ph) + y1, 0, H)
+        he = jnp.clip(jnp.ceil((ib + 1.0) * roi_h / ph) + y1, 0, H)
+        ws = jnp.clip(jnp.floor(jb * roi_w / pw) + x1, 0, W)
+        we = jnp.clip(jnp.ceil((jb + 1.0) * roi_w / pw) + x1, 0, W)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        xs = jnp.arange(W, dtype=jnp.float32)
+        my = (ys[None, :] >= hs[:, None]) & (ys[None, :] < he[:, None])
+        mx = (xs[None, :] >= ws[:, None]) & (xs[None, :] < we[:, None])
+        m = my[:, None, :, None] & mx[None, :, None, :]  # [ph,pw,H,W]
+        v = jnp.where(m[None], x[b][:, None, None], neg)  # [C,ph,pw,H,W]
+        out = jnp.max(v, axis=(-2, -1))
+        return jnp.where(jnp.any(m, axis=(-2, -1))[None], out, 0.0)
+
+    return jax.vmap(one_roi)(rois)  # [R, C, ph, pw]
+
+
+# -- optionals (trace-time maybe-values) ----------------------------------------
+
+
+class OptionalVal:
+    """ONNX optional value: a trace-time wrapper holding a tensor/sequence
+    or nothing. Optional STRUCTURE is static (graphs branch on it via
+    OptionalHasElement, which folds), so no device representation needed."""
+
+    def __init__(self, value=None):
+        self.value = value
+
+
+@op("Optional", foldable=False)
+def optional(ctx: OpContext, x=None):
+    return OptionalVal(x)
+
+
+@op("OptionalHasElement", foldable=False)
+def optional_has_element(ctx: OpContext, x=None):
+    if isinstance(x, OptionalVal):
+        x = x.value
+    return np.array(x is not None)
+
+
+@op("OptionalGetElement", foldable=False)
+def optional_get_element(ctx: OpContext, x):
+    if isinstance(x, OptionalVal):
+        if x.value is None:
+            raise ValueError("OptionalGetElement on an empty optional")
+        return x.value
+    return x  # opset-18 allows tensor/sequence input directly
+
+
 @op("Scatter", foldable=False)
 def scatter_deprecated(ctx: OpContext, data, indices, updates):
     """Deprecated opset-9/10 alias of ScatterElements."""

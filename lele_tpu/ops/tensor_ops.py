@@ -536,21 +536,73 @@ def scatter_elements(ctx: OpContext, data, indices, updates):
 
 
 def _dynamic_shape_error(op_name: str, hint: str):
-    def emitter(ctx: OpContext, *args):
-        raise NotImplementedError(
-            f"{op_name} produces data-dependent output shapes, which XLA's "
-            f"static-shape model cannot express. {hint}"
-        )
-
-    return emitter
+    raise NotImplementedError(
+        f"{op_name} produces data-dependent output shapes, which XLA's "
+        f"static-shape model cannot express for runtime inputs. {hint}"
+    )
 
 
-for _name, _hint in [
-    ("NonZero", "Use a fixed-size mask (Where/Greater) or postprocess on "
-                "host; the model families here are NMS-free by design."),
-    ("Unique", "Deduplicate on host after inference."),
-    ("NonMaxSuppression", "Use an NMS-free head (top-k + threshold, as "
-                          "YOLO26 does) or run NMS on host over the "
-                          "fixed-size candidate set."),
-]:
-    op(_name, foldable=False)(_dynamic_shape_error(_name, _hint))
+def _require_concrete(op_name: str, v, what: str, hint: str) -> np.ndarray:
+    """Data-dependent-shape ops fold at trace time when their shape-driving
+    input is a constant (tracer folds whole static subgraphs, so this covers
+    e.g. NonZero over an initializer mask); a runtime input raises with the
+    workaround hint instead."""
+    import jax
+
+    if isinstance(v, jax.core.Tracer):
+        _dynamic_shape_error(op_name, f"{what} must be trace-time static. {hint}")
+    return np.asarray(v)
+
+
+_NONZERO_HINT = ("Use a fixed-size mask (Where/Greater) or postprocess on "
+                 "host; the model families here are NMS-free by design.")
+
+
+@op("NonZero")
+def nonzero(ctx: OpContext, x):
+    x = _require_concrete("NonZero", x, "the input", _NONZERO_HINT)
+    return np.stack(np.nonzero(x)).astype(np.int64)
+
+
+@op("Unique")
+def unique(ctx: OpContext, x):
+    x = _require_concrete("Unique", x, "the input",
+                          "Deduplicate on host after inference.")
+    axis = ctx.attr("axis")
+    if axis is not None:
+        axis = int(axis) % max(x.ndim, 1)
+    y, idx, inv, cnt = np.unique(
+        x, return_index=True, return_inverse=True, return_counts=True,
+        axis=axis)
+    inv = inv.reshape(-1)
+    if not int(ctx.attr("sorted", 1)):
+        order = np.argsort(idx, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        y = y[order] if axis is None else np.take(y, order, axis=axis)
+        idx, cnt, inv = idx[order], cnt[order], rank[inv]
+    return (y, idx.astype(np.int64), inv.astype(np.int64),
+            cnt.astype(np.int64))
+
+
+@op("Compress", foldable=False, static_args=(1,))
+def compress(ctx: OpContext, data, condition):
+    """Output length = number of true conditions: static once the condition
+    is, so a constant condition compiles to a plain gather over runtime
+    data; only a runtime condition is inexpressible."""
+    cond = _require_concrete(
+        "Compress", condition, "the condition",
+        "Select with a constant mask, or Where + fixed-size postprocess.")
+    idx = np.nonzero(cond.reshape(-1).astype(bool))[0]
+    axis = ctx.attr("axis")
+    if axis is None:
+        return ctx.xp.take(ctx.xp.reshape(data, (-1,)), idx, axis=0)
+    return ctx.xp.take(data, idx, axis=int(axis))
+
+
+@op("NonMaxSuppression", foldable=False)
+def non_max_suppression(ctx: OpContext, *args):
+    _dynamic_shape_error(
+        "NonMaxSuppression",
+        "Use an NMS-free head (top-k + threshold, as YOLO26 does) or run "
+        "NMS on host over the fixed-size candidate set.")
