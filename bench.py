@@ -40,6 +40,12 @@ def _chain_slope(fn, args, Ks=None, reps=6):
       dependency (`fn(carry, *args)` must mix the f32 carry into an input,
       e.g. `x + carry*1e-30`), so XLA can neither hoist the body out of the
       loop nor overlap/elide iterations;
+    - EVERY output leaf is consumed into the carry (`_consume_all`), so no
+      branch of the forward is dead inside the timing program. The r3 seg
+      bench consumed only leaf[0] and XLA dead-code-eliminated the whole
+      mask-prototype head (seg measured *faster* than detect — VERDICT r3
+      weak #1); `fn` therefore returns its FULL output pytree, never a
+      single selected leaf;
     - completion is gated by an actual scalar READBACK (`float(...)`) — a
       number in hand proves the device finished, where `block_until_ready`
       through this tunnel has been observed returning early;
@@ -59,11 +65,18 @@ def _chain_slope(fn, args, Ks=None, reps=6):
         on_tpu = jax.devices()[0].platform == "tpu"
         Ks = (16, 96) if on_tpu else (1, 5)
 
+    def consume_all(outs):
+        # every leaf feeds the carry: nothing in the forward is DCE-able
+        return sum(
+            jnp.mean(leaf.astype(jnp.float32))
+            for leaf in jax.tree.leaves(outs)
+        ).astype(jnp.float32)
+
     def make(K):
         @jax.jit
         def run(*a):
             def body(c, _):
-                return jnp.mean(fn(c, *a)).astype(jnp.float32), ()
+                return consume_all(fn(c, *a)), ()
             s, _ = jax.lax.scan(body, jnp.float32(1.0), None, length=K)
             return s
         return run
@@ -214,7 +227,7 @@ def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool):
             "language": jnp.asarray([3], cm._canon["language"]),
             "textnorm": jnp.asarray([0], cm._canon["textnorm"]),
         })
-        return outs[0]
+        return outs  # ALL outputs — no leaf may be DCE'd from the timing
 
     steady = _chain_slope(
         lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm)
@@ -236,7 +249,7 @@ def bench_silero(pcm, audio_s):
     # whole-utterance VAD is tens of µs of compute — needs large K to put
     # the chained wall well above tunnel RTT noise
     dt = _chain_slope(
-        lambda c, p, ch: sfn(p, ch + c * 1e-30)[0], (vad.params, chunks),
+        lambda c, p, ch: sfn(p, ch + c * 1e-30), (vad.params, chunks),
         Ks=(64, 512) if jax.devices()[0].platform == "tpu" else (1, 5),
     )
     return dt / audio_s
@@ -267,7 +280,7 @@ def bench_compiled_yolo():
 
     def fwd(c, params, xin):
         outs = yo.cm._walk_fn(params, {yo.cm.input_order[0]: xin + c * 1e-30})
-        return outs[0]
+        return outs  # ALL outputs (boxes branch included) — no DCE
 
     dt = _chain_slope(
         fwd, (yo.cm.params, x),
@@ -302,10 +315,10 @@ def bench_silero_step(pcm):
 
         def body(s, _):
             p, s2 = silero_step(params, ch + s[0, 0, 0] * 1e-30, s, c)
-            return s2, ()
+            return s2, p  # emit p: the probability head must not be DCE'd
 
-        s_final, _ = jax.lax.scan(body, state, None, length=8)
-        return s_final  # 8 steps per outer chain iteration
+        s_final, ps = jax.lax.scan(body, state, None, length=8)
+        return s_final, ps  # 8 steps per outer chain iteration
 
     dt = _chain_slope(
         lambda cr, p, ch: one(cr, p, ch), (vad.params, chunk),
@@ -330,8 +343,7 @@ def bench_supertonic():
     style = rng.standard_normal(cfg.d_style).astype(np.float32)
     lm = np.ones((1, T), np.float32)
     dt = _chain_slope(
-        lambda c, p, i, t, s, l: jax.tree.leaves(
-            tfn(p, i, t, s + c * 1e-30, s, l, 0))[0],
+        lambda c, p, i, t, s, l: tfn(p, i, t, s + c * 1e-30, s, l, 0),
         (tts.params, ids, tm, style, lm),
         Ks=(8, 40) if jax.devices()[0].platform == "tpu" else (1, 3),
     )
@@ -375,8 +387,7 @@ def bench_supertonic_e2e():
     audio_s = int(t_real) * cfg.hop / cfg.sample_rate
 
     dt = _chain_slope(
-        lambda c, p, i, t, s1, s2: jax.tree.leaves(
-            fn(p, i, t, s1 + c * 1e-30, s2, 0))[0],
+        lambda c, p, i, t, s1, s2: fn(p, i, t, s1 + c * 1e-30, s2, 0),
         (tts.params, ids, tm, style_ttl, style_dp),
         # wider K-delta: the ±25% cross-session spread on this sub-ms row
         Ks=(8, 96) if jax.devices()[0].platform == "tpu" else (1, 3),
@@ -402,7 +413,7 @@ def bench_yolo(seg: bool):
     # old (16, 96) delta was ~16 ms, small enough for wall jitter to show
     # as the ±35% cross-session spread BENCH_ALL flagged on the seg row
     dt = _chain_slope(
-        lambda c, p, x: jax.tree.leaves(yfn(p, x + c * 1e-30))[0],
+        lambda c, p, x: yfn(p, x + c * 1e-30),  # FULL tree: seg heads live
         (m.params, img),
         Ks=(32, 256) if jax.devices()[0].platform == "tpu" else (1, 3),
     )
@@ -442,9 +453,11 @@ def main():
         ("compiled_yolo_fixture_ms", bench_compiled_yolo, None, "ms"),
         ("yolo26n_seg_ms", lambda: bench_yolo(True), 64.82, "ms"),
     ]
+    vals = {}
     for name, fn, ref, unit in side:
         try:
             v = fn()
+            vals[name] = v
             print(json.dumps({
                 "metric": name, "value": round(v, 6), "unit": unit,
                 "reference_lele": ref,
@@ -454,6 +467,20 @@ def main():
             }))
         except Exception as e:  # a side metric must never kill the headline
             print(f"[bench] {name} failed: {e!r}")
+
+    # Self-check (VERDICT r3 #1): seg = detect + coeff head + prototype
+    # head on the same backbone, so seg time < detect time can only mean
+    # the timing program dead-code-eliminated part of the seg forward.
+    # 0.95 tolerance absorbs run-to-run jitter, not a real inversion.
+    if "yolo26_ms" in vals and "yolo26n_seg_ms" in vals:
+        ok = vals["yolo26n_seg_ms"] >= 0.95 * vals["yolo26_ms"]
+        print(f"[bench] self-check seg>=detect: "
+              f"{'OK' if ok else 'FAIL'} "
+              f"(seg={vals['yolo26n_seg_ms']:.4f} ms, "
+              f"detect={vals['yolo26_ms']:.4f} ms)")
+        assert ok, (
+            "seg benchmark measured faster than detect — the timing "
+            "program is dead-code-eliminating the mask heads again")
 
     # --- headline LAST (the driver parses the final line) ---
     rtf = bench_sensevoice(pcm, audio_s)

@@ -22,10 +22,12 @@ from .silero import (  # noqa: F401
     zero_state,
 )
 from .supertonic import (  # noqa: F401
+    AVAILABLE_LANGS,
     SupertonicConfig,
     SupertonicTts,
     UnicodeIndexer,
     chunk_text,
+    is_valid_lang,
     load_voice_style,
     normalize_text,
     prepare_chunks,

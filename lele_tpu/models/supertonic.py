@@ -18,6 +18,7 @@ length is bucketed so every bucket is one static-shape program.
 from __future__ import annotations
 
 import json
+import re
 import unicodedata
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -101,22 +102,95 @@ class SupertonicConfig:
 # ---------------------------------------------------------------------------
 # Text pipeline (UnicodeProcessor analog, processor.rs:27-139,:193-217)
 
+#: Languages the published Supertonic checkpoints accept
+#: (processor.rs:9-13 AVAILABLE_LANGS / is_valid_lang).
+AVAILABLE_LANGS = ("en", "ko", "es", "pt", "fr", "zh")
+
+
+def is_valid_lang(lang: str) -> bool:
+    return lang in AVAILABLE_LANGS
+
+
+# Emoji block ranges, exactly the reference's class (processor.rs:65).
+_EMOJI_RE = re.compile(
+    "["
+    "\U0001F600-\U0001F64F"  # emoticons
+    "\U0001F300-\U0001F5FF"  # symbols & pictographs
+    "\U0001F680-\U0001F6FF"  # transport & map
+    "\U0001F700-\U0001F77F"  # alchemical
+    "\U0001F780-\U0001F7FF"  # geometric shapes ext
+    "\U0001F800-\U0001F8FF"  # supplemental arrows-C
+    "\U0001F900-\U0001F9FF"  # supplemental symbols
+    "\U0001FA00-\U0001FA6F"  # chess symbols
+    "\U0001FA70-\U0001FAFF"  # symbols ext-A
+    "☀-⛿"          # misc symbols
+    "✀-➿"          # dingbats
+    "\U0001F1E6-\U0001F1FF"  # regional indicators
+    "]+"
+)
+
+# Character replacement table, applied IN ORDER, each a global replace
+# (processor.rs:68-89). Order and completeness matter for token-id parity
+# on the real unicode_indexer.json: curly quotes/dashes fold to ASCII,
+# brackets/pipes/slashes/hash/arrows become spaces.
+_REPLACEMENTS = (
+    ("–", "-"),   # – en dash
+    ("‑", "-"),   # ‑ non-breaking hyphen
+    ("—", "-"),   # — em dash
+    ("_", " "),
+    ("“", '"'),   # " left curly
+    ("”", '"'),   # " right curly
+    ("‘", "'"),   # ' left curly
+    ("’", "'"),   # ' right curly
+    ("´", "'"),   # ´ acute (unreachable post-NFKD; kept for parity)
+    ("`", "'"),
+    ("[", " "),
+    ("]", " "),
+    ("|", " "),
+    ("/", " "),
+    ("#", " "),
+    ("→", " "),   # →
+    ("←", " "),   # ←
+)
+
+# Symbols deleted outright (processor.rs:91-95).
+_SPECIAL_STRIP = ("♥", "☆", "♡", "©", "\\")  # ♥ ☆ ♡ © \
+
+_WS_RE = re.compile(r"\s+")
+
+# Wide terminal-punctuation class (processor.rs:104-106): ASCII sentence
+# punctuation, quotes (curly entries unreachable post-replacement but kept
+# verbatim), closing brackets, and CJK terminators/quote-closers.
+_ENDS_WITH_PUNCT = re.compile(
+    "[.!?;:,'\"“”‘’)\\]}"
+    "…。」』】〉》›»]$"
+)
+
+
 def normalize_text(text: str, lang: str = "en") -> str:
-    """NFKD normalize, strip emoji/symbols, collapse whitespace, ensure
-    terminal punctuation, wrap with <lang> tags."""
-    t = unicodedata.normalize("NFKD", text)
-    out = []
-    for ch in t:
-        cat = unicodedata.category(ch)
-        if cat in ("So", "Sk", "Cs", "Co", "Cn"):  # emoji/symbols/surrogates
-            continue
-        if cat.startswith("M"):  # combining marks from NFKD
-            continue
-        out.append(ch)
-    s = "".join(out)
-    s = " ".join(s.split())
-    if s and s[-1] not in ".!?;:,":
-        s = s + "."
+    """Exact port of the reference preprocessing (processor.rs:61-125):
+    NFKD → emoji-range removal → ordered replacement table → special-symbol
+    strip → whitespace collapse + trim → wide terminal-punctuation check →
+    lang validation → ``<lang>…</lang>`` wrap. Byte-identical output to the
+    reference on the same input is the contract (tests/test_text_parity.py);
+    no extra Unicode-category stripping happens on this path, because any
+    deviation changes token ids on the real unicode_indexer.json."""
+    s = unicodedata.normalize("NFKD", text)
+    s = _EMOJI_RE.sub("", s)
+    for src, dst in _REPLACEMENTS:
+        s = s.replace(src, dst)
+    for sym in _SPECIAL_STRIP:
+        s = s.replace(sym, "")
+    # defensive only: lone surrogates can't round-trip UTF-8 (Rust &str can
+    # never contain them, so parity is unaffected)
+    s = "".join(ch for ch in s if not 0xD800 <= ord(ch) <= 0xDFFF)
+    s = _WS_RE.sub(" ", s).strip()
+    if s and not _ENDS_WITH_PUNCT.search(s):
+        s += "."
+    if not is_valid_lang(lang):
+        raise ValueError(
+            f"Invalid language: {lang}. Available: {list(AVAILABLE_LANGS)}"
+        )
     return f"<{lang}>{s}</{lang}>"
 
 
