@@ -93,7 +93,22 @@ class _Match:
         self.matched.add(idx)
         self.claimed.update(n for n in out_names if n)
 
+    def thru_identity(self, name):
+        """Follow (and claim) a chain of single-consumer Identity nodes —
+        real FunASR/optimizer exports interleave them freely; they must not
+        break a structural match. Multi-consumer Identities stop the chain
+        (the bail-vs-fuse decision then falls to the normal rules)."""
+        while True:
+            c = self.cons(name)
+            if len(c) != 1 or self.nodes[c[0]].op_type != "Identity":
+                return name
+            j = c[0]
+            out = self.nodes[j].output[0]
+            self.take(j, out)
+            name = out
+
     def only_consumer(self, name, op_type):
+        name = self.thru_identity(name)
         c = self.cons(name)
         if len(c) != 1:
             return None
@@ -110,6 +125,7 @@ class _Match:
         """src → DQL → MatMulInteger → Cast → Mul(a_s·w_s) → Add bias.
         Returns dict(w i8 [K,N], ws f32 [N or 1], b f32 [N], out) or None."""
         nodes = self.nodes
+        src = self.thru_identity(src)
         dql = next(
             ((j, nodes[j]) for j in self.cons(src)
              if nodes[j].op_type == "DynamicQuantizeLinear"

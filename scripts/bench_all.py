@@ -46,6 +46,10 @@ def main():
         "compiled_sensevoice_rtf_int8": (
             lambda: bench.bench_compiled_sensevoice(pcm, audio_s, on_tpu),
             0.0256, 0.0294),
+        "compiled_sensevoice_rtf_int8_unfused": (
+            lambda: bench.bench_compiled_sensevoice(
+                pcm, audio_s, on_tpu, fused=False),
+            0.0256, 0.0294),
         "sensevoice_rtf_w4a16": (
             lambda: bench.bench_sensevoice_w4(pcm, audio_s), 0.0256, 0.0294),
         "silero_rtf": (
