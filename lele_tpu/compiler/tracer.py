@@ -83,6 +83,22 @@ def _is_static(v) -> bool:
     return v is None or isinstance(v, (np.ndarray, np.generic))
 
 
+def _reject_optionals(where: str, values) -> None:
+    """Optionals are trace-time wrappers (ops/extra_ops.OptionalVal); they
+    cannot flow through lax.cond branches or while_loop carries. Raise the
+    actionable error instead of an opaque JAX pytree failure (ADVICE r3)."""
+    from ..ops.extra_ops import OptionalVal
+
+    if any(isinstance(v, OptionalVal) for v in values):
+        raise NotImplementedError(
+            f"{where} carry an ONNX optional: optional values must be "
+            "resolved statically (OptionalHasElement folds at trace time); "
+            "dynamic branches/loops cannot carry optionals. Hint: hoist the "
+            "Optional construction out of the subgraph or make its "
+            "condition static."
+        )
+
+
 @dataclass
 class TraceState:
     mode: str  # "discover" | "final"
@@ -227,6 +243,7 @@ class GraphTracer:
                 outs = self._walk_graph(
                     state, g, ChainMap({}, env), if_scope + f"/{btag}/"
                 )
+                _reject_optionals("If branch outputs", outs)
                 return tuple(
                     jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
                 if _is_static(o) else o
@@ -280,6 +297,7 @@ class GraphTracer:
         m_in = env[node.input[0]] if node.input[0] else None
         cond_in = env[node.input[1]] if len(node.input) > 1 and node.input[1] else None
         v_init = [env[n] for n in node.input[2:]]
+        _reject_optionals("Loop carried inputs", v_init)
 
         max_iter = (
             # clamp, don't cast: exporters encode while-loops as
@@ -305,6 +323,7 @@ class GraphTracer:
             for name, v in zip(body_in_names[2:], vs):
                 benv[name] = v
             outs = self._walk_graph(state, body, benv, loop_scope)
+            _reject_optionals("Loop body outputs", outs)
             conv = [
                 jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
                 if _is_static(o) else o
@@ -477,6 +496,7 @@ class GraphTracer:
             for name, v in zip(body_in_names[2:], vs):
                 benv[name] = v
             outs = self._walk_graph(state, body, benv, loop_scope)
+            _reject_optionals("Loop body outputs", outs)
             conv = [
                 jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
                 if _is_static(o) else o

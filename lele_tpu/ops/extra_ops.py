@@ -632,7 +632,11 @@ def max_roi_pool(ctx: OpContext, x, rois):
 
     def one_roi(roi):
         b = roi[0].astype(jnp.int32)
-        x1, y1, x2, y2 = jnp.round(roi[1:] * scale)
+        # half-away-from-zero (onnxruntime std::round), NOT jnp.round's
+        # half-to-even: with spatial_scale like 1/16 coords hit exact .5
+        # and the window would shift a pixel. ONNX ROI coords are >= 0, so
+        # floor(v + 0.5) is exactly round-half-away-from-zero here.
+        x1, y1, x2, y2 = jnp.floor(roi[1:] * scale + 0.5)
         roi_h = jnp.maximum(y2 - y1 + 1.0, 1.0)
         roi_w = jnp.maximum(x2 - x1 + 1.0, 1.0)
         ib = jnp.arange(ph, dtype=jnp.float32)
@@ -645,12 +649,21 @@ def max_roi_pool(ctx: OpContext, x, rois):
         xs = jnp.arange(W, dtype=jnp.float32)
         my = (ys[None, :] >= hs[:, None]) & (ys[None, :] < he[:, None])
         mx = (xs[None, :] >= ws[:, None]) & (xs[None, :] < we[:, None])
-        m = my[:, None, :, None] & mx[None, :, None, :]  # [ph,pw,H,W]
-        v = jnp.where(m[None], x[b][:, None, None], neg)  # [C,ph,pw,H,W]
-        out = jnp.max(v, axis=(-2, -1))
-        return jnp.where(jnp.any(m, axis=(-2, -1))[None], out, 0.0)
+        # SEPARABLE masked max — rows then cols — so the worst-case
+        # intermediate is [ph,C,H,W] then [ph,pw,C,W], never the
+        # [C,ph,pw,H,W] full-plane product (O(100 GB) at detector sizes,
+        # R~300/C=256/14x14/50x50, if XLA declined to fuse it)
+        xb = x[b]  # [C,H,W]
+        rowm = jnp.where(my[:, None, :, None], xb[None], neg).max(axis=2)
+        v = jnp.where(mx[None, :, None, :], rowm[:, None], neg).max(axis=-1)
+        out = jnp.transpose(v, (2, 0, 1))  # [C,ph,pw]
+        nonempty = jnp.any(my, axis=-1)[:, None] & jnp.any(mx, axis=-1)[None]
+        return jnp.where(nonempty[None], out, 0.0)
 
-    return jax.vmap(one_roi)(rois)  # [R, C, ph, pw]
+    # sequential over ROIs (lax.map): peak live memory stays one ROI's
+    # intermediates instead of R× them — ROI counts are runtime-sized and
+    # this op is postprocessing-scale, not the hot path
+    return jax.lax.map(one_roi, rois)  # [R, C, ph, pw]
 
 
 # -- optionals (trace-time maybe-values) ----------------------------------------

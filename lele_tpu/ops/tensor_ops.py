@@ -595,6 +595,15 @@ def compress(ctx: OpContext, data, condition):
         "Select with a constant mask, or Where + fixed-size postprocess.")
     idx = np.nonzero(cond.reshape(-1).astype(bool))[0]
     axis = ctx.attr("axis")
+    # a True past the data extent is an invalid model: numpy raises on the
+    # fold path, so the trace path must too (jnp.take would silently clamp
+    # and duplicate the last element — divergent invalid-model behavior)
+    extent = (int(np.prod(np.shape(data))) if axis is None
+              else int(np.shape(data)[int(axis)]))
+    if idx.size and int(idx.max()) >= extent:
+        raise ValueError(
+            f"Compress: condition marks index {int(idx.max())} but the "
+            f"compressed axis has extent {extent}")
     if axis is None:
         return ctx.xp.take(ctx.xp.reshape(data, (-1,)), idx, axis=0)
     return ctx.xp.take(data, idx, axis=int(axis))
