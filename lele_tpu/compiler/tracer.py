@@ -197,18 +197,27 @@ class GraphTracer:
             # RandomNormal/RandomUniform, SequenceEmpty) are excluded: they
             # must trace into the program (the dynamic path below), not
             # materialize at trace time.
-            ctx = make_ctx(jnp, node, self.opset, tracer=self)
-            conv_ins = [
-                jnp.asarray(_canon_np(np.asarray(v), strict=self.strict))
-                if v is not None else None
-                for v in ins
-            ]
-            out = emitter(ctx, *conv_ins)
-            from ..ops.extra_ops import OptionalVal
+            import jax
 
-            if isinstance(out, (TensorSeq, OptionalVal)):
-                return out  # sequence/optional values stay host-level
-            return _np_ify(out)
+            ctx = make_ctx(jnp, node, self.opset, tracer=self)
+            # this walk runs INSIDE an eval_shape/jit trace, where jax
+            # primitives stage (produce tracers) even on concrete operands —
+            # ensure_compile_time_eval forces genuine eager evaluation so
+            # the constant subcomputation materializes to host numpy
+            # (found by tests/test_graph_fuzz_families.py: any non-foldable
+            # op on all-initializer inputs used to crash the compile)
+            with jax.ensure_compile_time_eval():
+                conv_ins = [
+                    jnp.asarray(_canon_np(np.asarray(v), strict=self.strict))
+                    if v is not None else None
+                    for v in ins
+                ]
+                out = emitter(ctx, *conv_ins)
+                from ..ops.extra_ops import OptionalVal
+
+                if isinstance(out, (TensorSeq, OptionalVal)):
+                    return out  # sequence/optional values stay host-level
+                return _np_ify(out)
         # dynamic: convert static inputs, hoisting large ones to params;
         # shape-position args (static_args) stay host-static for the emitter
         static_pos = set(opdef.static_args) if opdef is not None else set()

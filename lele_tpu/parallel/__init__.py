@@ -7,6 +7,13 @@ inserts the ICI collectives (all-gather / reduce-scatter / psum).
 """
 
 from .mesh import make_mesh, mesh_axes  # noqa: F401
+from .planner import (  # noqa: F401
+    EncoderSpec,
+    plan_encoder,
+    plan_mesh,
+    recommend_plan,
+    recommend_serving_plan,
+)
 from .sharding import (  # noqa: F401
     batch_sharding,
     replicate,

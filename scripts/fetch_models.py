@@ -55,10 +55,11 @@ def sha256_of(path: Path) -> str:
     return h.hexdigest()
 
 
-def fetch_family(name: str, spec: dict, update_lock: bool) -> list[tuple]:
+def fetch_family(name: str, spec: dict, update_lock: bool,
+                 root: Path = ROOT) -> list[tuple]:
     """Returns [(dest, status, detail)]; status ∈ ok | verified | failed |
     hash-mismatch | recorded | needs-export."""
-    out_dir = ROOT / "examples" / name
+    out_dir = root / "examples" / name
     rows = []
     for entry in spec["files"]:
         dest = out_dir / entry["dest"]
@@ -117,9 +118,15 @@ def main() -> int:
                     help="exit 1 if any DOWNLOADABLE file failed or a pin "
                          "mismatched (with-network CI mode; export-recipe "
                          "families are informational either way)")
+    ap.add_argument("--lock", default=str(LOCK),
+                    help="lock file path (tests point this at a temp copy)")
+    ap.add_argument("--root", default=str(ROOT),
+                    help="tree root: files land in <root>/examples/<family>")
     args = ap.parse_args()
 
-    lock = json.loads(LOCK.read_text())
+    lock_path = Path(args.lock)
+    root = Path(args.root)
+    lock = json.loads(lock_path.read_text())
     fams = {k: v for k, v in lock.items() if not k.startswith("_")}
     names = args.families or list(fams)
     bad = False
@@ -128,7 +135,7 @@ def main() -> int:
             print(f"unknown family {name!r} (have: {', '.join(fams)})")
             return 2
         spec = fams[name]
-        rows = fetch_family(name, spec, args.update_lock)
+        rows = fetch_family(name, spec, args.update_lock, root=root)
         print(f"[{name}] source={spec['source']}"
               + (f" repo={spec.get('repo')}" if spec.get("repo") else ""))
         for dest, status, detail in rows:
@@ -142,8 +149,8 @@ def main() -> int:
             for line in spec.get("recipe", []):
                 print(f"    $ {line}")
     if args.update_lock:
-        LOCK.write_text(json.dumps(lock, indent=2) + "\n")
-        print(f"lock updated: {LOCK}")
+        lock_path.write_text(json.dumps(lock, indent=2) + "\n")
+        print(f"lock updated: {lock_path}")
     if bad and not args.strict:
         print("\n(some files unavailable — fine without network egress; "
               "rerun when online, or follow the export recipes above)")
