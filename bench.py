@@ -212,6 +212,10 @@ def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool, fused: bool = True):
         tmp = path.with_suffix(".onnx.tmp")
         tmp.write_bytes(build_sanm_int8_model(**dims, int8_head=True))
         tmp.replace(path)
+    # the env guard must cover the WHOLE measurement: the traced walk_fn
+    # re-runs the pattern pass at every jit trace, so restoring the env
+    # before _chain_slope would silently re-enable fusion inside the
+    # timing program (and mislabel a fused number as the bailed floor)
     prev_fuse = os.environ.get("LELE_SANM_FUSE")
     if not fused:
         os.environ["LELE_SANM_FUSE"] = "0"
@@ -224,32 +228,33 @@ def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool, fused: bool = True):
         ).shape[0]
         t_pad = -(-t // sv.FRAME_BUCKET) * sv.FRAME_BUCKET
         cm = sv._compiled(t_pad)
+        want_hits = (dims["L"] if (on_tpu and fused) else 0)
+        assert cm.stats["pattern_hits"].get("sanm_fused_layers", 0) == \
+            want_hits, cm.stats["pattern_hits"]
+
+        def run(params, pcm_in):
+            feats = fbank_features(pcm_in, fb.config, fb.window, fb.mel_t)
+            padded = jnp.zeros((1, t_pad, feats.shape[-1]), feats.dtype)
+            padded = jax.lax.dynamic_update_slice(
+                padded, feats[None].astype(padded.dtype), (0, 0, 0))
+            outs = cm._walk_fn(params, {
+                "speech": padded,
+                "speech_lengths": jnp.asarray(
+                    [t], cm._canon["speech_lengths"]),
+                "language": jnp.asarray([3], cm._canon["language"]),
+                "textnorm": jnp.asarray([0], cm._canon["textnorm"]),
+            })
+            return outs  # ALL outputs — no leaf may be DCE'd
+
+        steady = _chain_slope(
+            lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm)
+        )
     finally:
         if not fused:
             if prev_fuse is None:
                 os.environ.pop("LELE_SANM_FUSE", None)
             else:
                 os.environ["LELE_SANM_FUSE"] = prev_fuse
-    want_hits = (dims["L"] if (on_tpu and fused) else 0)
-    assert cm.stats["pattern_hits"].get("sanm_fused_layers", 0) == \
-        want_hits, cm.stats["pattern_hits"]
-
-    def run(params, pcm_in):
-        feats = fbank_features(pcm_in, fb.config, fb.window, fb.mel_t)
-        padded = jnp.zeros((1, t_pad, feats.shape[-1]), feats.dtype)
-        padded = jax.lax.dynamic_update_slice(
-            padded, feats[None].astype(padded.dtype), (0, 0, 0))
-        outs = cm._walk_fn(params, {
-            "speech": padded,
-            "speech_lengths": jnp.asarray([t], cm._canon["speech_lengths"]),
-            "language": jnp.asarray([3], cm._canon["language"]),
-            "textnorm": jnp.asarray([0], cm._canon["textnorm"]),
-        })
-        return outs  # ALL outputs — no leaf may be DCE'd from the timing
-
-    steady = _chain_slope(
-        lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm)
-    )
     return steady / audio_s
 
 
