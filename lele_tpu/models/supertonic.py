@@ -207,7 +207,12 @@ def prepare_chunks(text: str, lang: str = "en", max_len: int = 300) -> list[str]
 
 
 def chunk_text(text: str, max_len: int = 300) -> list[str]:
-    """Sentence-boundary chunking at ~max_len chars (processor.rs:193-217)."""
+    """Sentence-boundary chunking at ~max_len chars (processor.rs:193-217).
+
+    Deliberate improvement over the reference: processor.rs splits on
+    paragraph breaks and then TRUNCATES any over-long paragraph at max_len
+    bytes ("Very simple split for now" — text is dropped); we split at
+    sentence punctuation so every character is synthesized."""
     if len(text) <= max_len:
         return [text]
     chunks, cur = [], ""
