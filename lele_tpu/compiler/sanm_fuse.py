@@ -85,6 +85,22 @@ class _Match:
         self.cons_map, _, self.captured = _dataflow_index(tracer, nodes)
         self.claimed: set[str] = set()   # intermediate output names
         self.matched: set[int] = set()   # node indices consumed
+        # real exporters (torch.onnx) feed Reshape shapes / Div scales from
+        # Constant nodes placed just before use — at match time those sit
+        # AFTER the current walk position, so env doesn't hold them yet.
+        # Resolve them structurally (the node itself is left unmatched; the
+        # interleaved-trace loop evaluates it for the per-op consumers).
+        self._consts = {
+            n.output[0]: n for n in nodes
+            if n.op_type == "Constant" and n.output
+        }
+        self._producer = {
+            out: j for j, n in enumerate(nodes) for out in n.output if out
+        }
+        # known static shapes of CLAIMED intermediates (not in env at match
+        # time) — lets resolve_static fold Shape(...) chains, the idiom
+        # torch.onnx emits for tensor.chunk() boundaries
+        self.shape_hints: dict[str, tuple] = {}
 
     def cons(self, name):
         return self.cons_map.get(name, [])
@@ -117,7 +133,186 @@ class _Match:
 
     def static(self, name):
         v = self.env.get(name)
-        return np.asarray(v) if v is not None and _is_static(v) else None
+        if v is not None and _is_static(v):
+            return np.asarray(v)
+        n = self._consts.get(name)
+        if n is not None:
+            from ..onnx.loader import tensor_to_array
+
+            for a in n.attribute:
+                if a.name == "value" and a.has("t"):
+                    return tensor_to_array(a.t)
+        return None
+
+    def resolve_static(self, name, chain: set | None = None, depth: int = 0):
+        """Fold a pure not-yet-traced producer chain to a numpy value.
+
+        torch.onnx computes slice boundaries, reshape targets, etc. through
+        Shape → Gather → Add/Div/Mul chains over tensors that are INTERNAL
+        to the layer being matched — env can't hold them at match time, but
+        their values are fully static (shapes are static under the tracer).
+        Folds the small op vocabulary such chains use; `chain` collects the
+        producer node indices so the caller can claim them (Constant nodes
+        are left out — they may feed ops outside the match and are free to
+        re-trace). Returns None on anything unresolvable."""
+        v = self.static(name)
+        if v is not None:
+            return v
+        if depth > 48:
+            return None
+        j = self._producer.get(name)
+        if j is None:
+            return None
+        n = self.nodes[j]
+        op = n.op_type
+        if op == "Shape":
+            shp = self.shape_hints.get(n.input[0])
+            if shp is None:
+                ev = self.env.get(n.input[0])
+                if ev is not None and not _is_static(ev) \
+                        and hasattr(ev, "shape"):
+                    shp = tuple(ev.shape)
+            if shp is None:
+                return None
+            arr = np.asarray(shp, np.int64)
+            start = int(_node_attr(n, "start", 0))
+            end = _node_attr(n, "end", None)
+            arr = arr[start:(None if end is None else int(end))]
+            if chain is not None:
+                chain.add(j)
+            return arr
+        ins = []
+        for nm in n.input:
+            if not nm:
+                ins.append(None)
+                continue
+            iv = self.resolve_static(nm, chain, depth + 1)
+            if iv is None:
+                return None
+            ins.append(iv)
+        out = self._fold_pure(n, ins)
+        if out is None:
+            return None
+        if chain is not None:
+            chain.add(j)
+        return out
+
+    @staticmethod
+    def _fold_pure(n, ins):
+        """numpy fold of one shape-arithmetic op (ONNX semantics)."""
+        op = n.op_type
+        a = ins[0] if ins else None
+        try:
+            if op == "Identity":
+                return a
+            if op == "Gather":
+                ax = int(_node_attr(n, "axis", 0))
+                return np.take(a, np.asarray(ins[1], np.int64), axis=ax)
+            if op in ("Add", "Sub", "Mul"):
+                f = {"Add": np.add, "Sub": np.subtract,
+                     "Mul": np.multiply}[op]
+                return f(a, ins[1])
+            if op == "Div":
+                b = ins[1]
+                if np.issubdtype(np.asarray(a).dtype, np.integer):
+                    # ONNX integer Div truncates toward zero
+                    aa, bb = np.asarray(a), np.asarray(b)
+                    return (np.sign(aa) * np.sign(bb)
+                            * (np.abs(aa) // np.abs(bb))).astype(aa.dtype)
+                return np.divide(a, b)
+            if op == "Neg":
+                return np.negative(a)
+            if op == "Unsqueeze":
+                axes = ins[1] if len(ins) > 1 and ins[1] is not None \
+                    else _node_attr(n, "axes", [0])
+                out = np.asarray(a)
+                for ax in sorted(int(x) for x in np.reshape(axes, (-1,))):
+                    out = np.expand_dims(out, ax)
+                return out
+            if op == "Squeeze":
+                axes = ins[1] if len(ins) > 1 and ins[1] is not None \
+                    else _node_attr(n, "axes", None)
+                if axes is None:
+                    return np.squeeze(np.asarray(a))
+                return np.squeeze(
+                    np.asarray(a),
+                    tuple(int(x) for x in np.reshape(axes, (-1,))))
+            if op == "Concat":
+                ax = int(_node_attr(n, "axis", 0))
+                return np.concatenate([np.atleast_1d(x) for x in ins], ax)
+            if op == "Cast":
+                from ..onnx.loader import DTYPE_MAP
+
+                to = DTYPE_MAP.get(int(_node_attr(n, "to", 1)))
+                return None if to is None else np.asarray(a).astype(to)
+            if op == "Slice" and len(ins) >= 3:
+                data = np.asarray(a)
+                starts = np.reshape(ins[1], (-1,)).astype(np.int64)
+                ends = np.reshape(ins[2], (-1,)).astype(np.int64)
+                axes = (np.reshape(ins[3], (-1,)).astype(np.int64)
+                        if len(ins) > 3 and ins[3] is not None
+                        else np.arange(len(starts)))
+                steps = (np.reshape(ins[4], (-1,)).astype(np.int64)
+                         if len(ins) > 4 and ins[4] is not None
+                         else np.ones(len(starts), np.int64))
+                ix = [slice(None)] * data.ndim
+                for s, e, ax, st in zip(starts, ends, axes, steps):
+                    ix[int(ax)] = slice(int(s), int(e), int(st))
+                return data[tuple(ix)]
+        except Exception:
+            return None
+        return None
+
+    def slice_split(self, src: str, D: int):
+        """torch.onnx's chunk() form of the qkv split: three Slice nodes on
+        `src` at boundaries [0,D),[D,2D),[2D,3D) over the last axis, fed by
+        a Shape-arithmetic boundary chain. Returns (q,k,v) names or None;
+        claims the Slices AND the boundary chain."""
+        src = self.thru_identity(src)
+        slices = [
+            (j, self.nodes[j]) for j in self.cons(src)
+            if self.nodes[j].op_type == "Slice"
+            and self.nodes[j].input[0] == src
+        ]
+        if len(slices) != 3:
+            return None
+        chain: set[int] = set()
+        bounds = []
+        for j, n in slices:
+            if len(n.input) < 3:
+                return None
+            starts = self.resolve_static(n.input[1], chain)
+            ends = self.resolve_static(n.input[2], chain)
+            axes = (self.resolve_static(n.input[3], chain)
+                    if len(n.input) > 3 and n.input[3] else None)
+            steps = (self.resolve_static(n.input[4], chain)
+                     if len(n.input) > 4 and n.input[4] else None)
+            if starts is None or ends is None or starts.size != 1 \
+                    or ends.size != 1:
+                return None
+            if axes is not None and (
+                axes.size != 1 or int(axes.reshape(-1)[0]) not in (2, -1)
+            ):
+                return None
+            if axes is None:
+                return None  # axes-less Slice over all dims — not this form
+            if steps is not None and (
+                steps.size != 1 or int(steps.reshape(-1)[0]) != 1
+            ):
+                return None
+            bounds.append((int(starts.reshape(-1)[0]),
+                           int(ends.reshape(-1)[0]), j, n))
+        bounds.sort()
+        want = [(0, D), (D, 2 * D), (2 * D, 3 * D)]
+        for (s, e, _, _), (ws, we) in zip(bounds, want):
+            # the final end may be clamp-form (INT64_MAX etc.)
+            if s != ws or (e != we and not (we == 3 * D and e >= 3 * D)):
+                return None
+        for _, _, j, n in bounds:
+            self.take(j, n.output[0])
+        for j in chain:
+            self.take(j, *self.nodes[j].output)
+        return tuple(n.output[0] for _, _, _, n in bounds)
 
     # -- sub-matchers -------------------------------------------------------
 
@@ -264,21 +459,28 @@ class _Match:
         qkv = self.dql_linear(ln1.output[0])
         if qkv is None or qkv["wq"].shape != (D, 3 * D):
             return None
+        self.shape_hints[qkv["out"]] = (1, T, 3 * D)
         sp = self.only_consumer(qkv["out"], "Split")
-        if sp is None:
-            return None
-        js, split = sp
-        if len(split.output) != 3 or int(_node_attr(split, "axis", 0)) \
-                not in (2, -1):
-            return None
-        sizes = _node_attr(split, "split", None)
-        if sizes is None and len(split.input) > 1 and split.input[1]:
-            sv = self.static(split.input[1])
-            sizes = sv.reshape(-1).tolist() if sv is not None else [-1]
-        if sizes is not None and list(sizes) != [D, D, D]:
-            return None
-        q_n, k_n, v_n = split.output
-        self.take(js, q_n, k_n, v_n)
+        if sp is not None:
+            js, split = sp
+            if len(split.output) != 3 or int(_node_attr(split, "axis", 0)) \
+                    not in (2, -1):
+                return None
+            sizes = _node_attr(split, "split", None)
+            if sizes is None and len(split.input) > 1 and split.input[1]:
+                sv = self.static(split.input[1])
+                sizes = sv.reshape(-1).tolist() if sv is not None else [-1]
+            if sizes is not None and list(sizes) != [D, D, D]:
+                return None
+            q_n, k_n, v_n = split.output
+            self.take(js, q_n, k_n, v_n)
+        else:
+            # torch.onnx exports tensor.chunk() as 3 Slices + a
+            # Shape-arithmetic boundary chain
+            names = self.slice_split(qkv["out"], D)
+            if names is None:
+                return None
+            q_n, k_n, v_n = names
 
         qh = self.head_path(q_n, (0, 2, 1, 3))
         kh = self.head_path(k_n, (0, 2, 3, 1))
