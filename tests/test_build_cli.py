@@ -149,6 +149,40 @@ def test_cli_main_errors(tmp_path):
     assert main(["/nonexistent/model.onnx", str(tmp_path)]) != 0
 
 
+def test_cli_quantize_dynamic_flag(tmp_path):
+    """--quantize-dynamic rewrites the model to int8 DQL form, writes the
+    quantized .onnx next to the artifact, and the compiled wrapper still
+    computes relu(x @ w) within quantization noise."""
+    from lele_tpu.cli import main
+    from lele_tpu.onnx import schema
+
+    onnx_path = tmp_path / "toy_model.onnx"
+    w = _write_toy_onnx(onnx_path)
+    out = tmp_path / "gen"
+    rc = main([str(onnx_path), str(out), "ToyQ", "--quantize-dynamic"])
+    assert rc == 0
+    qpath = out / "toy_model.int8.onnx"
+    assert qpath.exists()
+    ops = [n.op_type for n in
+           schema.decode_model(qpath.read_bytes()).graph.node]
+    assert "MatMulInteger" in ops and "MatMul" not in ops
+    sys.path.insert(0, str(out))
+    try:
+        import importlib
+
+        mod = importlib.import_module("ToyQ")
+        importlib.reload(mod)
+        model = mod.ToyQ()
+        x = np.random.default_rng(5).standard_normal((2, 8)).astype(
+            np.float32)
+        (y,) = model.forward(x)
+        # K=8 fan-in, unit-std weights: outputs are O(3), and u8 dynamic
+        # activation quantization carries ~1e-2-scale noise per element
+        np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=0.15)
+    finally:
+        sys.path.remove(str(out))
+
+
 def test_cli_sanitize_name():
     from lele_tpu.cli import sanitize_name
 
