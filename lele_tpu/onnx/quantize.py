@@ -65,6 +65,17 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
     """Rewrite float MatMul/Gemm (initializer weights) to the dynamic-u8 ×
     static-i8 DQL form. Returns new ModelProto bytes."""
     raw = schema.decode_model(data).raw()
+    # DynamicQuantizeLinear needs opset 11 (MatMulInteger 10). Bumping the
+    # declared opset ourselves would silently change the meaning of pre-11
+    # attribute-form ops (Pad/Slice/...) elsewhere in the graph — refuse
+    # instead, like ORT's quantizer does for old opsets.
+    for op_imp in raw.get("opset_import", []):
+        if not op_imp.get("domain") and int(op_imp.get("version", 0)) < 11:
+            raise ValueError(
+                "quantize_dynamic needs opset >= 11 (DynamicQuantizeLinear); "
+                f"model declares opset {op_imp.get('version')} — re-export "
+                "with a newer opset_version"
+            )
     g = raw["graph"]
     nodes: list[dict] = list(g.get("node", []))
     inits = {t.get("name", ""): t for t in g.get("initializer", [])}
@@ -93,8 +104,12 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
             dql_cache[src] = (q, s, z)
         return dql_cache[src]
 
-    def quant_weight(wname: str, w: np.ndarray) -> tuple[str, str, str]:
-        if wname not in wq_cache:
+    def quant_weight(wname: str, w: np.ndarray,
+                     transposed: bool) -> tuple[str, str, str]:
+        # cache key carries the orientation: a weight shared by MatMul and
+        # Gemm(transB=1) needs two int8 copies, not one reused wrongly
+        key = f"{wname}|T" if transposed else wname
+        if key not in wq_cache:
             wq, ws = quantize_weight_int8(w)
             qn, sn, zn = (fresh(f"{wname}_quant"), fresh(f"{wname}_wscale"),
                           fresh(f"{wname}_wzp"))
@@ -103,13 +118,14 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
                 ob.tensor_from_array(np.float32(ws).reshape(()), sn))
             new_inits.append(
                 ob.tensor_from_array(np.zeros((), np.int8), zn))
-            wq_cache[wname] = (qn, sn, zn)
-        return wq_cache[wname]
+            wq_cache[key] = (qn, sn, zn)
+        return wq_cache[key]
 
     def emit_quant_linear(src: str, wname: str, w: np.ndarray,
-                          out: str, bias: str | None) -> None:
+                          out: str, bias: str | None,
+                          transposed: bool = False) -> None:
         xq, xs, xz = dql(src)
-        wqn, wsn, wzn = quant_weight(wname, w)
+        wqn, wsn, wzn = quant_weight(wname, w, transposed)
         mm = fresh(f"{out}_i32")
         out_nodes.append(
             ob.node("MatMulInteger", [xq, wqn, xz, wzn], [mm]))
@@ -155,12 +171,14 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
                 and attr_f(n, "beta", 1.0) == 1.0
             )
             if ok:
-                if attr_i(n, "transB", 0):
+                transposed = bool(attr_i(n, "transB", 0))
+                if transposed:
                     w = np.ascontiguousarray(w.T)
                 bias = n["input"][2] if len(n["input"]) > 2 and \
                     n["input"][2] else None
                 emit_quant_linear(n["input"][0], n["input"][1], w,
-                                  n["output"][0], bias=bias)
+                                  n["output"][0], bias=bias,
+                                  transposed=transposed)
                 consumed_weights[n["input"][1]] = \
                     consumed_weights.get(n["input"][1], 0) + 1
                 continue
@@ -183,6 +201,12 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
     g["initializer"] = [
         t for t in g.get("initializer", []) if not gone(t.get("name", ""))
     ] + new_inits
+    # exports with keep_initializers_as_inputs also LIST weights in
+    # graph.input — a dropped weight must leave that list too, or it
+    # becomes a required runtime input
+    if g.get("input"):
+        g["input"] = [vi for vi in g["input"]
+                      if not gone(vi.get("name", ""))]
     return schema.encode_message(raw, "ModelProto")
 
 

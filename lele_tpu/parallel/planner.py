@@ -191,6 +191,11 @@ def recommend_plan(
     for p in plans:
         if p.fits_hbm and not p.notes:
             return p
+    # degrade in order: fitting-but-noted (slower tiling beats an OOM),
+    # then fastest overall (nothing fits — caller sees fits_hbm=False)
+    for p in plans:
+        if p.fits_hbm:
+            return p
     if not plans:
         raise ValueError(
             f"no dp·tp·sp factorization of {n_chips} divides "

@@ -97,6 +97,24 @@ def test_hbm_capacity_gate():
     assert all(not p.fits_hbm for p in tp1)
 
 
+def test_recommend_prefers_fitting_plan_over_fast_oom():
+    """When every note-free plan is out of HBM but a NOTED plan fits,
+    recommend_plan must return the fitting one — a slower tiling beats an
+    OOM (review finding: the fallback used to return the fastest plan
+    regardless of fits_hbm while a fitting plan existed)."""
+    from lele_tpu.parallel.planner import recommend_plan
+
+    # ~68 GB f32 weights on 8 v5e chips: only tp=8 fits, and tp=8 on
+    # d_model=512 leaves 64 < 128 lanes — the sub-lane-tile note
+    big = EncoderSpec(n_layers=250, d_model=512, ffn=65536, vocab=32000,
+                      batch=8, seq=96, weight_bytes=4)
+    plans = plan_encoder(big, 8)
+    assert not any(p.fits_hbm and not p.notes for p in plans)
+    assert any(p.fits_hbm for p in plans)  # premise: a noted plan fits
+    pick = recommend_plan(big, 8)
+    assert pick.fits_hbm
+
+
 def test_bound_labels_match_terms():
     m = EncoderSpec(batch=8, seq=96)
     for p in plan_encoder(m, 8):

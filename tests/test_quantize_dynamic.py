@@ -144,6 +144,86 @@ def test_weight_grid_is_ort_symmetric():
     assert ws0 == 1.0 and not wq0.any()
 
 
+def test_shared_weight_two_orientations(tmp_path):
+    """A weight consumed by BOTH MatMul(x, W) and Gemm(y, W, transB=1)
+    needs two int8 copies — the cache must key on orientation, not name
+    (review finding: the Gemm path got the untransposed copy back)."""
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((16, 24)).astype(np.float32)  # non-square
+    x = rng.standard_normal((3, 16)).astype(np.float32)
+    y = rng.standard_normal((3, 24)).astype(np.float32)
+    nodes = [
+        ob.node("MatMul", ["x", "w"], ["a"]),          # [3,16]@[16,24]
+        ob.node("Gemm", ["y", "w"], ["b"], transB=1),  # [3,24]@[24,16]
+        ob.node("Flatten", ["a"], ["af"]),
+        ob.node("Flatten", ["b"], ["bf"]),
+        ob.node("Concat", ["af", "bf"], ["out"], axis=1),
+    ]
+    data = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [3, 16]), ob.value_info("y", 1, [3, 24])],
+        outputs=[ob.value_info("out", 1, [3, 120])],
+        initializers=[ob.tensor_from_array(w, "w")],
+    )
+    qdata = quantize_dynamic(data)
+    cm = compile_model(str(_write(tmp_path, qdata)))
+    out = np.asarray(cm.run_np(x, y)[0])
+    want = np.concatenate(
+        [(x @ w).reshape(3, -1), (y @ w.T).reshape(3, -1)], axis=1)
+    np.testing.assert_allclose(out, want, atol=0.15, rtol=0)
+
+
+def test_initializers_as_inputs_export(tmp_path):
+    """keep_initializers_as_inputs exports list weights in graph.input —
+    the dropped float weight must leave that list too, or it becomes a
+    required runtime input (review finding)."""
+    from lele_tpu.onnx.loader import OnnxModel
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc = nn.Linear(32, 16)
+
+        def forward(self, x):
+            return self.fc(x)
+
+    torch.manual_seed(7)
+    x = torch.randn(1, 4, 32)
+    model = M().eval()
+    path = str(tmp_path / "kii.onnx")
+    with torch.no_grad():
+        torch.onnx.export(model, (x,), path, opset_version=17, dynamo=False,
+                          keep_initializers_as_inputs=True,
+                          input_names=["x"])
+        want = model(x).numpy()
+    with open(path, "rb") as f:
+        qdata = quantize_dynamic(f.read())
+    om = OnnxModel.from_bytes(qdata)
+    assert om.input_names() == ["x"], om.input_names()
+    cm = compile_model(str(_write(tmp_path, qdata)))
+    out = np.asarray(cm.run_np(x.numpy())[0])
+    np.testing.assert_allclose(out, want, atol=0.05, rtol=0)
+
+
+def test_old_opset_refused(tmp_path):
+    """Pre-11 opsets can't host DynamicQuantizeLinear; a silent opset bump
+    would change pre-11 attribute-form op semantics — must refuse."""
+    from lele_tpu.onnx import builder as ob
+
+    w = np.ones((4, 4), np.float32)
+    data = ob.build_model_bytes(
+        [ob.node("MatMul", ["x", "w"], ["y"])],
+        inputs=[ob.value_info("x", 1, [2, 4])],
+        outputs=[ob.value_info("y", 1, [2, 4])],
+        initializers=[ob.tensor_from_array(w, "w")],
+        opset=9,
+    )
+    with pytest.raises(ValueError, match="opset"):
+        quantize_dynamic(data)
+
+
 def test_shared_weight_quantized_once(tmp_path):
     """Two MatMuls sharing one initializer → one quantized copy, and the
     float original is dropped from the model."""
