@@ -183,6 +183,41 @@ def test_cli_quantize_dynamic_flag(tmp_path):
         sys.path.remove(str(out))
 
 
+def test_build_tool_quantize_dynamic(tmp_path):
+    """codegen.quantize = "dynamic" quantizes at build time: the artifact
+    compiles from the int8 rewrite and still computes relu(x @ w)."""
+    from lele_tpu.build_tool import build_model
+    from lele_tpu.onnx import schema
+
+    onnx_path = tmp_path / "toy.onnx"
+    w = _write_toy_onnx(onnx_path)
+    (tmp_path / "model.toml").write_text(
+        '[model]\nsource = "local"\npath = "toy.onnx"\n'
+        '[codegen]\nclass_name = "ToyDyn"\nquantize = "dynamic"\n'
+    )
+    out = tmp_path / "gen"
+    wrapper = build_model(tmp_path / "model.toml", out)
+    assert wrapper.name == "ToyDyn.py"
+    qpath = out / "toy.int8.onnx"
+    assert qpath.exists()
+    ops = [n.op_type for n in
+           schema.decode_model(qpath.read_bytes()).graph.node]
+    assert "MatMulInteger" in ops and "MatMul" not in ops
+    sys.path.insert(0, str(out))
+    try:
+        import importlib
+
+        mod = importlib.import_module("ToyDyn")
+        importlib.reload(mod)
+        model = mod.ToyDyn()
+        x = np.random.default_rng(9).standard_normal((2, 8)).astype(
+            np.float32)
+        (y,) = model.forward(x)
+        np.testing.assert_allclose(y, np.maximum(x @ w, 0), atol=0.15)
+    finally:
+        sys.path.remove(str(out))
+
+
 def test_cli_sanitize_name():
     from lele_tpu.cli import sanitize_name
 
