@@ -63,7 +63,12 @@ def quantize_weight_int8(w: np.ndarray) -> tuple[np.ndarray, float]:
 
 def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
     """Rewrite float MatMul/Gemm (initializer weights) to the dynamic-u8 ×
-    static-i8 DQL form. Returns new ModelProto bytes."""
+    static-i8 DQL form. Returns new ModelProto bytes.
+
+    Pass op_types=("MatMul", "Gemm", "Conv") to also rewrite Conv →
+    ConvInteger (ORT's op_types_to_quantize=['Conv'] analog — opt-in, like
+    ORT, because dynamic activation quantization of conv stacks costs more
+    accuracy than transformer linears)."""
     raw = schema.decode_model(data).raw()
     # DynamicQuantizeLinear needs opset 11 (MatMulInteger 10). Bumping the
     # declared opset ourselves would silently change the meaning of pre-11
@@ -152,8 +157,52 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
                 return float(a.get("f", default))
         return default
 
+    def emit_quant_conv(n: dict, w: np.ndarray) -> None:
+        """Conv(x, W[, B]) → DQL + ConvInteger (attrs carried over) +
+        Cast + Mul(combined scale) + Add(B reshaped [1,M,1...])."""
+        xq, xs, xz = dql(n["input"][0])
+        wqn, wsn, wzn = quant_weight(n["input"][1], w, transposed=False)
+        out = n["output"][0]
+        ci = fresh(f"{out}_i32")
+        out_nodes.append({
+            "op_type": "ConvInteger",
+            "input": [xq, wqn, xz, wzn],
+            "output": [ci],
+            "name": f"ConvInteger_{ci}",
+            "attribute": list(n.get("attribute", [])),
+        })
+        cf = fresh(f"{out}_f32")
+        out_nodes.append(ob.node("Cast", [ci], [cf], to=1))
+        sc = fresh(f"{out}_scales")
+        out_nodes.append(ob.node("Mul", [xs, wsn], [sc]))
+        bias_name = n["input"][2] if len(n["input"]) > 2 and \
+            n["input"][2] else None
+        if bias_name is None:
+            out_nodes.append(ob.node("Mul", [cf, sc], [out]))
+            return
+        b = _weight_array(bias_name, inits, const_nodes)
+        if b is None:
+            raise ValueError(
+                f"Conv bias {bias_name!r} must be a static tensor")
+        brs = fresh(f"{bias_name}_nchw")
+        new_inits.append(ob.tensor_from_array(
+            b.reshape((1, -1) + (1,) * (w.ndim - 2)), brs))
+        dq = fresh(f"{out}_dq")
+        out_nodes.append(ob.node("Mul", [cf, sc], [dq]))
+        out_nodes.append(ob.node("Add", [dq, brs], [out]))
+
     for n in nodes:
         op = n.get("op_type")
+        if op == "Conv" and "Conv" in op_types and len(n["input"]) >= 2:
+            w = _weight_array(n["input"][1], inits, const_nodes)
+            if w is not None and w.ndim >= 3 and w.dtype == np.float32:
+                emit_quant_conv(n, w)
+                consumed_weights[n["input"][1]] = \
+                    consumed_weights.get(n["input"][1], 0) + 1
+                if len(n["input"]) > 2 and n["input"][2]:
+                    consumed_weights[n["input"][2]] = \
+                        consumed_weights.get(n["input"][2], 0) + 1
+                continue
         if op == "MatMul" and "MatMul" in op_types and len(n["input"]) == 2:
             w = _weight_array(n["input"][1], inits, const_nodes)
             if w is not None and w.ndim == 2 and w.dtype == np.float32:

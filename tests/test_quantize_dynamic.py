@@ -130,6 +130,37 @@ def test_dynamic_matmuls_stay_float(tmp_path):
     np.testing.assert_allclose(out, want, atol=0.08, rtol=0)
 
 
+def test_conv_opt_in(tmp_path):
+    """op_types including "Conv" rewrites Conv → ConvInteger with attrs
+    carried over and the bias re-applied as a float [1,M,1,1] Add; Conv is
+    NOT rewritten by default (ORT's opt-in behavior)."""
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(3, 8, 3, padding=1)
+            self.c2 = nn.Conv2d(8, 16, 3, stride=2, padding=1, bias=False)
+
+        def forward(self, x):
+            return self.c2(torch.relu(self.c1(x)))
+
+    torch.manual_seed(8)
+    x = torch.randn(1, 3, 16, 16)
+    data, want = _export(M(), (x,), tmp_path)
+
+    # default: convs untouched
+    assert "ConvInteger" not in _ops(quantize_dynamic(data))
+
+    qdata = quantize_dynamic(data, op_types=("MatMul", "Gemm", "Conv"))
+    ops = _ops(qdata)
+    assert ops.count("ConvInteger") == 2 and "Conv" not in ops
+    cm = compile_model(str(_write(tmp_path, qdata)))
+    out = np.asarray(cm.run_np(x.numpy())[0])
+    assert out.shape == want.shape
+    # two stacked quantized convs: tolerance scales with activation range
+    np.testing.assert_allclose(out, want, atol=0.1, rtol=0)
+
+
 def test_weight_grid_is_ort_symmetric():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((64, 32)).astype(np.float32)
@@ -222,6 +253,88 @@ def test_old_opset_refused(tmp_path):
     )
     with pytest.raises(ValueError, match="opset"):
         quantize_dynamic(data)
+
+
+def test_quantize_fuzz(tmp_path):
+    """Composition fuzz: random MatMul/Gemm/Conv chains (builder-made, no
+    torch) through quantize_dynamic, compiled output vs the float numpy
+    oracle with magnitude-scaled tolerance. Error stays bounded because
+    the chain is linear+ReLU only (no amplifying ops)."""
+    from lele_tpu.onnx import builder as ob
+
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        nodes, inits = [], {}
+        uid = [0]
+
+        def fresh(tag):
+            uid[0] += 1
+            return f"{tag}{uid[0]}"
+
+        kind0 = rng.choice(["mm3", "gemm", "conv"])
+        if kind0 == "conv":
+            C, H = int(rng.integers(2, 6)), int(rng.integers(6, 12))
+            x = rng.standard_normal((1, C, H, H)).astype(np.float32)
+        elif kind0 == "mm3":
+            T, K = int(rng.integers(2, 6)), int(rng.integers(8, 40))
+            x = rng.standard_normal((1, T, K)).astype(np.float32)
+        else:
+            B, K = int(rng.integers(2, 5)), int(rng.integers(8, 40))
+            x = rng.standard_normal((B, K)).astype(np.float32)
+        cur, want = "x", x
+        for step in range(int(rng.integers(1, 4))):
+            kind = kind0 if want.ndim == 4 else rng.choice(
+                ["mm3"] if want.ndim == 3 else ["gemm"])
+            if kind == "conv":
+                M = int(rng.integers(2, 8))
+                w = (rng.standard_normal((M, want.shape[1], 3, 3))
+                     / np.sqrt(9 * want.shape[1])).astype(np.float32)
+                wn, out = fresh("w"), fresh("c")
+                inits[wn] = w
+                nodes.append(ob.node("Conv", [cur, wn], [out],
+                                     pads=[1, 1, 1, 1]))
+                want = torch.conv2d(torch.from_numpy(want),
+                                    torch.from_numpy(w), padding=1).numpy()
+            else:
+                K = want.shape[-1]
+                N = int(rng.integers(8, 40))
+                w = (rng.standard_normal((K, N)) / np.sqrt(K)).astype(
+                    np.float32)
+                b = rng.standard_normal(N).astype(np.float32) * 0.1
+                wn, bn, out = fresh("w"), fresh("b"), fresh("y")
+                inits[wn], inits[bn] = w, b
+                if kind == "gemm":
+                    nodes.append(ob.node(
+                        "Gemm", [cur, wn, bn], [out],
+                        transB=0))
+                    want = want @ w + b
+                else:
+                    mm = fresh("mm")
+                    nodes.append(ob.node("MatMul", [cur, wn], [mm]))
+                    nodes.append(ob.node("Add", [mm, bn], [out]))
+                    want = want @ w + b
+            if rng.random() < 0.5:
+                r = fresh("r")
+                nodes.append(ob.node("Relu", [out], [r]))
+                want, out = np.maximum(want, 0), r
+            cur = out
+        data = ob.build_model_bytes(
+            nodes,
+            inputs=[ob.vi_from_array("x", x)],
+            outputs=[ob.value_info(cur, 1, list(want.shape))],
+            initializers=[ob.tensor_from_array(v, k)
+                          for k, v in inits.items()],
+        )
+        qdata = quantize_dynamic(
+            data, op_types=("MatMul", "Gemm", "Conv"))
+        ops = _ops(qdata)
+        assert "MatMul" not in ops and "Gemm" not in ops \
+            and "Conv" not in ops, (seed, ops)
+        cm = compile_model(str(_write(tmp_path, qdata, f"fz{seed}.onnx")))
+        out = np.asarray(cm.run_np(x)[0])
+        tol = 0.05 * float(np.abs(want).max()) + 1e-3
+        np.testing.assert_allclose(out, want, atol=tol, rtol=0,
+                                   err_msg=f"seed={seed}")
 
 
 def test_shared_weight_quantized_once(tmp_path):
