@@ -264,3 +264,211 @@ def quantize_dynamic_file(src_path: str, dst_path: str) -> None:
         data = f.read()
     with open(dst_path, "wb") as f:
         f.write(quantize_dynamic(data))
+
+
+# ---------------------------------------------------------------------------
+# Static quantization (QDQ format) — the onnxruntime `quantize_static`
+# analog. Ops stay FLOAT; QuantizeLinear/DequantizeLinear pairs fake-quant
+# the activations at calibrated ranges and the weights at the symmetric
+# int8 grid. This is the layout real int8 VISION exports use (the repo's
+# compiler folds the weight-side Q/DQ at trace time — test_qdq_model), as
+# opposed to the DQL dynamic chains of the ASR exports.
+
+
+def calibrate_minmax(data: bytes, batches) -> dict[str, tuple[float, float]]:
+    """Run the float model over calibration batches and record per-tensor
+    [min, max] for every activation a static quantizer would fake-quant
+    (inputs/outputs of Conv/MatMul/Gemm nodes). Ranges are widened to
+    include 0 (ORT MinMax calibrater convention — zero must be exactly
+    representable for asymmetric u8)."""
+    from ..compiler import compile_model
+    from .loader import OnnxModel
+
+    raw = schema.decode_model(data).raw()
+    g = raw["graph"]
+    inits = {t.get("name", "") for t in g.get("initializer", [])}
+    names: list[str] = []
+    for n in g.get("node", []):
+        if n.get("op_type") not in ("Conv", "MatMul", "Gemm"):
+            continue
+        for t in [n["input"][0], n["output"][0]]:
+            if t and t not in inits and t not in names:
+                names.append(t)
+    if not names:
+        return {}
+    # instrument: expose the calibration tensors as extra graph outputs
+    existing = [vi.get("name", "") for vi in g.get("output", [])]
+    extra = [t for t in names if t not in existing]
+    g["output"] = list(g.get("output", [])) + [
+        {"name": t} for t in extra
+    ]
+    cm = compile_model(OnnxModel.from_bytes(
+        schema.encode_message(raw, "ModelProto")))
+    ranges = {t: (0.0, 0.0) for t in names}
+    order = existing + extra
+    for batch in batches:
+        outs = cm.run_np(**batch)
+        vals = dict(zip(order, outs))
+        for t in names:
+            v = np.asarray(vals[t], np.float32)
+            lo, hi = ranges[t]
+            ranges[t] = (min(lo, float(v.min(initial=0.0))),
+                         max(hi, float(v.max(initial=0.0))))
+    return ranges
+
+
+def _u8_qparams(rmin: float, rmax: float) -> tuple[float, int]:
+    scale = (rmax - rmin) / 255.0
+    if scale <= 0:
+        return 1.0, 0
+    zp = int(np.clip(round(-rmin / scale), 0, 255))
+    return float(scale), zp
+
+
+def quantize_static(data: bytes, calibration_batches,
+                    op_types=("Conv", "MatMul", "Gemm")) -> bytes:
+    """QDQ-format static quantization: calibrate activation ranges on the
+    float model, then insert QuantizeLinear/DequantizeLinear pairs around
+    every target op's activations (u8 asymmetric) and weights (pre-baked
+    symmetric int8 initializers + DequantizeLinear). Ops themselves stay
+    float — backends (including this repo's tracer) fold the pairs.
+
+    calibration_batches: iterable of {input_name: np.ndarray} dicts fed to
+    the float model. Per-tensor weight granularity (ORT's per-channel mode
+    is a possible extension)."""
+    for op_imp in schema.decode_model(data).raw().get("opset_import", []):
+        if not op_imp.get("domain") and int(op_imp.get("version", 0)) < 10:
+            raise ValueError(
+                "quantize_static needs opset >= 10 (QuantizeLinear); "
+                f"model declares opset {op_imp.get('version')}"
+            )
+    batches = list(calibration_batches)
+    ranges = calibrate_minmax(data, batches)
+    raw = schema.decode_model(data).raw()
+    g = raw["graph"]
+    nodes: list[dict] = list(g.get("node", []))
+    inits = {t.get("name", ""): t for t in g.get("initializer", [])}
+    const_nodes = {
+        n["output"][0]: n for n in nodes
+        if n.get("op_type") == "Constant" and n.get("output")
+    }
+    targets = [
+        n for n in nodes
+        if n.get("op_type") in op_types and len(n.get("input", [])) >= 2
+    ]
+    target_ids = {id(n) for n in targets}
+
+    new_inits: list[dict] = []
+    uid = [0]
+
+    def fresh(base):
+        uid[0] += 1
+        return f"{base}__qs{uid[0]}"
+
+    graph_outputs = {vi.get("name", "") for vi in g.get("output", [])}
+
+    # activation fake-quant: tensor name -> dequantized alias. For a tensor
+    # that IS a graph output, the producer is renamed t__pre and the DQ
+    # takes over the public name (ORT fake-quants final activations too,
+    # and the model's output signature must not change).
+    dq_alias: dict[str, str] = {}
+    pre_rename: dict[str, str] = {}
+    qdq_nodes: dict[str, list[dict]] = {}  # producer tensor -> Q/DQ pair
+    for t, (rmin, rmax) in ranges.items():
+        scale, zp = _u8_qparams(rmin, rmax)
+        sn, zn = fresh(f"{t}_scale"), fresh(f"{t}_zp")
+        new_inits.append(ob.tensor_from_array(
+            np.float32(scale).reshape(()), sn))
+        new_inits.append(ob.tensor_from_array(
+            np.asarray(zp, np.uint8).reshape(()), zn))
+        qn = fresh(f"{t}_q")
+        if t in graph_outputs:
+            src = fresh(f"{t}_pre")
+            pre_rename[t] = src
+            dqn = t
+        else:
+            src, dqn = t, fresh(f"{t}_dq")
+        qdq_nodes[t] = [
+            ob.node("QuantizeLinear", [src, sn, zn], [qn]),
+            ob.node("DequantizeLinear", [qn, sn, zn], [dqn]),
+        ]
+        dq_alias[t] = dqn
+
+    wq_cache: dict[str, str] = {}
+
+    def weight_dq(wname: str, w: np.ndarray) -> str:
+        if wname not in wq_cache:
+            wq, ws = quantize_weight_int8(w)
+            qn = fresh(f"{wname}_quant")
+            sn, zn = fresh(f"{wname}_wscale"), fresh(f"{wname}_wzp")
+            new_inits.append(ob.tensor_from_array(wq, qn))
+            new_inits.append(ob.tensor_from_array(
+                np.float32(ws).reshape(()), sn))
+            new_inits.append(ob.tensor_from_array(
+                np.zeros((), np.int8), zn))
+            dqn = fresh(f"{wname}_dq")
+            qdq_nodes[f"__w_{wname}"] = [
+                ob.node("DequantizeLinear", [qn, sn, zn], [dqn])
+            ]
+            wq_cache[wname] = dqn
+        return wq_cache[wname]
+
+    consumed_weights: dict[str, int] = {}
+    out_nodes: list[dict] = []
+    # graph-input activations have no producer node — emit their QDQ first
+    graph_inputs = {vi.get("name", "") for vi in g.get("input", [])}
+    emitted: set[str] = set()
+    for t in ranges:
+        if t in graph_inputs:
+            out_nodes.extend(qdq_nodes[t])
+            emitted.add(t)
+
+    for n in nodes:
+        outs_orig = list(n.get("output", []))
+        if id(n) in target_ids:
+            w = _weight_array(n["input"][1], inits, const_nodes)
+            ins = list(n["input"])
+            if ins[0] in dq_alias:
+                ins[0] = dq_alias[ins[0]]
+            if w is not None and w.ndim >= 2 and w.dtype == np.float32:
+                ins[1] = weight_dq(n["input"][1], w)
+                pair = qdq_nodes.get(f"__w_{n['input'][1]}")
+                if pair:
+                    out_nodes.extend(pair)
+                    qdq_nodes[f"__w_{n['input'][1]}"] = []
+                consumed_weights[n["input"][1]] = 1
+            n = dict(n)
+            n["input"] = ins
+        elif any(x in dq_alias for x in n.get("input", [])):
+            # non-target consumers also read the fake-quant value when one
+            # exists (ORT rewires the whole edge, keeping one numeric view)
+            n = dict(n)
+            n["input"] = [dq_alias.get(x, x) for x in n["input"]]
+        if any(t in pre_rename for t in outs_orig):
+            n = dict(n)
+            n["output"] = [pre_rename.get(t, t) for t in outs_orig]
+        out_nodes.append(n)
+        for t in outs_orig:
+            if t in qdq_nodes and t not in emitted:
+                out_nodes.extend(qdq_nodes[t])
+                emitted.add(t)
+
+    still_used: set[str] = set()
+    for n in out_nodes:
+        still_used.update(n.get("input", []))
+
+    def gone(name: str) -> bool:
+        return name in consumed_weights and name not in still_used
+
+    g["node"] = [
+        n for n in out_nodes
+        if not (n.get("op_type") == "Constant" and n.get("output")
+                and gone(n["output"][0]))
+    ]
+    g["initializer"] = [
+        t for t in g.get("initializer", []) if not gone(t.get("name", ""))
+    ] + new_inits
+    if g.get("input"):
+        g["input"] = [vi for vi in g["input"]
+                      if not gone(vi.get("name", ""))]
+    return schema.encode_message(raw, "ModelProto")

@@ -183,6 +183,45 @@ def test_cli_quantize_dynamic_flag(tmp_path):
         sys.path.remove(str(out))
 
 
+def test_cli_quantize_static_flag(tmp_path):
+    """--quantize-static CALIB.npz: calibrated QDQ rewrite, quantized
+    .onnx written, wrapper still computes relu(x @ w)."""
+    from lele_tpu.cli import main
+    from lele_tpu.onnx import schema
+
+    onnx_path = tmp_path / "toy_model.onnx"
+    w = _write_toy_onnx(onnx_path)
+    rng = np.random.default_rng(11)
+    calib = tmp_path / "calib.npz"
+    np.savez(calib, x=rng.standard_normal((2, 8)).astype(np.float32))
+    out = tmp_path / "gen"
+    rc = main([str(onnx_path), str(out), "ToyS",
+               "--quantize-static", str(calib)])
+    assert rc == 0
+    qpath = out / "toy_model.qdq.onnx"
+    assert qpath.exists()
+    ops = [n.op_type for n in
+           schema.decode_model(qpath.read_bytes()).graph.node]
+    assert "QuantizeLinear" in ops and "MatMul" in ops  # QDQ keeps op float
+    # exclusivity guard
+    assert main([str(onnx_path), str(out), "ToyS", "--quantize-static",
+                 str(calib), "--quantize-dynamic"]) == 1
+    sys.path.insert(0, str(out))
+    try:
+        import importlib
+
+        mod = importlib.import_module("ToyS")
+        importlib.reload(mod)
+        model = mod.ToyS()
+        x = np.random.default_rng(12).standard_normal((2, 8)).astype(
+            np.float32)
+        (y,) = model.forward(x)
+        err = np.abs(y - np.maximum(x @ w, 0))
+        assert err.mean() < 0.1, err.mean()
+    finally:
+        sys.path.remove(str(out))
+
+
 def test_build_tool_quantize_dynamic(tmp_path):
     """codegen.quantize = "dynamic" quantizes at build time: the artifact
     compiles from the int8 rewrite and still computes relu(x @ w)."""
