@@ -325,8 +325,22 @@ def _u8_qparams(rmin: float, rmax: float) -> tuple[float, int]:
     return float(scale), zp
 
 
+def quantize_weight_int8_per_channel(
+        w: np.ndarray, axis: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-channel symmetric int8 grid along `axis` (ORT per_channel=True):
+    scale[c] = max|W[c]|/127, zp 0."""
+    mv = np.moveaxis(w, axis, 0)
+    amax = np.abs(mv.reshape(mv.shape[0], -1)).max(axis=1)
+    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    wq = np.clip(
+        np.round(mv / scale.reshape((-1,) + (1,) * (w.ndim - 1))),
+        -127, 127).astype(np.int8)
+    return np.moveaxis(wq, 0, axis), scale
+
+
 def quantize_static(data: bytes, calibration_batches,
-                    op_types=("Conv", "MatMul", "Gemm")) -> bytes:
+                    op_types=("Conv", "MatMul", "Gemm"),
+                    per_channel: bool = False) -> bytes:
     """QDQ-format static quantization: calibrate activation ranges on the
     float model, then insert QuantizeLinear/DequantizeLinear pairs around
     every target op's activations (u8 asymmetric) and weights (pre-baked
@@ -334,8 +348,9 @@ def quantize_static(data: bytes, calibration_batches,
     float — backends (including this repo's tracer) fold the pairs.
 
     calibration_batches: iterable of {input_name: np.ndarray} dicts fed to
-    the float model. Per-tensor weight granularity (ORT's per-channel mode
-    is a possible extension)."""
+    the float model. per_channel=True quantizes Conv weights one scale per
+    output channel (DequantizeLinear axis=0, ORT per_channel analog);
+    2-D MatMul/Gemm weights stay per-tensor either way."""
     for op_imp in schema.decode_model(data).raw().get("opset_import", []):
         if not op_imp.get("domain") and int(op_imp.get("version", 0)) < 10:
             raise ValueError(
@@ -398,18 +413,27 @@ def quantize_static(data: bytes, calibration_batches,
 
     def weight_dq(wname: str, w: np.ndarray) -> str:
         if wname not in wq_cache:
-            wq, ws = quantize_weight_int8(w)
             qn = fresh(f"{wname}_quant")
             sn, zn = fresh(f"{wname}_wscale"), fresh(f"{wname}_wzp")
-            new_inits.append(ob.tensor_from_array(wq, qn))
-            new_inits.append(ob.tensor_from_array(
-                np.float32(ws).reshape(()), sn))
-            new_inits.append(ob.tensor_from_array(
-                np.zeros((), np.int8), zn))
             dqn = fresh(f"{wname}_dq")
-            qdq_nodes[f"__w_{wname}"] = [
-                ob.node("DequantizeLinear", [qn, sn, zn], [dqn])
-            ]
+            if per_channel and w.ndim >= 3:
+                # Conv OIHW: one scale per output channel (axis 0)
+                wq, ws = quantize_weight_int8_per_channel(w, axis=0)
+                new_inits.append(ob.tensor_from_array(wq, qn))
+                new_inits.append(ob.tensor_from_array(ws, sn))
+                new_inits.append(ob.tensor_from_array(
+                    np.zeros(ws.shape, np.int8), zn))
+                dq = ob.node("DequantizeLinear", [qn, sn, zn], [dqn],
+                             axis=0)
+            else:
+                wq, ws = quantize_weight_int8(w)
+                new_inits.append(ob.tensor_from_array(wq, qn))
+                new_inits.append(ob.tensor_from_array(
+                    np.float32(ws).reshape(()), sn))
+                new_inits.append(ob.tensor_from_array(
+                    np.zeros((), np.int8), zn))
+                dq = ob.node("DequantizeLinear", [qn, sn, zn], [dqn])
+            qdq_nodes[f"__w_{wname}"] = [dq]
             wq_cache[wname] = dqn
         return wq_cache[wname]
 

@@ -142,6 +142,60 @@ def test_static_quant_oracle_exactness(tmp_path):
     np.testing.assert_allclose(out, want, atol=1e-5, rtol=0)
 
 
+def test_per_channel_conv_weights(tmp_path):
+    """per_channel=True: Conv weights get one scale per output channel
+    (DequantizeLinear axis=0) and accuracy strictly improves when channel
+    magnitudes are wildly uneven."""
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 8, 3, padding=1)
+
+        def forward(self, x):
+            return self.c(x)
+
+    torch.manual_seed(4)
+    m = M()
+    with torch.no_grad():  # make channel magnitudes span 100x
+        for i in range(8):
+            m.c.weight[i] *= (0.05 if i else 5.0)
+    x = torch.randn(1, 3, 12, 12)
+    data, want = _export(m, (x,), tmp_path)
+    batches = [{"x": x.numpy()}]
+
+    qc = quantize_static(data, batches, per_channel=True)
+    mc = schema.decode_model(qc)
+    from lele_tpu.onnx.loader import tensor_to_array
+
+    ws = next(tensor_to_array(t) for t in mc.graph.initializer
+              if "_wscale" in t.name)
+    assert ws.shape == (8,) and ws[0] > 10 * ws[1]  # real per-channel grid
+
+    # weight-grid reconstruction: per-channel must beat per-tensor by the
+    # magnitude ratio on the small channels (e2e error is dominated by
+    # activation fake-quant, so the grid is gated directly)
+    w = m.c.weight.detach().numpy()
+    from lele_tpu.onnx.quantize import (
+        quantize_weight_int8,
+        quantize_weight_int8_per_channel,
+    )
+
+    wq_t, ws_t = quantize_weight_int8(w)
+    wq_c, ws_c = quantize_weight_int8_per_channel(w, axis=0)
+    rec_t = wq_t.astype(np.float32) * ws_t
+    rec_c = wq_c.astype(np.float32) * ws_c.reshape(-1, 1, 1, 1)
+    err_small_t = np.abs(rec_t[1:] - w[1:]).mean()
+    err_small_c = np.abs(rec_c[1:] - w[1:]).mean()
+    assert err_small_c < err_small_t / 20, (err_small_t, err_small_c)
+
+    # and the per-channel model still compiles and tracks the float model
+    p = tmp_path / "pc_c.onnx"
+    p.write_bytes(qc)
+    out = np.asarray(compile_model(str(p)).run_np(x.numpy())[0])
+    assert np.abs(out - want).mean() < 0.1 * float(np.abs(want).max())
+
+
 def test_old_opset_refused():
     from lele_tpu.onnx import builder as ob
 
