@@ -68,6 +68,10 @@ def test_mlp_matmul_3d(tmp_path):
     assert "MatMul" not in ops and "Gemm" not in ops
 
     cm = compile_model(str(_write(tmp_path, qdata)))
+    # the emitted form must ride the compiler's DQL dataflow fusion (the
+    # MXU int8-dot path) — same chains real FunASR-style exports produce
+    assert cm.stats["pattern_hits"].get("dql_matmul_dataflow", 0) == 2, \
+        cm.stats["pattern_hits"]
     out = np.asarray(cm.run_np(x.numpy())[0])
     assert out.shape == want.shape
     np.testing.assert_allclose(out, want, atol=0.05, rtol=0)
