@@ -35,7 +35,7 @@ def profile_nodes(
         env[n] = jnp.asarray(_canon_np(np.asarray(v)))
     graph = model.graph
     for t in graph.initializer:
-        env[t.name] = tensor_to_array(t)
+        env[t.name] = tensor_to_array(t, getattr(model, "base_dir", None))
 
     records = []
     for i, node in enumerate(graph.node):

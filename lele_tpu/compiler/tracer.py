@@ -39,6 +39,7 @@ from typing import Any, Callable, Sequence
 import numpy as np
 
 from ..config import config
+from ..onnx import loader
 from ..onnx.loader import OnnxModel, tensor_to_array
 from ..onnx.schema import Proto
 from ..ops import OPS, make_ctx
@@ -164,12 +165,20 @@ class GraphTracer:
         if emitter is None and opdef is not None:
             emitter = opdef.fn
         if emitter is None:
+            dom = node.domain
+            label = f"{dom}::{op_type}" if dom else op_type
+            hint = (
+                " (custom-domain op with no matching model-local function —"
+                " functions are inlined before tracing)" if dom else ""
+            )
             if self.strict:
-                raise NotImplementedError(f"unsupported op {op_type} ({node.name})")
+                raise NotImplementedError(
+                    f"unsupported op {label} ({node.name}){hint}"
+                )
             if op_type not in state.warned:
                 state.warned.add(op_type)
                 print(
-                    f"Warning: unsupported op {op_type}; emitting empty tensor",
+                    f"Warning: unsupported op {label}; emitting empty tensor",
                     file=sys.stderr,
                 )
             outs = tuple(np.zeros((0,), np.float32) for _ in node.output)
@@ -554,8 +563,9 @@ class GraphTracer:
     # -- graph walk ----------------------------------------------------------
 
     def _walk_graph(self, state: TraceState, graph: Proto, env, scope: str):
+        base_dir = getattr(self.model, "base_dir", None)
         for t in graph.initializer:
-            env[t.name] = tensor_to_array(t)
+            env[t.name] = tensor_to_array(t, base_dir)
         nodes = list(graph.node)
         prev_outputs = state.graph_outputs
         state.graph_outputs = frozenset(vi.name for vi in graph.output)
@@ -628,7 +638,10 @@ class GraphTracer:
             env: dict[str, Any] = {"": None}
             for n in in_names:
                 env[n] = inputs[n]
-            outs = self._walk_graph(state, graph, env, "")
+            # scope covers jit-time re-walks too, so Constant-attribute and
+            # matcher static lookups can resolve external-data tensors
+            with loader.base_dir_scope(getattr(self.model, "base_dir", None)):
+                outs = self._walk_graph(state, graph, env, "")
             import jax.numpy as jnp
 
             return [

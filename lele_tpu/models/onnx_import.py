@@ -40,7 +40,7 @@ def import_weights(
             if t is not None:
                 from ..onnx.loader import tensor_to_array
 
-                arr = tensor_to_array(t)
+                arr = tensor_to_array(t, getattr(model, "base_dir", None))
         if arr is None:
             missing.append((path, name))
             continue

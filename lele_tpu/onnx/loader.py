@@ -14,6 +14,7 @@ system (SURVEY.md §2.7).
 
 from __future__ import annotations
 
+import contextlib
 import mmap
 from pathlib import Path
 
@@ -48,14 +49,108 @@ DTYPE_MAP: dict[int, np.dtype] = {
 
 NP_TO_ONNX: dict[np.dtype, int] = {v: k for k, v in reversed(DTYPE_MAP.items())}
 
+# Open mmaps of external-data side files, keyed by realpath. Held for the
+# process lifetime so numpy views into them stay valid (weights.py packs them
+# into the blob long before process exit; entries are just page-cache handles).
+_EXTERNAL_MMAPS: dict[str, mmap.mmap] = {}
 
-def tensor_to_array(t: Proto) -> np.ndarray:
+# Fallback base-dir stack for call sites that see a bare TensorProto with no
+# model handle — Constant-node attribute tensors reached through the op
+# registry, the SAN-M matcher's static lookups, param-import constants. The
+# tracer pushes the model's directory around each graph walk (including the
+# re-walks that happen at jit-trace time) so those sites resolve external
+# data without threading a base_dir through every layer.
+_BASE_DIR_STACK: list[str] = []
+
+
+@contextlib.contextmanager
+def base_dir_scope(base_dir: str | Path | None):
+    """Make `base_dir` the fallback for external-data resolution inside."""
+    if base_dir is None:
+        yield
+        return
+    _BASE_DIR_STACK.append(str(base_dir))
+    try:
+        yield
+    finally:
+        _BASE_DIR_STACK.pop()
+
+
+def _external_mmap(path: Path) -> mmap.mmap:
+    key = str(path.resolve())
+    mm = _EXTERNAL_MMAPS.get(key)
+    if mm is None:
+        with open(path, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        _EXTERNAL_MMAPS[key] = mm
+    return mm
+
+
+def _load_external(t: Proto, np_dtype: np.dtype, dims: list[int],
+                   base_dir: str | Path) -> np.ndarray:
+    """Resolve a data_location=EXTERNAL tensor against its side file.
+
+    Spec: external_data StringStringEntryProto pairs with keys `location`
+    (path relative to the model file), `offset`, `length` (both optional,
+    decimal strings). Mirrors onnxruntime's loader semantics, including the
+    path-escape rejection.
+    """
+    info = {e.key: e.value for e in t.external_data}
+    loc = info.get("location", "")
+    if not loc:
+        raise ValueError(
+            f"external tensor {t.name!r} has no `location` entry"
+        )
+    rel = Path(loc)
+    if rel.is_absolute() or ".." in rel.parts:
+        raise ValueError(
+            f"external tensor {t.name!r} location {loc!r} escapes the model "
+            "directory (absolute paths and '..' are rejected)"
+        )
+    path = Path(base_dir) / rel
+    if not path.exists():
+        raise FileNotFoundError(
+            f"external data file {str(path)!r} for tensor {t.name!r} not "
+            "found — the side file must sit next to the .onnx model"
+        )
+    n = int(np.prod(dims)) if dims else 1
+    nbytes = n * np_dtype.itemsize
+    offset = int(info.get("offset", "0") or "0")
+    length = int(info["length"]) if info.get("length") else nbytes
+    if length != nbytes:
+        raise ValueError(
+            f"external tensor {t.name!r}: recorded length {length} != "
+            f"expected {nbytes} bytes for shape {dims} dtype {np_dtype}"
+        )
+    mm = _external_mmap(path)
+    if offset < 0 or offset + length > len(mm):
+        raise ValueError(
+            f"external tensor {t.name!r}: range [{offset}, {offset + length})"
+            f" exceeds side file {str(path)!r} ({len(mm)} bytes)"
+        )
+    return np.frombuffer(mm, dtype=np_dtype, count=n, offset=offset)
+
+
+def tensor_to_array(t: Proto, base_dir: str | Path | None = None) -> np.ndarray:
     """Materialize a TensorProto as a numpy array (any numeric dtype)."""
     dt = t.data_type
     np_dtype = DTYPE_MAP.get(dt)
     if np_dtype is None:
         raise ValueError(f"unsupported ONNX data_type {dt} for tensor {t.name!r}")
     dims = [int(d) for d in t.dims]
+    if int(t.data_location) == 1:  # EXTERNAL
+        if base_dir is None and _BASE_DIR_STACK:
+            base_dir = _BASE_DIR_STACK[-1]
+        if base_dir is None:
+            raise ValueError(
+                f"tensor {t.name!r} uses external data (data_location="
+                "EXTERNAL) but no model directory is known — load via "
+                "OnnxModel.load(path) so the side file can be resolved, or "
+                "consolidate the model (onnx.save with "
+                "save_as_external_data=False)"
+            )
+        arr = _load_external(t, np_dtype, dims, base_dir)
+        return arr.reshape(dims) if dims else arr.reshape(())
     raw = t.raw_data
     if raw:
         arr = np.frombuffer(raw, dtype=np_dtype)
@@ -78,16 +173,9 @@ def tensor_to_array(t: Proto) -> np.ndarray:
     else:
         n = int(np.prod(dims)) if dims else 0
         if n > 0:
-            # a NON-empty tensor with no inline payload is external data or
-            # an unrecognized storage form — zeros here would compile and
-            # run a garbage model with no error anywhere
-            if int(t.data_location) == 1:
-                raise ValueError(
-                    f"tensor {t.name!r} uses external data "
-                    "(data_location=EXTERNAL) — consolidate the model "
-                    "(e.g. onnx.save with save_as_external_data=False) "
-                    "before compiling"
-                )
+            # a NON-empty tensor with no inline payload is an unrecognized
+            # storage form — zeros here would compile and run a garbage
+            # model with no error anywhere
             raise ValueError(
                 f"tensor {t.name!r} ({dims}, data_type {dt}) carries no "
                 "recognized payload"
@@ -99,9 +187,11 @@ def tensor_to_array(t: Proto) -> np.ndarray:
 class OnnxModel:
     """A decoded ONNX model with initializer lookup."""
 
-    def __init__(self, model: Proto, path: str | None = None):
+    def __init__(self, model: Proto, path: str | None = None,
+                 base_dir: str | Path | None = None):
         self.model = model
         self.path = path
+        self._base_dir = str(base_dir) if base_dir is not None else None
         self.graph: Proto = model.graph
         if self.graph is None:
             raise ValueError("ONNX model has no graph (corrupt or empty file)")
@@ -123,12 +213,20 @@ class OnnxModel:
         return cls(model, path=path)
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "OnnxModel":
-        return cls(schema.decode_model(data))
+    def from_bytes(cls, data: bytes,
+                   base_dir: str | Path | None = None) -> "OnnxModel":
+        return cls(schema.decode_model(data), base_dir=base_dir)
+
+    @property
+    def base_dir(self) -> str | None:
+        """Directory the model was loaded from (for external-data tensors)."""
+        if self._base_dir is not None:
+            return self._base_dir
+        return str(Path(self.path).parent) if self.path else None
 
     def initializer_array(self, name: str) -> np.ndarray | None:
         t = self.initializers.get(name)
-        return tensor_to_array(t) if t is not None else None
+        return tensor_to_array(t, self.base_dir) if t is not None else None
 
     def find_constant_node_tensor(self, name: str) -> Proto | None:
         """Find the TensorProto behind a Constant node output (model.rs:138)."""

