@@ -89,6 +89,19 @@ class Compiler:
             model = OnnxModel.from_bytes(bytes(model))
         elif not isinstance(model, OnnxModel):
             model = OnnxModel.load(model)
+        if model.model.functions:
+            # torch.onnx module-as-function exports: flatten local
+            # functions before tracing (onnx/functions.py; the reference
+            # cannot load these at all — its schema skips field 25)
+            from ..onnx.functions import inline_functions
+            from ..onnx.schema import Proto
+
+            flat = inline_functions(model.model.raw())
+            model = OnnxModel(
+                Proto(flat, "ModelProto"),
+                path=model.path,
+                base_dir=model.base_dir,
+            )
         specs = resolve_input_specs(model, input_shapes, dim_values)
         packers = None
         patterns = self._patterns

@@ -24,6 +24,19 @@ REGISTRY: dict[str, tuple[Field, ...]] = {
         F(6, "doc_string", "string"),
         F(7, "graph", "message", msg="GraphProto"),
         F(8, "opset_import", "message", repeated=True, msg="OperatorSetIdProto"),
+        F(25, "functions", "message", repeated=True, msg="FunctionProto"),
+    ),
+    "FunctionProto": (
+        F(1, "name", "string"),
+        F(4, "input", "string", repeated=True),
+        F(5, "output", "string", repeated=True),
+        F(6, "attribute", "string", repeated=True),
+        F(11, "attribute_proto", "message", repeated=True, msg="AttributeProto"),
+        F(7, "node", "message", repeated=True, msg="NodeProto"),
+        F(8, "doc_string", "string"),
+        F(9, "opset_import", "message", repeated=True, msg="OperatorSetIdProto"),
+        F(10, "domain", "string"),
+        F(13, "overload", "string"),
     ),
     "OperatorSetIdProto": (
         F(1, "domain", "string"),
@@ -46,6 +59,7 @@ REGISTRY: dict[str, tuple[Field, ...]] = {
         F(5, "attribute", "message", repeated=True, msg="AttributeProto"),
         F(6, "doc_string", "string"),
         F(7, "domain", "string"),
+        F(8, "overload", "string"),
     ),
     "AttributeProto": (
         F(1, "name", "string"),
@@ -60,6 +74,7 @@ REGISTRY: dict[str, tuple[Field, ...]] = {
         F(10, "tensors", "message", repeated=True, msg="TensorProto"),
         F(11, "graphs", "message", repeated=True, msg="GraphProto"),
         F(20, "type", "enum"),
+        F(21, "ref_attr_name", "string"),
     ),
     "TensorProto": (
         F(1, "dims", "int64", repeated=True),
