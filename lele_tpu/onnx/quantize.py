@@ -40,6 +40,24 @@ from . import schema
 from .loader import tensor_to_array
 
 
+def _consolidate_external(inits: list[dict], base_dir) -> list[dict]:
+    """Inline any surviving data_location=EXTERNAL initializers: the
+    quantized model is written wherever the caller wants (CLI: out_dir),
+    so relative side-file references from the SOURCE directory would
+    dangle. Quantized weights are inline already; this catches the
+    untouched remainder (embeddings, norms, biases)."""
+    out = []
+    for t in inits:
+        if int(t.get("data_location", 0) or 0) == 1:
+            arr = tensor_to_array(schema.Proto(t, "TensorProto"), base_dir)
+            t = dict(t)
+            t.pop("data_location", None)
+            t.pop("external_data", None)
+            t["raw_data"] = np.ascontiguousarray(arr).tobytes()
+        out.append(t)
+    return out
+
+
 def _weight_array(name: str, inits: dict, const_nodes: dict, base_dir=None):
     """Resolve `name` as a static tensor: initializer or Constant node."""
     t = inits.get(name)
@@ -249,9 +267,10 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm"),
         if not (n.get("op_type") == "Constant" and n.get("output")
                 and gone(n["output"][0]))
     ]
-    g["initializer"] = [
-        t for t in g.get("initializer", []) if not gone(t.get("name", ""))
-    ] + new_inits
+    g["initializer"] = _consolidate_external(
+        [t for t in g.get("initializer", []) if not gone(t.get("name", ""))],
+        base_dir,
+    ) + new_inits
     # exports with keep_initializers_as_inputs also LIST weights in
     # graph.input — a dropped weight must leave that list too, or it
     # becomes a required runtime input
@@ -494,9 +513,10 @@ def quantize_static(data: bytes, calibration_batches,
         if not (n.get("op_type") == "Constant" and n.get("output")
                 and gone(n["output"][0]))
     ]
-    g["initializer"] = [
-        t for t in g.get("initializer", []) if not gone(t.get("name", ""))
-    ] + new_inits
+    g["initializer"] = _consolidate_external(
+        [t for t in g.get("initializer", []) if not gone(t.get("name", ""))],
+        base_dir,
+    ) + new_inits
     if g.get("input"):
         g["input"] = [vi for vi in g["input"]
                       if not gone(vi.get("name", ""))]

@@ -112,6 +112,46 @@ def test_save_with_external_data_roundtrip(tmp_path):
     np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-6)
 
 
+def test_quantizer_consolidates_external(tmp_path):
+    """quantize_dynamic on an external-data model must emit a SELF-CONTAINED
+    file: the CLI writes quantized output to out_dir, away from the source's
+    side file, so surviving external refs would dangle."""
+    from lele_tpu.onnx.quantize import quantize_dynamic
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    gamma = rng.standard_normal((8,)).astype(np.float32)  # stays float
+    (tmp_path / "m.data").write_bytes(w.tobytes() + gamma.tobytes())
+    nodes = [
+        ob.node("MatMul", ["x", "w"], ["h"]),
+        ob.node("Mul", ["h", "gamma"], ["y"]),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [2, 8])],
+        outputs=[ob.value_info("y", 1, [2, 8])],
+        initializers=[
+            ob.tensor_external(w, "w", "m.data", 0),
+            ob.tensor_external(gamma, "gamma", "m.data", w.nbytes),
+        ],
+    )
+    qdata = quantize_dynamic(bs, base_dir=tmp_path)
+    # run from a DIFFERENT directory with no side file anywhere near it
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    qp = other / "m.int8.onnx"
+    qp.write_bytes(qdata)
+    qm = OnnxModel.load(qp)
+    assert all(
+        int(t.data_location) != 1 for t in qm.initializers.values()
+    ), "quantized output still references external data"
+    x = rng.standard_normal((2, 8)).astype(np.float32)
+    got = compile_model(qm).run_np(x=x)[0]
+    want = (x @ w) * gamma
+    assert np.abs(got - want).max() < 0.1  # int8 weight grid tolerance
+    np.testing.assert_array_equal(qm.initializer_array("gamma"), gamma)
+
+
 def _ext_proto(arr, location, offset=0, length=None, dims=None):
     t = ob.tensor_external(arr, "t", location, offset)
     if length is not None:
