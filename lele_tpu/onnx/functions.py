@@ -52,24 +52,31 @@ def _rename(name: str, binding: dict[str, str], prefix: str) -> str:
     return got if got is not None else prefix + name
 
 
-def _subst_attrs(node: dict, call_attrs: dict[str, dict],
-                 defaults: dict[str, dict]) -> list[dict]:
-    """Resolve ref_attr_name attributes of a body node against the call."""
+def _subst_attrs(attrs: list[dict], call_attrs: dict[str, dict],
+                 defaults: dict[str, dict]) -> list[tuple[dict, bool]]:
+    """Resolve ref_attr_name attributes of a body node against the call.
+
+    Returns (attr, from_call) pairs: a substituted attribute's content
+    lives in the CALLER's namespace, so the body rename must not touch it
+    (matters when the forwarded attribute is a subgraph)."""
     out = []
-    for a in node.get("attribute", []):
+    for a in attrs:
         ref = a.get("ref_attr_name")
         if isinstance(ref, (bytes, memoryview)):
             ref = bytes(ref).decode()
         if not ref:
-            out.append(a)
+            out.append((a, False))
             continue
-        src = call_attrs.get(ref, defaults.get(ref))
+        src = call_attrs.get(ref)
+        from_call = src is not None
+        if src is None:
+            src = defaults.get(ref)
         if src is None:
             continue  # unspecified → op default
         src = dict(src)
         src["name"] = a.get("name", ref)
         src.pop("ref_attr_name", None)
-        out.append(src)
+        out.append((src, from_call))
     return out
 
 
@@ -159,8 +166,9 @@ def _inline_nodes(nodes: list[dict], table: dict[tuple, dict],
                              for x in bn.get("output", [])]
             if bn.get("name"):
                 bn2["name"] = prefix + bn["name"]
-            bn2["attribute"] = _rename_graph_attrs(
-                _subst_attrs(bn2, call_attrs, defaults), binding, prefix
+            bn2["attribute"] = _xform_attrs(
+                list(bn.get("attribute", [])), binding, prefix,
+                call_attrs, defaults,
             )
             body.append(bn2)
         # body may itself call functions (incl. other overloads)
@@ -168,12 +176,20 @@ def _inline_nodes(nodes: list[dict], table: dict[tuple, dict],
     return out
 
 
-def _rename_graph_attrs(attrs: list[dict], binding: dict[str, str],
-                        prefix: str) -> list[dict]:
-    """Apply the call's renaming inside attribute subgraphs: body subgraph
-    nodes may capture function-local names from the enclosing scope."""
+def _xform_attrs(attrs: list[dict], binding: dict[str, str], prefix: str,
+                 call_attrs: dict[str, dict],
+                 defaults: dict[str, dict]) -> list[dict]:
+    """Body-attribute transform: resolve ref_attr_name against the call,
+    then apply the call's renaming inside attribute subgraphs (body
+    subgraph nodes may capture function-local names). An attribute taken
+    from the CALL SITE is already in the caller's namespace and must not
+    be renamed; one from the function's defaults (or a plain body
+    attribute) is in the body's namespace and must be."""
     out = []
-    for a in attrs:
+    for a, from_call in _subst_attrs(attrs, call_attrs, defaults):
+        if from_call:
+            out.append(a)
+            continue
         g = a.get("g")
         gs = a.get("graphs")
         if g is None and not gs:
@@ -181,14 +197,17 @@ def _rename_graph_attrs(attrs: list[dict], binding: dict[str, str],
             continue
         a = dict(a)
         if g is not None:
-            a["g"] = _rename_graph(g, binding, prefix)
+            a["g"] = _rename_graph(g, binding, prefix, call_attrs, defaults)
         if gs:
-            a["graphs"] = [_rename_graph(x, binding, prefix) for x in gs]
+            a["graphs"] = [_rename_graph(x, binding, prefix,
+                                         call_attrs, defaults) for x in gs]
         out.append(a)
     return out
 
 
-def _rename_graph(g: dict, binding: dict[str, str], prefix: str) -> dict:
+def _rename_graph(g: dict, binding: dict[str, str], prefix: str,
+                  call_attrs: dict[str, dict],
+                  defaults: dict[str, dict]) -> dict:
     g2 = dict(g)
     g2["input"] = [_rename_vi(vi, binding, prefix) for vi in g.get("input", [])]
     g2["output"] = [_rename_vi(vi, binding, prefix) for vi in g.get("output", [])]
@@ -206,8 +225,9 @@ def _rename_graph(g: dict, binding: dict[str, str], prefix: str) -> dict:
         n2["output"] = [_rename(x, binding, prefix) for x in n.get("output", [])]
         if n.get("name"):
             n2["name"] = prefix + n["name"]
-        n2["attribute"] = _rename_graph_attrs(
-            list(n.get("attribute", [])), binding, prefix
+        n2["attribute"] = _xform_attrs(
+            list(n.get("attribute", [])), binding, prefix,
+            call_attrs, defaults,
         )
         nodes.append(n2)
     g2["node"] = nodes

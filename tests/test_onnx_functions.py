@@ -181,6 +181,32 @@ def test_subgraph_in_body_captures_local():
     np.testing.assert_allclose(got, 4 * x, rtol=1e-6)
 
 
+def test_ref_attr_inside_body_subgraph():
+    """ref_attr_name at depth: a LeakyRelu INSIDE an If branch of the
+    function body still resolves the caller's attribute."""
+    leaky = ob.node("LeakyRelu", ["a"], ["tb"])
+    leaky["attribute"] = [ob.ref_attr("alpha", "slope", schema.ATTR_FLOAT)]
+    then_g = ob.graph([leaky], "then", [], [ob.value_info("tb", 1, [2])])
+    else_g = ob.graph(
+        [ob.node("Neg", ["a"], ["eb"])],
+        "else", [], [ob.value_info("eb", 1, [2])],
+    )
+    body = [ob.node("If", ["flag"], ["b"],
+                    then_branch=then_g, else_branch=else_g)]
+    f = ob.function("DeepLeaky", ["a", "flag"], ["b"], body,
+                    attributes=["slope"])
+    m = _mk_model(
+        [ob.node("DeepLeaky", ["x", "t"], ["y"], domain="local", slope=0.125)],
+        [ob.value_info("x", 1, [2])],
+        [ob.value_info("y", 1, [2])],
+        [f],
+        inits=[ob.tensor_from_array(np.array(True), "t")],
+    )
+    x = np.array([-8.0, 2.0], dtype=np.float32)
+    got = _compile_np(m, x=x)[0]
+    np.testing.assert_allclose(got, np.where(x < 0, 0.125 * x, x), rtol=1e-6)
+
+
 def test_default_domain_function_does_not_shadow_builtin():
     """A function named `Relu` in the DEFAULT domain must not shadow the
     native kernel (onnxruntime precedence)."""
