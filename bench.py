@@ -450,7 +450,49 @@ def bench_yolo(seg: bool):
     return dt * 1e3  # ms
 
 
+def _wait_for_backend(budget_s=1500, probe_timeout=120):
+    """The axon tunnel has outage phases where backend init blocks
+    indefinitely (observed 2×590 s with no response; docs/PERF.md "Tunnel
+    timing pathologies"). Probe `jax.devices()` in a SUBPROCESS (killable,
+    unlike an in-process hang) and wait out a bad phase within a budget,
+    so a transient outage delays the bench instead of killing it. No
+    fallback numbers are ever fabricated — on budget exhaustion we proceed
+    and let the real init fail loudly."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, timeout=probe_timeout, text=True,
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(f"[bench] backend ready after {attempt} probes")
+                return
+            note = (r.stderr or "").strip().splitlines()
+            note = note[-1] if note else "nonzero exit"
+        except subprocess.TimeoutExpired:
+            note = f"probe hung >{probe_timeout}s"
+        if time.time() >= deadline:
+            print(f"[bench] backend still unavailable after {attempt} "
+                  f"probes ({note}); proceeding — init will fail loudly")
+            return
+        print(f"[bench] backend not ready (attempt {attempt}: {note}); "
+              "retrying in 60s")
+        time.sleep(60)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     from lele_tpu.runtime.cache import enable_cache
