@@ -7,5 +7,13 @@ activation_ops ↔ ops/activations.rs, quant_ops ↔ kernels/quantization.rs.
 Control flow (If) lives in the tracer, which owns subgraph scoping.
 """
 
-from . import activation_ops, extra_ops, math_ops, nn_ops, quant_ops, tensor_ops  # noqa: F401
+from . import (  # noqa: F401
+    activation_ops,
+    attention_ops,
+    extra_ops,
+    math_ops,
+    nn_ops,
+    quant_ops,
+    tensor_ops,
+)
 from .registry import OPS, OpContext, make_ctx, op  # noqa: F401
