@@ -158,6 +158,8 @@ class GraphTracer:
             return self._emit_loop(state, node, env, scope, tag)
         if op_type == "Scan":
             return self._emit_scan(state, node, env, scope, tag)
+        if op_type == "SequenceMap":
+            return self._emit_sequence_map(state, node, env, scope, tag)
 
         ins = [env[n] if n else None for n in node.input]
         emitter = self.overrides.get(op_type)
@@ -239,6 +241,45 @@ class GraphTracer:
                 name = node.input[i]
                 dyn_ins.append(state.to_device(scope + name, np.asarray(v)))
         return emitter(ctx, *dyn_ins)
+
+    def _emit_sequence_map(self, state: TraceState, node: Proto, env,
+                           scope: str, tag: str):
+        """ONNX SequenceMap: run `body` once per sequence element. Our
+        sequences are host lists (TensorSeq) with trace-time-static length
+        — the elements may be dynamic jax values of DIFFERENT shapes,
+        which is exactly why this unrolls instead of lax.scan (the op
+        exists to map over ragged sequences the spec forbids stacking)."""
+        from ..ops.extra_ops import TensorSeq
+
+        body = next(a for a in node.attribute if a.name == "body").g
+        ins = [env[n] for n in node.input if n]
+        seq_lens = {len(v) for v in ins if isinstance(v, TensorSeq)}
+        if not seq_lens:
+            raise ValueError(
+                "SequenceMap requires at least one sequence input"
+            )
+        if len(seq_lens) > 1:
+            raise ValueError(
+                f"SequenceMap sequence inputs disagree on length: "
+                f"{sorted(seq_lens)}"
+            )
+        length = seq_lens.pop()
+        n_out = len(node.output)
+        accs = [TensorSeq() for _ in range(n_out)]
+        map_scope = scope + (node.name or f"SeqMap_{tag}")
+        for i in range(length):
+            benv = ChainMap({}, env)
+            for vi, val in zip(body.input, ins):
+                benv[vi.name] = val[i] if isinstance(val, TensorSeq) else val
+            sub = self._walk_graph(state, body, benv, f"{map_scope}/{i}/")
+            if len(sub) != n_out:
+                raise ValueError(
+                    f"SequenceMap body yields {len(sub)} outputs, node "
+                    f"declares {n_out}"
+                )
+            for acc, o in zip(accs, sub):
+                acc.append(o)
+        return tuple(accs) if n_out > 1 else accs[0]
 
     def _emit_if(self, state: TraceState, node: Proto, env, scope: str, tag: str):
         import jax
@@ -644,6 +685,15 @@ class GraphTracer:
                 outs = self._walk_graph(state, graph, env, "")
             import jax.numpy as jnp
 
+            for o in outs:
+                if _is_static(o) and o is not None \
+                        and np.asarray(o).dtype == object:
+                    raise NotImplementedError(
+                        "a STRING tensor is a graph output: strings have "
+                        "no device representation on TPU. Consume them "
+                        "inside the graph (RegexFullMatch, StringSplit "
+                        "lengths, TfIdfVectorizer) so outputs are numeric."
+                    )
             return [
                 jnp.asarray(_canon_np(np.asarray(o), strict=self.strict))
                 if _is_static(o) else o

@@ -73,6 +73,17 @@ def node(
 
 def tensor_from_array(arr: np.ndarray, name: str = "") -> dict:
     arr = np.asarray(arr)
+    if arr.dtype.kind in ("U", "S", "O"):  # STRING tensor (data_type 8)
+        vals = [
+            v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            for v in arr.reshape(-1)
+        ]
+        return {
+            "name": name,
+            "dims": list(arr.shape),
+            "data_type": 8,
+            "string_data": vals,
+        }
     if arr.dtype not in NP_TO_ONNX:
         raise TypeError(f"no ONNX dtype for numpy {arr.dtype}")
     return {

@@ -132,8 +132,19 @@ def _load_external(t: Proto, np_dtype: np.dtype, dims: list[int],
 
 
 def tensor_to_array(t: Proto, base_dir: str | Path | None = None) -> np.ndarray:
-    """Materialize a TensorProto as a numpy array (any numeric dtype)."""
+    """Materialize a TensorProto as a numpy array (any numeric dtype).
+    STRING tensors (data_type 8) become host object arrays of str — they
+    exist only at trace time (string ops are fold-only on TPU)."""
     dt = t.data_type
+    if int(dt) == 8:  # STRING
+        dims = [int(d) for d in t.dims]
+        vals = [
+            (bytes(s) if isinstance(s, memoryview) else s).decode("utf-8")
+            for s in t.string_data
+        ]
+        arr = np.empty(len(vals), dtype=object)
+        arr[:] = vals
+        return arr.reshape(dims) if dims else arr.reshape(())
     np_dtype = DTYPE_MAP.get(dt)
     if np_dtype is None:
         raise ValueError(f"unsupported ONNX data_type {dt} for tensor {t.name!r}")

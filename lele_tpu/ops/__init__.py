@@ -10,10 +10,14 @@ Control flow (If) lives in the tracer, which owns subgraph scoping.
 from . import (  # noqa: F401
     activation_ops,
     attention_ops,
+    deform_ops,
     extra_ops,
+    io_ops,
     math_ops,
     nn_ops,
     quant_ops,
+    string_ops,
     tensor_ops,
+    tfidf_ops,
 )
 from .registry import OPS, OpContext, make_ctx, op  # noqa: F401
