@@ -30,6 +30,91 @@ def _split_heads(x, n_heads):
     return x.reshape(b, s, n_heads, hd // n_heads).transpose(0, 2, 1, 3)
 
 
+def _flash_attention_maybe(ctx, q, k, v, attn_mask, is_causal, scale,
+                           softcap, n_out, mode):
+    """Route eligible Attention nodes through the Pallas TPU
+    flash-attention kernel (O(L) memory, fused online softmax — the
+    speed-of-light path for long sequences where the XLA einsum form
+    materializes the [B,H,Lq,Lk] score tensor in HBM).
+
+    Eligible: running on TPU, LELE_FLASH_ATTENTION not "0", no softcap, no
+    qk tap requested, float mask (rides the kernel's additive-bias input;
+    bool masks converted), block-aligned seq lens (128) and head size
+    (8-lane multiple). Anything else falls back to the XLA path — same
+    numerics contract as every other Pallas kernel here
+    (PERF.md "Kernel honesty")."""
+    import os
+
+    if os.environ.get("LELE_FLASH_ATTENTION", "1") == "0":
+        return None
+    if softcap or n_out >= 4 or mode:
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        if jax.devices()[0].platform != "tpu":
+            return None
+    except Exception:
+        return None
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if lq % 128 or lk % 128 or d % 8 or d < 16:
+        return None
+    if is_causal and lq != lk:
+        # the kernel's causal rule is top-left over equal lengths; our
+        # spec rule for lq != lk is handled by the XLA path
+        return None
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+    except ImportError:
+        return None
+    ab = None
+    if attn_mask is not None:
+        if attn_mask.dtype == jnp.bool_:
+            big = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+            ab = jnp.where(attn_mask, 0.0, big)
+        else:
+            ab = attn_mask.astype(jnp.float32)
+        ab = jnp.broadcast_to(ab, (b, h, lq, lk))
+    blk_q = min(512, lq)
+    blk_k = min(512, lk)
+    if lq % blk_q or lk % blk_k:
+        blk_q, blk_k = 128, 128
+    bs = BlockSizes(
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+        block_q_major_dkv=blk_q, block_k_major_dkv=blk_k,
+        block_k_dkv=blk_k, block_q_dkv=blk_q,
+        block_k_major_dq=blk_k, block_k_dq=blk_k, block_q_dq=blk_q,
+    )
+    f32 = jnp.float32
+    try:
+        out = flash_attention(
+            q.astype(f32), k.astype(f32), v.astype(f32), ab=ab,
+            causal=bool(is_causal), sm_scale=float(scale), block_sizes=bs,
+        )
+    except Exception as e:
+        # kernel-side shape/config rejection → XLA path; say so once, so a
+        # fallback never silently masquerades as a kernel win
+        global _FLASH_BAILED
+        if not _FLASH_BAILED:
+            _FLASH_BAILED = True
+            import sys
+
+            print(
+                f"[lele] flash-attention bailed to XLA path: {e!r:.200}",
+                file=sys.stderr,
+            )
+        return None
+    return out.astype(q.dtype)
+
+
+_FLASH_BAILED = False
+
+
 @op("Attention", foldable=False)
 def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
               past_value=None):
@@ -81,6 +166,22 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
         v = jnp.repeat(v, rep, axis=1)
 
     Lq, Lk = q.shape[2], k.shape[2]
+
+    flash = _flash_attention_maybe(
+        ctx, q, k, v, attn_mask, is_causal, scale, softcap,
+        n_out=len(ctx.node.output) if ctx.node is not None else 1,
+        mode=mode,
+    )
+    if flash is not None:
+        y = flash
+        if three_d:
+            b, h, s, d = y.shape
+            y = y.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+        n_out = len(ctx.node.output) if ctx.node is not None else 1
+        if n_out <= 1:
+            return y
+        return (y, present_key, present_value)[:n_out]
+
     cdt = jnp.promote_types(q.dtype, jnp.float32) if softcap else q.dtype
     qk = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
@@ -194,6 +295,11 @@ def tensor_scatter(ctx: OpContext, past_cache, update, write_indices=None):
     mode = ctx.attr("mode", "linear")
     nd = past_cache.ndim
     axis = axis % nd
+    if axis == 0:
+        raise ValueError(
+            "TensorScatter: axis 0 is the batch dimension write_indices "
+            "indexes over; the sequence axis must be ≥1"
+        )
     b = past_cache.shape[0]
     max_seq = past_cache.shape[axis]
     s = update.shape[axis]

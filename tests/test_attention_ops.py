@@ -146,6 +146,18 @@ def test_attention_qk_output_modes(mode):
     np.testing.assert_allclose(outs[3], want_tap, rtol=2e-5, atol=2e-6)
 
 
+def test_flash_gate_declines_off_tpu():
+    """The Pallas flash path must never engage off-TPU or when disabled;
+    on-TPU engagement + parity + speed is scripts/flash_attention_tpu.py."""
+    from lele_tpu.ops.attention_ops import _flash_attention_maybe
+
+    rng = np.random.default_rng(20)
+    q = rng.standard_normal((1, 2, 128, 64)).astype(np.float32)
+    assert _flash_attention_maybe(
+        None, q, q, q, None, False, 0.125, 0.0, n_out=1, mode=0
+    ) is None  # CPU platform under conftest
+
+
 # --- RotaryEmbedding -------------------------------------------------------
 
 
