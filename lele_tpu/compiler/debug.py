@@ -37,14 +37,19 @@ def profile_nodes(
     for t in graph.initializer:
         env[t.name] = tensor_to_array(t, getattr(model, "base_dir", None))
 
+    from ..onnx import loader as _loader
+
     records = []
+    base_dir = getattr(model, "base_dir", None)
     for i, node in enumerate(graph.node):
         runs = 2 if warmup else 1
         out = None
         t0 = None
         for r in range(runs):
             t0 = time.perf_counter()
-            out = tracer._emit(state, node, env, "", tag=str(i))
+            # scope so Constant-attribute tensors resolve external data
+            with _loader.base_dir_scope(base_dir):
+                out = tracer._emit(state, node, env, "", tag=str(i))
             jax.block_until_ready(
                 [o for o in (out if isinstance(out, tuple) else (out,))
                  if o is not None and not _is_static(o)]

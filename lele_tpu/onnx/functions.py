@@ -45,6 +45,14 @@ def _fn_key(domain: str, name: str, overload: str) -> tuple:
     return (domain or "", name, overload or "")
 
 
+def _has_native_kernel(op_type: str) -> bool:
+    if op_type in ("If", "Loop", "Scan", "SequenceMap"):
+        return True
+    from ..ops import OPS  # late import: ops package is heavier than us
+
+    return op_type in OPS
+
+
 def _rename(name: str, binding: dict[str, str], prefix: str) -> str:
     if not name:
         return ""
@@ -93,7 +101,13 @@ def _inline_nodes(nodes: list[dict], table: dict[tuple, dict],
     for n in nodes:
         dom = n.get("domain", "") or ""
         key = _fn_key(dom, n.get("op_type", ""), n.get("overload", ""))
-        fn = None if dom in _NATIVE_DOMAINS else table.get(key)
+        fn = table.get(key)
+        if fn is not None and dom in _NATIVE_DOMAINS \
+                and _has_native_kernel(n.get("op_type", "")):
+            # registered kernel beats a same-named default-domain function
+            # (onnxruntime precedence) — but a default-domain function
+            # matching NO kernel must still inline (onnx.inliner behavior)
+            fn = None
         if fn is None:
             # still recurse into attribute subgraphs (If/Loop bodies can
             # call functions)
@@ -247,8 +261,30 @@ def inline_functions(model_raw: dict) -> dict:
     fns = model_raw.get("functions", [])
     if not fns:
         return model_raw
+    model_opset = max(
+        (int(o.get("version", 0)) for o in model_raw.get("opset_import", [])
+         if o.get("domain", "") in ("", "ai.onnx")),
+        default=None,
+    )
     table: dict[tuple, dict] = {}
     for f in fns:
+        # a function body is re-interpreted under the MODEL's opset after
+        # inlining; if the function pins a DIFFERENT ai.onnx opset, opset-
+        # sensitive ops (Softmax axis, Split forms, …) would silently
+        # change meaning — refuse instead (torch exports always match)
+        f_opset = max(
+            (int(o.get("version", 0)) for o in f.get("opset_import", [])
+             if o.get("domain", "") in ("", "ai.onnx")),
+            default=None,
+        )
+        if (f_opset is not None and model_opset is not None
+                and f_opset != model_opset):
+            raise NotImplementedError(
+                f"function {f.get('name')!r} declares ai.onnx opset "
+                f"{f_opset} but the model is opset {model_opset}: inlining "
+                "would re-interpret opset-sensitive ops. Re-export with a "
+                "single opset (torch.onnx does), or version-convert first."
+            )
         table[_fn_key(f.get("domain", ""), f.get("name", ""),
                       f.get("overload", ""))] = f
     counter = [0]

@@ -49,10 +49,12 @@ DTYPE_MAP: dict[int, np.dtype] = {
 
 NP_TO_ONNX: dict[np.dtype, int] = {v: k for k, v in reversed(DTYPE_MAP.items())}
 
-# Open mmaps of external-data side files, keyed by realpath. Held for the
-# process lifetime so numpy views into them stay valid (weights.py packs them
-# into the blob long before process exit; entries are just page-cache handles).
-_EXTERNAL_MMAPS: dict[str, mmap.mmap] = {}
+# Open mmaps of external-data side files, keyed by realpath and validated
+# against (inode, size, mtime): a side file REWRITTEN at the same path
+# in-process (re-export loops) must not serve stale pages or a stale
+# length. Entries live for the process lifetime so numpy views into them
+# stay valid (weights.py packs them into the blob long before exit).
+_EXTERNAL_MMAPS: dict[str, tuple[tuple, mmap.mmap]] = {}
 
 # Fallback base-dir stack for call sites that see a bare TensorProto with no
 # model handle — Constant-node attribute tensors reached through the op
@@ -78,11 +80,16 @@ def base_dir_scope(base_dir: str | Path | None):
 
 def _external_mmap(path: Path) -> mmap.mmap:
     key = str(path.resolve())
-    mm = _EXTERNAL_MMAPS.get(key)
-    if mm is None:
-        with open(path, "rb") as f:
-            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-        _EXTERNAL_MMAPS[key] = mm
+    st = path.stat()
+    sig = (st.st_ino, st.st_size, st.st_mtime_ns)
+    cached = _EXTERNAL_MMAPS.get(key)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    # a stale entry is deliberately NOT closed: earlier-loaded models may
+    # still hold zero-copy views into it (the page cache keeps it alive)
+    _EXTERNAL_MMAPS[key] = (sig, mm)
     return mm
 
 

@@ -40,21 +40,42 @@ from . import schema
 from .loader import tensor_to_array
 
 
+def _inline_tensor(t: dict, base_dir) -> dict:
+    if int(t.get("data_location", 0) or 0) != 1:
+        return t
+    arr = tensor_to_array(schema.Proto(t, "TensorProto"), base_dir)
+    t = dict(t)
+    t.pop("data_location", None)
+    t.pop("external_data", None)
+    t["raw_data"] = np.ascontiguousarray(arr).tobytes()
+    return t
+
+
 def _consolidate_external(inits: list[dict], base_dir) -> list[dict]:
     """Inline any surviving data_location=EXTERNAL initializers: the
     quantized model is written wherever the caller wants (CLI: out_dir),
     so relative side-file references from the SOURCE directory would
     dangle. Quantized weights are inline already; this catches the
     untouched remainder (embeddings, norms, biases)."""
+    return [_inline_tensor(t, base_dir) for t in inits]
+
+
+def _consolidate_external_nodes(nodes: list[dict], base_dir) -> list[dict]:
+    """Same, for Constant-NODE value tensors (the other static-weight
+    spelling _weight_array supports)."""
     out = []
-    for t in inits:
-        if int(t.get("data_location", 0) or 0) == 1:
-            arr = tensor_to_array(schema.Proto(t, "TensorProto"), base_dir)
-            t = dict(t)
-            t.pop("data_location", None)
-            t.pop("external_data", None)
-            t["raw_data"] = np.ascontiguousarray(arr).tobytes()
-        out.append(t)
+    for n in nodes:
+        if n.get("op_type") == "Constant":
+            attrs = n.get("attribute", [])
+            if any(int(a.get("t", {}).get("data_location", 0) or 0) == 1
+                   for a in attrs):
+                n = dict(n)
+                n["attribute"] = [
+                    {**a, "t": _inline_tensor(a["t"], base_dir)}
+                    if "t" in a else a
+                    for a in attrs
+                ]
+        out.append(n)
     return out
 
 
@@ -262,11 +283,11 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm"),
     def gone(name: str) -> bool:
         return name in consumed_weights and name not in still_used
 
-    g["node"] = [
+    g["node"] = _consolidate_external_nodes([
         n for n in out_nodes
         if not (n.get("op_type") == "Constant" and n.get("output")
                 and gone(n["output"][0]))
-    ]
+    ], base_dir)
     g["initializer"] = _consolidate_external(
         [t for t in g.get("initializer", []) if not gone(t.get("name", ""))],
         base_dir,
@@ -508,11 +529,11 @@ def quantize_static(data: bytes, calibration_batches,
     def gone(name: str) -> bool:
         return name in consumed_weights and name not in still_used
 
-    g["node"] = [
+    g["node"] = _consolidate_external_nodes([
         n for n in out_nodes
         if not (n.get("op_type") == "Constant" and n.get("output")
                 and gone(n["output"][0]))
-    ]
+    ], base_dir)
     g["initializer"] = _consolidate_external(
         [t for t in g.get("initializer", []) if not gone(t.get("name", ""))],
         base_dir,

@@ -74,12 +74,19 @@ def _flash_attention_maybe(ctx, q, k, v, attn_mask, is_causal, scale,
         return None
     ab = None
     if attn_mask is not None:
+        if not scale:  # ab pre-division below needs a nonzero scale
+            return None
         if attn_mask.dtype == jnp.bool_:
-            big = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-            ab = jnp.where(attn_mask, 0.0, big)
+            # -1e9, not f32.min: the pre-division below would push f32.min
+            # past -inf and the kernel's online softmax NaNs on -inf rows
+            ab = jnp.where(attn_mask, 0.0, jnp.float32(-1e9))
         else:
             ab = attn_mask.astype(jnp.float32)
-        ab = jnp.broadcast_to(ab, (b, h, lq, lk))
+        # the kernel computes (qk + ab) * sm_scale — the ONNX mask adds
+        # AFTER scaling, so pre-divide (verified against the kernel source:
+        # pallas/ops/tpu/flash_attention.py applies `s += ab` then
+        # `s *= sm_scale`)
+        ab = jnp.broadcast_to(ab / float(scale), (b, h, lq, lk))
     blk_q = min(512, lq)
     blk_k = min(512, lk)
     if lq % blk_q or lk % blk_k:

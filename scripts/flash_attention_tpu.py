@@ -69,6 +69,52 @@ def chain_slope(fn, args, Ks=(8, 40)):
     return (t_big - t_small) / (Ks[1] - Ks[0])
 
 
+def mask_parity():
+    """Float-mask case: the kernel adds `ab` BEFORE sm_scale, so the op
+    pre-divides the ONNX mask by scale — regression check for that fix
+    (an unscaled pass-through under-weights ALiBi-style biases ~11x at
+    D=128)."""
+    import jax
+
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel, builder as ob
+
+    b, h, l, d = 1, 4, 256, 128
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((b, h, l, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, l, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, l, d)).astype(np.float32)
+    mask = (rng.standard_normal((b, 1, l, l)) * 2).astype(np.float32)
+    node = ob.node("Attention", ["q", "k", "v", "m"], ["y"])
+    bs = ob.build_model_bytes(
+        [node],
+        inputs=[ob.vi_from_array(n, a) for n, a in
+                [("q", q), ("k", k), ("v", v), ("m", mask)]],
+        outputs=[ob.value_info("y", 1, [])], opset=23,
+    )
+    ys = {}
+    for flag in ("1", "0"):
+        os.environ["LELE_FLASH_ATTENTION"] = flag
+        cm = compile_model(OnnxModel.from_bytes(bs))
+        if flag == "1":
+            assert "tpu_custom_call" in cm.lower().as_text() or \
+                "CustomCall" in cm.lower().as_text(), \
+                "flash did not engage on the masked case"
+        ys[flag] = cm.run_np(q=q, k=k, v=v, m=mask)[0]
+    # f64 oracle
+    s = (q.astype(np.float64) @ k.astype(np.float64).transpose(0, 1, 3, 2)
+         / np.sqrt(d)) + mask.astype(np.float64)
+    w = np.exp(s - s.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    want = w @ v.astype(np.float64)
+    mag = np.abs(want).max()
+    e1 = np.abs(ys["1"] - want).max() / mag
+    e0 = np.abs(ys["0"] - want).max() / mag
+    print(f"masked rel-max-err vs f64 oracle: flash {e1:.2e}, xla {e0:.2e}")
+    assert e1 < 2e-2 and e0 < 2e-2
+    assert e1 < 3 * max(e0, 1e-6), "flash mask scaling wrong"
+
+
 def main():
     import jax
 
@@ -120,3 +166,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+    mask_parity()
+    print("flash_attention_tpu: ALL OK")

@@ -152,6 +152,82 @@ def test_quantizer_consolidates_external(tmp_path):
     np.testing.assert_array_equal(qm.initializer_array("gamma"), gamma)
 
 
+def test_side_file_rewrite_not_stale(tmp_path):
+    """Rewriting a side file at the same path must serve the NEW bytes
+    (the mmap cache validates against inode/size/mtime)."""
+    w1 = np.full((2, 2), 1.0, np.float32)
+    w2 = np.full((2, 2), 9.0, np.float32)  # same size, different content
+    side = tmp_path / "w.bin"
+    side.write_bytes(w1.tobytes())
+    t = Proto(ob.tensor_external(w1, "w", "w.bin", 0), "TensorProto")
+    np.testing.assert_array_equal(tensor_to_array(t, tmp_path), w1)
+    import os
+    import time
+
+    side.write_bytes(w2.tobytes())
+    # mtime_ns granularity: force a distinct stamp even on coarse clocks
+    st = side.stat()
+    os.utime(side, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    np.testing.assert_array_equal(tensor_to_array(t, tmp_path), w2)
+
+
+def test_quantizer_consolidates_constant_node_external(tmp_path):
+    """External tensors riding Constant NODES (not initializers) must also
+    inline in quantizer output."""
+    from lele_tpu.onnx.quantize import quantize_dynamic
+
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((8, 8)).astype(np.float32)
+    gamma = rng.standard_normal((8,)).astype(np.float32)
+    (tmp_path / "c.data").write_bytes(gamma.tobytes())
+    nodes = [
+        ob.node("Constant", [], ["gamma"],
+                value=ob.tensor_external(gamma, "", "c.data", 0)),
+        ob.node("MatMul", ["x", "w"], ["h"]),
+        ob.node("Mul", ["h", "gamma"], ["y"]),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [2, 8])],
+        outputs=[ob.value_info("y", 1, [2, 8])],
+        initializers=[ob.tensor_from_array(w, "w")],
+    )
+    qdata = quantize_dynamic(bs, base_dir=tmp_path)
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    qp = other / "m.int8.onnx"
+    qp.write_bytes(qdata)
+    qm = OnnxModel.load(qp)
+    x = rng.standard_normal((2, 8)).astype(np.float32)
+    got = compile_model(qm).run_np(x=x)[0]
+    want = (x @ w) * gamma
+    assert np.abs(got - want).max() < 0.1
+
+
+def test_profile_nodes_external_constants(tmp_path):
+    """compiler.debug.profile_nodes resolves Constant-attribute external
+    tensors through the model's base_dir."""
+    from lele_tpu.compiler.debug import profile_nodes
+
+    c = np.full((2, 3), 4.0, np.float32)
+    (tmp_path / "c.bin").write_bytes(c.tobytes())
+    nodes = [
+        ob.node("Constant", [], ["c"],
+                value=ob.tensor_external(c, "", "c.bin", 0)),
+        ob.node("Add", ["x", "c"], ["y"]),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [2, 3])],
+        outputs=[ob.value_info("y", 1, [2, 3])],
+    )
+    p = tmp_path / "m.onnx"
+    p.write_bytes(bs)
+    recs = profile_nodes(OnnxModel.load(p),
+                         {"x": np.ones((2, 3), np.float32)})
+    assert any(r["op_type"] == "Add" for r in recs)
+
+
 def _ext_proto(arr, location, offset=0, length=None, dims=None):
     t = ob.tensor_external(arr, "t", location, offset)
     if length is not None:

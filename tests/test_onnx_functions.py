@@ -224,6 +224,42 @@ def test_default_domain_function_does_not_shadow_builtin():
     np.testing.assert_allclose(got, np.maximum(x, 0.0))
 
 
+def test_default_domain_function_without_kernel_inlines():
+    """A default-domain function whose name matches NO registered kernel
+    must inline (onnx.inliner behavior) — precedence only shields real
+    kernels."""
+    f = ob.function(
+        "MyBlock", ["a"], ["b"],
+        [ob.node("Add", ["a", "a"], ["b"])], domain="",
+    )
+    m = _mk_model(
+        [ob.node("MyBlock", ["x"], ["y"])],  # default-domain call
+        [ob.value_info("x", 1, [2])],
+        [ob.value_info("y", 1, [2])],
+        [f],
+    )
+    x = np.array([1.0, -2.0], dtype=np.float32)
+    got = _compile_np(m, x=x)[0]
+    np.testing.assert_allclose(got, 2 * x, rtol=1e-6)
+
+
+def test_function_opset_mismatch_rejected():
+    """A function pinning a DIFFERENT ai.onnx opset than the model would be
+    silently re-interpreted after inlining — must refuse instead."""
+    f = ob.function(
+        "Old", ["a"], ["b"], [ob.node("Add", ["a", "a"], ["b"])],
+        opset=12,
+    )
+    m = _mk_model(
+        [ob.node("Old", ["x"], ["y"], domain="local")],
+        [ob.value_info("x", 1, [2])],
+        [ob.value_info("y", 1, [2])],
+        [f],
+    )  # model opset 17 vs function opset 12
+    with pytest.raises(NotImplementedError, match="opset"):
+        _compile_np(m, x=np.zeros(2, dtype=np.float32))
+
+
 def test_recursive_function_rejected():
     f = ob.function(
         "Loopy", ["a"], ["b"],
