@@ -102,7 +102,7 @@ def _build_step(p):
         outputs=[ob.value_info(o, 1, []) for o in outs],
         initializers=inits, opset=23,
     )
-    return compile_model(OnnxModel.from_bytes(bs)), outs
+    return bs, outs
 
 
 def _torch_rotary(x, cos, sin):
@@ -145,7 +145,8 @@ def _torch_step(p, ids, pos, ck, cv, mask):
 def test_llm_decode_matches_torch_rollout():
     rng = np.random.default_rng(0)
     p = _params(rng)
-    cm, _ = _build_step(p)
+    bs, _ = _build_step(p)
+    cm = compile_model(OnnxModel.from_bytes(bs))
 
     ids = np.array([3, 7], dtype=np.int64)
     ids_t = ids.copy()
@@ -177,3 +178,46 @@ def test_llm_decode_matches_torch_rollout():
         toks.append(ids.copy())
         toks_t.append(ids_t.copy())
     np.testing.assert_array_equal(np.stack(toks), np.stack(toks_t))
+
+
+def test_llm_decode_quantized_step():
+    """The generic dynamic quantizer composes with the Attention-23 step
+    graph: int8-DQL linears inside a rollout step stay close to the float
+    logits (the LLM analog of quantize_dynamic on the ASR encoder)."""
+    from lele_tpu.onnx.quantize import quantize_dynamic
+
+    rng = np.random.default_rng(1)
+    p = _params(rng)
+    bs, _ = _build_step(p)
+    cm_f = compile_model(OnnxModel.from_bytes(bs))
+    cm_q = compile_model(OnnxModel.from_bytes(quantize_dynamic(bs)))
+
+    ids = np.array([3, 7], dtype=np.int64)
+    ck = [np.zeros((B, H, S, HD), np.float32) for _ in range(NL)]
+    cv = [np.zeros((B, H, S, HD), np.float32) for _ in range(NL)]
+    ckq = [c.copy() for c in ck]
+    cvq = [c.copy() for c in cv]
+    idsq = ids.copy()
+    for step in range(4):
+        pos = np.full((B,), step, dtype=np.int64)
+        mask = np.full((B, 1, 1, S), -1e9, np.float32)
+        mask[..., : step + 1] = 0.0
+
+        def feeds(i, c1, c2):
+            f = {"ids": i, "pos1": pos, "pos2": pos[:, None], "mask": mask}
+            for li in range(NL):
+                f[f"ck{li}"] = c1[li]
+                f[f"cv{li}"] = c2[li]
+            return f
+
+        of = cm_f.run_np(**feeds(ids, ck, cv))
+        oq = cm_q.run_np(**feeds(idsq, ckq, cvq))
+        lf, lq = of[0].reshape(B, V), oq[0].reshape(B, V)
+        mae = np.abs(lf - lq).mean()
+        spread = np.abs(lf).mean()
+        assert mae < 0.05 * max(spread, 1e-6), f"step {step}: MAE {mae}"
+        for li in range(NL):
+            ck[li], cv[li] = of[1 + 2 * li], of[2 + 2 * li]
+            ckq[li], cvq[li] = oq[1 + 2 * li], oq[2 + 2 * li]
+        ids = lf.argmax(-1).astype(np.int64)
+        idsq = lq.argmax(-1).astype(np.int64)
