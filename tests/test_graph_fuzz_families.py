@@ -21,7 +21,7 @@ import pytest
 from optest import run_graph
 from lele_tpu.onnx import builder as ob
 
-OPSETS = (11, 13, 17, 18, 20)
+OPSETS = (11, 13, 17, 18, 20, 23)
 
 
 class Ctx:
@@ -542,12 +542,74 @@ def g_cast_chain(c):
     return True
 
 
+def g_attention_family(c):
+    """Opset-23 LLM ops with random configs vs a literal numpy oracle:
+    Attention (causal/mask/scale/GQA) and RotaryEmbedding (interleaved,
+    partial dim)."""
+    if c.opset < 23:
+        return False
+    rng = c.rng
+    b = int(rng.integers(1, 3))
+    kvh = int(rng.choice([1, 2]))
+    h = kvh * int(rng.choice([1, 2]))
+    lq = int(rng.integers(1, 6))
+    lk = int(rng.integers(1, 6))
+    d = int(rng.choice([4, 8]))
+    qa = rng.standard_normal((b, h, lq, d)).astype(np.float32)
+    ka = rng.standard_normal((b, kvh, lk, d)).astype(np.float32)
+    va = rng.standard_normal((b, kvh, lk, d)).astype(np.float32)
+    qn, kn, vn = (c.fresh("q"), c.fresh("k"), c.fresh("v"))
+    for nm, ar in ((qn, qa), (kn, ka), (vn, va)):
+        c.dynamic[nm] = ar
+        c.host[nm] = ar
+
+    if rng.random() < 0.5:  # RotaryEmbedding arm
+        half = d // 2
+        cosb = rng.standard_normal((b, lq, half)).astype(np.float32)
+        sinb = rng.standard_normal((b, lq, half)).astype(np.float32)
+        cn = c.const(cosb, "cos")
+        sn = c.const(sinb, "sin")
+        inter = bool(rng.integers(0, 2))
+        x1 = qa[..., 0::2] if inter else qa[..., :half]
+        x2 = qa[..., 1::2] if inter else qa[..., half:]
+        cc = cosb[:, None]
+        ss = sinb[:, None]
+        o1, o2 = x1 * cc - x2 * ss, x1 * ss + x2 * cc
+        if inter:
+            want = np.stack([o1, o2], -1).reshape(qa.shape)
+        else:
+            want = np.concatenate([o1, o2], -1)
+        c.emit("RotaryEmbedding", [qn, cn, sn],
+               oracle=want.astype(np.float32), interleaved=int(inter))
+        return True
+
+    causal = bool(rng.integers(0, 2))
+    use_mask = (not causal) and rng.random() < 0.5
+    scale = float(rng.choice([1.0, 0.3]))
+    rep = h // kvh
+    kf = np.repeat(ka, rep, 1)
+    vf = np.repeat(va, rep, 1)
+    s = np.einsum("bhqd,bhkd->bhqk", qa, kf) * scale
+    ins = [qn, kn, vn]
+    if causal:
+        s = np.where(np.tril(np.ones((lq, lk), bool)), s, -np.inf)
+    if use_mask:
+        m = (rng.standard_normal((b, 1, lq, lk)) * 2).astype(np.float32)
+        ins.append(c.const(m, "mask"))
+        s = s + m
+    e = np.exp(s - s.max(-1, keepdims=True))
+    w = e / e.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", w, vf).astype(np.float32)
+    c.emit("Attention", ins, oracle=want, is_causal=int(causal), scale=scale)
+    return True
+
+
 GENERATORS = [
     g_binary, g_binary, g_div_pow_mod, g_unary, g_unary,
     g_activation_attrs, g_compare_where, g_reduce, g_reduce,
     g_shape_ops, g_shape_ops, g_concat_split, g_slice_pad,
     g_gather_scatter, g_topk_argmax, g_matmul_gemm,
-    g_conv_pool, g_softmax_norm, g_cast_chain,
+    g_conv_pool, g_softmax_norm, g_cast_chain, g_attention_family,
 ]
 
 
