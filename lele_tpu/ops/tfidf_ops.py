@@ -96,9 +96,7 @@ def tfidf_vectorizer(ctx: OpContext, x):
         n_grams = (end - start) // n
         if n_grams <= 0 or not (min_n <= n <= max_n):
             continue
-        grams = pool[start:end].reshape(n_grams, n)
-        if is_string:
-            grams = grams  # already ids
+        grams = pool[start:end].reshape(n_grams, n)  # string mode: pool ids
         sec_counts = xp.zeros((n_batch, n_grams), np.int32)
         skips = range(1) if n == 1 else range(max_skip + 1)
         for s in skips:

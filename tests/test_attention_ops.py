@@ -146,6 +146,20 @@ def test_attention_qk_output_modes(mode):
     np.testing.assert_allclose(outs[3], want_tap, rtol=2e-5, atol=2e-6)
 
 
+def test_attention_fp16_dtype_carried():
+    """Half inputs: softmax runs in f32 internally, output returns f16."""
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((B, H, LQ, D)).astype(np.float16)
+    k = rng.standard_normal((B, H, LK, D)).astype(np.float16)
+    v = rng.standard_normal((B, H, LK, D)).astype(np.float16)
+    got = run_op("Attention", {"q": q, "k": k, "v": v})[0]
+    assert got.dtype == np.float16
+    want = _sdpa(q.astype(np.float32), k.astype(np.float32),
+                 v.astype(np.float32))
+    np.testing.assert_allclose(got.astype(np.float32), want,
+                               rtol=5e-3, atol=5e-3)
+
+
 def test_flash_gate_declines_off_tpu():
     """The Pallas flash path must never engage off-TPU or when disabled;
     on-TPU engagement + parity + speed is scripts/flash_attention_tpu.py."""
