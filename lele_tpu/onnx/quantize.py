@@ -109,8 +109,16 @@ def quantize_dynamic(data: bytes, op_types=("MatMul", "Gemm"),
     Pass op_types=("MatMul", "Gemm", "Conv") to also rewrite Conv →
     ConvInteger (ORT's op_types_to_quantize=['Conv'] analog — opt-in, like
     ORT, because dynamic activation quantization of conv stacks costs more
-    accuracy than transformer linears)."""
+    accuracy than transformer linears).
+
+    Local-function models (torch export_modules_as_functions) inline
+    before quantization: the MatMuls live inside function BODIES, which
+    the node rewrite below cannot see."""
     raw = schema.decode_model(data).raw()
+    if raw.get("functions"):
+        from .functions import inline_functions
+
+        raw = inline_functions(raw)
     # DynamicQuantizeLinear needs opset 11 (MatMulInteger 10). Bumping the
     # declared opset ourselves would silently change the meaning of pre-11
     # attribute-form ops (Pad/Slice/...) elsewhere in the graph — refuse
@@ -330,6 +338,10 @@ def calibrate_minmax(data: bytes, batches,
     from .loader import OnnxModel
 
     raw = schema.decode_model(data).raw()
+    if raw.get("functions"):
+        from .functions import inline_functions
+
+        raw = inline_functions(raw)
     g = raw["graph"]
     inits = {t.get("name", "") for t in g.get("initializer", [])}
     names: list[str] = []
@@ -403,6 +415,13 @@ def quantize_static(data: bytes, calibration_batches,
                 f"model declares opset {op_imp.get('version')}"
             )
     batches = list(calibration_batches)
+    raw0 = schema.decode_model(data).raw()
+    if raw0.get("functions"):
+        # inline local functions so the QDQ insertion below sees the real
+        # Conv/MatMul nodes (they live inside function bodies otherwise)
+        from .functions import inline_functions
+
+        data = schema.encode_message(inline_functions(raw0), "ModelProto")
     ranges = calibrate_minmax(data, batches, base_dir=base_dir)
     raw = schema.decode_model(data).raw()
     g = raw["graph"]

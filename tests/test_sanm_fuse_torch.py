@@ -134,3 +134,36 @@ def test_torch_export_unquantized_bails_cleanly(tmp_path, monkeypatch):
     out = np.asarray(cm.run_np(x.numpy(), attn_bias.numpy(),
                                vmask.numpy())[0])
     np.testing.assert_allclose(out, want, atol=5e-4, rtol=1e-4)
+
+
+def test_function_packaged_export_fuses(tmp_path, monkeypatch):
+    """torch export_modules_as_functions packaging: each SAN-M layer ships
+    as a FunctionProto call. Inlining (compile-time AND inside
+    quantize_dynamic, whose MatMul rewrite cannot see function bodies)
+    must compose with the matcher — the flagship fusion survives the
+    function-packaged real-export form."""
+    from lele_tpu.onnx import schema
+
+    torch.manual_seed(13)
+    m = SanmEncoder().eval()
+    x = torch.randn(1, T, D)
+    attn_bias = torch.zeros(1, 1, 1, T)
+    vmask = torch.ones(1, 1, T)
+    path = str(tmp_path / "sanm_fn.onnx")
+    with torch.no_grad():
+        torch.onnx.export(m, (x, attn_bias, vmask), path,
+                          opset_version=17, dynamo=False,
+                          input_names=["x", "attn_bias", "vmask"],
+                          export_modules_as_functions={SanmLayer})
+        want_float = m(x, attn_bias, vmask).numpy()
+    with open(path, "rb") as f:
+        data = f.read()
+    assert schema.decode_model(data).functions, "export not function-packaged"
+    qpath = tmp_path / "sanm_fn_int8.onnx"
+    qpath.write_bytes(quantize_dynamic(data))
+    args = (x.numpy(), attn_bias.numpy(), vmask.numpy())
+    per_op, hits0 = _run(qpath, args, "0", monkeypatch)
+    fused, hits1 = _run(qpath, args, "interpret", monkeypatch)
+    assert hits1.get("sanm_fused_layers", 0) == L, hits1
+    np.testing.assert_allclose(fused, per_op, atol=2e-3, rtol=0)
+    assert np.abs(per_op - want_float).mean() < 0.03
