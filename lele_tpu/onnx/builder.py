@@ -94,6 +94,25 @@ def tensor_from_array(arr: np.ndarray, name: str = "") -> dict:
     }
 
 
+def tensor_int4(values, name: str = "", signed: bool = True) -> dict:
+    """A 4-bit TensorProto (data_type 22=int4 / 21=uint4): two elements per
+    byte, low nibble first, zero-padded to a whole byte (onnx packing)."""
+    v = np.asarray(values).reshape(-1)
+    lo, hi = (-8, 7) if signed else (0, 15)
+    if v.size and (v.min() < lo or v.max() > hi):
+        raise ValueError(f"values outside {'int4' if signed else 'uint4'}")
+    u = (v.astype(np.int64) & 0x0F).astype(np.uint8)
+    if u.size % 2:
+        u = np.concatenate([u, np.zeros(1, np.uint8)])
+    packed = (u[0::2] | (u[1::2] << 4)).astype(np.uint8)
+    return {
+        "name": name,
+        "dims": list(np.asarray(values).shape),
+        "data_type": 22 if signed else 21,
+        "raw_data": packed.tobytes(),
+    }
+
+
 def tensor_external(
     arr: np.ndarray, name: str, location: str, offset: int
 ) -> dict:

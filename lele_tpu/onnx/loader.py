@@ -23,12 +23,19 @@ import numpy as np
 from . import schema
 from .schema import Proto
 
-try:  # bf16 support when available (ships with jax)
+try:  # bf16/fp8/int4 support when available (ml_dtypes ships with jax)
     import ml_dtypes
 
     _BF16 = np.dtype(ml_dtypes.bfloat16)
+    _FP8 = {
+        17: np.dtype(ml_dtypes.float8_e4m3fn),
+        18: np.dtype(ml_dtypes.float8_e4m3fnuz),
+        19: np.dtype(ml_dtypes.float8_e5m2),
+        20: np.dtype(ml_dtypes.float8_e5m2fnuz),
+    }
 except ImportError:  # pragma: no cover
     _BF16 = np.dtype(np.uint16)
+    _FP8 = {}
 
 # TensorProto.DataType → numpy dtype (public ONNX enum)
 DTYPE_MAP: dict[int, np.dtype] = {
@@ -45,7 +52,13 @@ DTYPE_MAP: dict[int, np.dtype] = {
     12: np.dtype(np.uint32),
     13: np.dtype(np.uint64),
     16: _BF16,
+    **_FP8,  # 17-20: float8 variants (opset 19+ quantized exports)
 }
+
+# 4-bit types (opset 21): raw_data packs TWO elements per byte, low nibble
+# first (the onnx spec's sub-byte packing) — handled out of band in
+# tensor_to_array because itemsize arithmetic doesn't apply.
+_INT4_TYPES = {21: False, 22: True}  # data_type → signed
 
 NP_TO_ONNX: dict[np.dtype, int] = {v: k for k, v in reversed(DTYPE_MAP.items())}
 
@@ -121,6 +134,9 @@ def _load_external(t: Proto, np_dtype: np.dtype, dims: list[int],
             "found — the side file must sit next to the .onnx model"
         )
     n = int(np.prod(dims)) if dims else 1
+    if np_dtype is None:  # 4-bit: two elements per byte, padded up
+        n = (n + 1) // 2
+        np_dtype = np.dtype(np.uint8)
     nbytes = n * np_dtype.itemsize
     offset = int(info.get("offset", "0") or "0")
     length = int(info["length"]) if info.get("length") else nbytes
@@ -138,6 +154,47 @@ def _load_external(t: Proto, np_dtype: np.dtype, dims: list[int],
     return np.frombuffer(mm, dtype=np_dtype, count=n, offset=offset)
 
 
+def _load_int4(t: Proto, base_dir) -> np.ndarray:
+    """Unpack a 4-bit tensor (uint4=21 / int4=22): raw_data carries two
+    elements per byte, LOW nibble first, last byte zero-padded when the
+    element count is odd (the onnx sub-byte packing rule). Values return
+    as int8/uint8 — the usable width for DequantizeLinear math; the 4-bit
+    VALUE RANGE is what quantized exports care about, not the storage
+    width (jax has no packed-int4 compute type)."""
+    signed = _INT4_TYPES[int(t.data_type)]
+    dims = [int(d) for d in t.dims]
+    n = int(np.prod(dims)) if dims else 1
+    if int(t.data_location) == 1:  # EXTERNAL side file
+        if base_dir is None and _BASE_DIR_STACK:
+            base_dir = _BASE_DIR_STACK[-1]
+        if base_dir is None:
+            raise ValueError(
+                f"tensor {t.name!r} uses external data but no model "
+                "directory is known — load via OnnxModel.load(path)"
+            )
+        packed = np.asarray(_load_external(t, None, dims, base_dir))
+    else:
+        raw = t.raw_data
+        if isinstance(raw, memoryview):
+            raw = bytes(raw)
+        if len(raw) < (n + 1) // 2:
+            raise ValueError(
+                f"int4 tensor {t.name!r}: raw_data {len(raw)} bytes < "
+                f"{(n + 1) // 2} needed for {n} elements"
+            )
+        packed = np.frombuffer(raw, dtype=np.uint8, count=(n + 1) // 2)
+    vals = np.empty(packed.size * 2, np.uint8)
+    vals[0::2] = packed & 0x0F
+    vals[1::2] = packed >> 4
+    vals = vals[:n]
+    if signed:
+        v = vals.astype(np.int8)
+        v = np.where(v > 7, v - 16, v).astype(np.int8)
+    else:
+        v = vals
+    return v.reshape(dims) if dims else v.reshape(())
+
+
 def tensor_to_array(t: Proto, base_dir: str | Path | None = None) -> np.ndarray:
     """Materialize a TensorProto as a numpy array (any numeric dtype).
     STRING tensors (data_type 8) become host object arrays of str — they
@@ -152,6 +209,8 @@ def tensor_to_array(t: Proto, base_dir: str | Path | None = None) -> np.ndarray:
         arr = np.empty(len(vals), dtype=object)
         arr[:] = vals
         return arr.reshape(dims) if dims else arr.reshape(())
+    if int(dt) in _INT4_TYPES:  # 4-bit (opset 21): two nibbles per byte
+        return _load_int4(t, base_dir)
     np_dtype = DTYPE_MAP.get(dt)
     if np_dtype is None:
         raise ValueError(f"unsupported ONNX data_type {dt} for tensor {t.name!r}")
