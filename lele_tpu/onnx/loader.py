@@ -106,9 +106,10 @@ def _external_mmap(path: Path) -> mmap.mmap:
     return mm
 
 
-def _load_external(t: Proto, np_dtype: np.dtype, dims: list[int],
+def _load_external(t: Proto, np_dtype: np.dtype | None, dims: list[int],
                    base_dir: str | Path) -> np.ndarray:
     """Resolve a data_location=EXTERNAL tensor against its side file.
+    np_dtype None = 4-bit packed storage (returns the raw uint8 nibbles).
 
     Spec: external_data StringStringEntryProto pairs with keys `location`
     (path relative to the model file), `offset`, `length` (both optional,
