@@ -274,6 +274,37 @@ def test_affine_grid_2d(align):
 
 
 @pytest.mark.parametrize("align", [0, 1])
+def test_spatial_transformer_composition(align):
+    """AffineGrid → GridSample chained (the spatial-transformer block) vs
+    torch's affine_grid + grid_sample."""
+    from optest import run_graph
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(16)
+    n, c, h, w = 2, 3, 6, 5
+    x = rng.standard_normal((n, c, h, w)).astype(np.float32)
+    theta = (np.tile(np.eye(2, 3, dtype=np.float32), (n, 1, 1))
+             + rng.standard_normal((n, 2, 3)).astype(np.float32) * 0.1)
+    nodes = [
+        ob.node("AffineGrid", ["theta", "size"], ["grid"],
+                align_corners=align),
+        ob.node("GridSample", ["x", "grid"], ["y"], mode="linear",
+                padding_mode="zeros", align_corners=align),
+    ]
+    got = run_graph(
+        nodes, {"x": x, "theta": theta}, ["y"],
+        initializers={"size": np.array([n, c, h, w], np.int64)},
+        opset=20,
+    )[0]
+    tg = F.affine_grid(torch.from_numpy(theta), [n, c, h, w],
+                       align_corners=bool(align))
+    want = F.grid_sample(torch.from_numpy(x), tg, mode="bilinear",
+                         padding_mode="zeros",
+                         align_corners=bool(align)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("align", [0, 1])
 def test_affine_grid_3d(align):
     rng = np.random.default_rng(15)
     n, c, d, h, w = 2, 1, 3, 4, 5
