@@ -172,6 +172,36 @@ def test_flash_gate_declines_off_tpu():
     ) is None  # CPU platform under conftest
 
 
+def test_attention_error_paths():
+    rng = np.random.default_rng(22)
+    q, k, v = _qkv(rng)
+    # 3D form without the required head attributes
+    q3 = rng.standard_normal((B, LQ, H * D)).astype(np.float32)
+    k3 = rng.standard_normal((B, LK, H * D)).astype(np.float32)
+    with pytest.raises(Exception, match="q_num_heads"):
+        run_op("Attention", {"q": q3, "k": k3, "v": k3})
+    # GQA with non-divisible head counts
+    kbad = rng.standard_normal((B, 3, LK, D)).astype(np.float32)
+    with pytest.raises(Exception, match="divisible"):
+        run_op("Attention", {"q": q, "k": kbad, "v": kbad})
+
+
+def test_rotary_requires_num_heads_for_3d():
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((B, LQ, H * D)).astype(np.float32)
+    cos = rng.standard_normal((B, LQ, D // 2)).astype(np.float32)
+    with pytest.raises(Exception, match="num_heads"):
+        run_op("RotaryEmbedding", {"x": x, "cos": cos, "sin": cos})
+
+
+def test_tensor_scatter_rejects_batch_axis():
+    rng = np.random.default_rng(24)
+    cache = rng.standard_normal((B, H, 8, D)).astype(np.float32)
+    upd = rng.standard_normal((B, H, 2, D)).astype(np.float32)
+    with pytest.raises(Exception, match="axis"):
+        run_op("TensorScatter", {"c": cache, "u": upd}, axis=0)
+
+
 # --- RotaryEmbedding -------------------------------------------------------
 
 
