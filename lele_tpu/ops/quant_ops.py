@@ -79,20 +79,32 @@ def quantize_linear(ctx: OpContext, x, scale, zp=None):
 def dequantize_linear(ctx: OpContext, x, scale, zp=None):
     xp = ctx.xp
     axis = ctx.attr("axis", 1)
+    block = int(ctx.attr("block_size", 0))
     xf = xp.asarray(x).astype(np.float32)
-    if zp is not None:
-        z = xp.asarray(zp).astype(np.float32)
-        if np.ndim(zp) == 1 and np.ndim(x) > 1:
+
+    def expand(p):
+        """Broadcast a scale/zp to x's shape: per-tensor (0-D), per-axis
+        (1-D), or BLOCKED (opset 21: same rank as x, axis dim = ceil(K/
+        block_size) — the 4-bit LLM groupwise layout): each block of
+        `block_size` elements along `axis` shares one value."""
+        p = xp.asarray(p).astype(np.float32)
+        if np.ndim(p) == 0 or np.ndim(x) <= 1:
+            return p
+        if np.ndim(p) == 1:
             shape = [1] * np.ndim(x)
             shape[axis] = -1
-            z = z.reshape(shape)
-        xf = xf - z
-    s = xp.asarray(scale)
-    if np.ndim(scale) == 1 and np.ndim(x) > 1:
-        shape = [1] * np.ndim(x)
-        shape[axis] = -1
-        s = s.reshape(shape)
-    return xf * s
+            return p.reshape(shape)
+        if block > 0:  # blocked: repeat each block entry block_size times
+            rep = xp.repeat(p, block, axis=axis)
+            # ceil-division padding: trim to the data extent
+            sl = [slice(None)] * np.ndim(x)
+            sl[axis] = slice(0, x.shape[axis])
+            return rep[tuple(sl)]
+        return p  # same-rank broadcastable (e.g. [K,1])
+
+    if zp is not None:
+        xf = xf - expand(zp)
+    return xf * expand(scale)
 
 
 @op("MatMulInteger", foldable=False)

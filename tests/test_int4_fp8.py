@@ -76,6 +76,38 @@ def test_int4_dequantize_linear_compiles():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_int4_blockwise_dequantize():
+    """Opset-21 blocked DequantizeLinear: int4 weights with groupwise
+    scales (block_size) — the 4-bit LLM checkpoint layout."""
+    rng = np.random.default_rng(1)
+    K, N, BLK = 8, 3, 4
+    wq = rng.integers(-8, 8, (K, N)).astype(np.int64)
+    scales = (rng.random((K // BLK, N)) * 0.3 + 0.05).astype(np.float32)
+    zps = ob.tensor_int4(rng.integers(-4, 4, (K // BLK, N)), "zp")
+    nodes = [
+        ob.node("DequantizeLinear", ["wq", "sc", "zp"], ["w"],
+                axis=0, block_size=BLK),
+        ob.node("MatMul", ["x", "w"], ["y"]),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [2, K])],
+        outputs=[ob.value_info("y", 1, [2, N])],
+        initializers=[
+            ob.tensor_int4(wq, "wq"),
+            ob.tensor_from_array(scales, "sc"),
+            zps,
+        ],
+        opset=21,
+    )
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    got = compile_model(OnnxModel.from_bytes(bs)).run_np(x=x)[0]
+    zv = tensor_to_array(Proto(zps, "TensorProto")).astype(np.float32)
+    w = (wq.astype(np.float32) - np.repeat(zv, BLK, 0)) \
+        * np.repeat(scales, BLK, 0)
+    np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-5)
+
+
 def test_fp8_tensor_decodes_and_runs():
     ml_dtypes = pytest.importorskip("ml_dtypes")
     w8 = np.array([1.0, -2.0, 0.5, 4.0],
