@@ -55,23 +55,32 @@ def dynamic_quantize_linear(ctx: OpContext, x):
 def quantize_linear(ctx: OpContext, x, scale, zp=None):
     xp = ctx.xp
     axis = ctx.attr("axis", 1)
-    qdt = np.uint8 if zp is None else (
-        np.asarray(zp).dtype if ctx.is_fold else zp.dtype
+    block = int(ctx.attr("block_size", 0))
+    qdt = np.dtype(np.uint8) if zp is None else np.dtype(
+        str(np.asarray(zp).dtype if ctx.is_fold else zp.dtype)
     )
-    info = np.iinfo(np.dtype(str(qdt)))
-    s = xp.asarray(scale)
-    if np.ndim(scale) == 1 and np.ndim(x) > 1:
-        shape = [1] * np.ndim(x)
-        shape[axis] = -1
-        s = s.reshape(shape)
-    y = _round_half_even(xp, x / s)
-    if zp is not None:
-        z = xp.asarray(zp).astype(np.float32)
-        if np.ndim(zp) == 1 and np.ndim(x) > 1:
+    info = np.iinfo(qdt)
+
+    def expand(p):
+        """Per-tensor / per-axis / blocked (opset 21) broadcast — the same
+        rule as DequantizeLinear's (see there)."""
+        p = xp.asarray(p)
+        if np.ndim(p) == 0 or np.ndim(x) <= 1:
+            return p
+        if np.ndim(p) == 1:
             shape = [1] * np.ndim(x)
             shape[axis] = -1
-            z = z.reshape(shape)
-        y = y + z
+            return p.reshape(shape)
+        if block > 0:
+            rep = xp.repeat(p, block, axis=axis)
+            sl = [slice(None)] * np.ndim(x)
+            sl[axis] = slice(0, x.shape[axis])
+            return rep[tuple(sl)]
+        return p
+
+    y = _round_half_even(xp, x / expand(scale))
+    if zp is not None:
+        y = y + expand(zp).astype(np.float32)
     return xp.clip(y, info.min, info.max).astype(qdt)
 
 

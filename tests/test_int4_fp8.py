@@ -108,6 +108,34 @@ def test_int4_blockwise_dequantize():
     np.testing.assert_allclose(got, x @ w, rtol=1e-5, atol=1e-5)
 
 
+def test_blockwise_qdq_roundtrip():
+    """Blocked QuantizeLinear → DequantizeLinear round trip stays within
+    half a quantization step everywhere."""
+    rng = np.random.default_rng(2)
+    K, N, BLK = 8, 4, 4
+    x = rng.standard_normal((K, N)).astype(np.float32)
+    sc = np.full((K // BLK, N), 0.02, np.float32)
+    zp = np.zeros((K // BLK, N), np.int8)
+    nodes = [
+        ob.node("QuantizeLinear", ["x", "sc", "zp"], ["q"],
+                axis=0, block_size=BLK),
+        ob.node("DequantizeLinear", ["q", "sc", "zp"], ["y"],
+                axis=0, block_size=BLK),
+    ]
+    bs = ob.build_model_bytes(
+        nodes,
+        inputs=[ob.value_info("x", 1, [K, N])],
+        outputs=[ob.value_info("y", 1, [K, N])],
+        initializers=[ob.tensor_from_array(sc, "sc"),
+                      ob.tensor_from_array(zp, "zp")],
+        opset=21,
+    )
+    got = compile_model(OnnxModel.from_bytes(bs)).run_np(x=x)[0]
+    # int8 saturation clips |x| > 127*0.02; compare on the linear region
+    lin = np.abs(x) < 2.5
+    assert np.abs(got - x)[lin].max() <= 0.011
+
+
 def test_fp8_tensor_decodes_and_runs():
     ml_dtypes = pytest.importorskip("ml_dtypes")
     w8 = np.array([1.0, -2.0, 0.5, 4.0],
