@@ -10,6 +10,7 @@ Control flow (If) lives in the tracer, which owns subgraph scoping.
 from . import (  # noqa: F401
     activation_ops,
     attention_ops,
+    contrib_ops,
     deform_ops,
     extra_ops,
     io_ops,

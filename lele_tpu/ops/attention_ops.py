@@ -136,6 +136,14 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
     import jax
     import jax.numpy as jnp
 
+    if ctx.node is not None and ctx.node.domain == "com.microsoft":
+        # the contrib Attention has a DIFFERENT schema (packed qkv weights,
+        # mask_index) — routing it here would compute garbage silently
+        raise NotImplementedError(
+            "com.microsoft::Attention (packed-qkv contrib schema) is not "
+            "the opset-23 ai.onnx Attention; re-export without ORT graph "
+            "optimizations or lower it to MatMul+Softmax form"
+        )
     three_d = q.ndim == 3
     if three_d:
         qh = int(ctx.attr("q_num_heads", 0))
