@@ -123,6 +123,18 @@ _FLASH_BAILED = False
 
 
 @op("Attention", foldable=False)
+def attention_dispatch(ctx: OpContext, *ins):
+    """`Attention` names TWO different ops: ai.onnx opset-23 (q/k/v
+    tensors) and com.microsoft's packed-qkv fused form (input/weights/
+    bias/mask_index/...). Dispatch on the node's domain so neither ever
+    runs the other's math."""
+    if ctx.node is not None and ctx.node.domain == "com.microsoft":
+        from .contrib_ops import ms_attention
+
+        return ms_attention(ctx, *ins)
+    return attention(ctx, *ins)
+
+
 def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
               past_value=None):
     """ONNX Attention (opset 23): scaled dot-product attention with
@@ -136,14 +148,6 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
     import jax
     import jax.numpy as jnp
 
-    if ctx.node is not None and ctx.node.domain == "com.microsoft":
-        # the contrib Attention has a DIFFERENT schema (packed qkv weights,
-        # mask_index) — routing it here would compute garbage silently
-        raise NotImplementedError(
-            "com.microsoft::Attention (packed-qkv contrib schema) is not "
-            "the opset-23 ai.onnx Attention; re-export without ORT graph "
-            "optimizations or lower it to MatMul+Softmax form"
-        )
     three_d = q.ndim == 3
     if three_d:
         qh = int(ctx.attr("q_num_heads", 0))
@@ -203,7 +207,7 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
         preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
     ).astype(cdt) * scale
     taps = {0: qk}
-    neg = jnp.asarray(jnp.finfo(jnp.float32).min, cdt)
+    neg = jnp.asarray(jnp.finfo(cdt).min, cdt)
     if is_causal:
         # top-left alignment (tril diagonal 0) — the torch sdpa rule the
         # spec text adopts verbatim

@@ -153,3 +153,141 @@ def quick_gelu(ctx: OpContext, x):
 
     alpha = float(ctx.attr("alpha", 1.702))
     return x * jax.nn.sigmoid(alpha * x)
+
+
+@op("EmbedLayerNormalization", foldable=False)
+def embed_layer_norm(ctx: OpContext, input_ids, segment_ids, word_emb,
+                     pos_emb, seg_emb=None, gamma=None, beta=None,
+                     mask=None, position_ids=None):
+    """com.microsoft::EmbedLayerNormalization — BERT's fused
+    word+position+segment embedding followed by LayerNorm. Outputs
+    (output, mask_index = per-row valid-token count, embedding_sum)."""
+    import jax.numpy as jnp
+
+    eps = float(ctx.attr("epsilon", 1e-12))
+    ids = input_ids.astype(jnp.int32)
+    b, s = ids.shape
+    emb = word_emb[ids]
+    if position_ids is not None:
+        emb = emb + pos_emb[position_ids.astype(jnp.int32)]
+    else:
+        emb = emb + pos_emb[None, :s, :]
+    if seg_emb is not None:
+        if segment_ids is None:
+            raise ValueError(
+                "EmbedLayerNormalization: segment_embedding given without "
+                "segment_ids"
+            )
+        emb = emb + seg_emb[segment_ids.astype(jnp.int32)]
+    f32 = jnp.promote_types(emb.dtype, jnp.float32)
+    ef = emb.astype(f32)
+    mean = jnp.mean(ef, axis=-1, keepdims=True)
+    var = jnp.mean((ef - mean) ** 2, axis=-1, keepdims=True)
+    y = ((ef - mean) * jax_rsqrt(var + eps)).astype(emb.dtype)
+    if gamma is not None:
+        y = y * gamma
+    if beta is not None:
+        y = y + beta
+    if mask is not None:
+        mask_index = jnp.sum(mask.astype(jnp.int32), axis=1)
+    else:
+        mask_index = jnp.zeros((b,), jnp.int32)
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    return (y, mask_index, emb)[:n_out]
+
+
+@op("BiasGelu", foldable=False)
+def bias_gelu(ctx: OpContext, x, bias):
+    import jax
+
+    return jax.nn.gelu(x + bias, approximate=False)
+
+
+@op("FastGelu", foldable=False)
+def fast_gelu(ctx: OpContext, x, bias=None):
+    import jax
+
+    if bias is not None:
+        x = x + bias
+    return jax.nn.gelu(x, approximate=True)
+
+
+def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
+                 past=None, attention_bias=None, past_seq_len=None):
+    """com.microsoft::Attention — the packed-qkv fused attention ORT's
+    transformer optimizer writes into BERT-style graphs. Dispatched from
+    the ai.onnx Attention emitter on node domain (the two ops share a
+    NAME, not a schema), so it is deliberately NOT in the registry under
+    its own name.
+
+    Supported subset (the BERT-export common case): qkv packed in one
+    weight [D, 3*H*dh] (+ bias), mask_index as None, [B] right-side key
+    lengths, or [B, S_kv] key padding mask; `unidirectional` causal flag;
+    additive `attention_bias`. past/present KV and qkv_hidden_sizes
+    asymmetry raise — lower those exports to MatMul form instead."""
+    import jax.numpy as jnp
+
+    if past is not None or past_seq_len is not None:
+        raise NotImplementedError(
+            "com.microsoft::Attention: past/present KV state is not "
+            "supported — use the ai.onnx opset-23 Attention for cached "
+            "decode"
+        )
+    heads = int(ctx.attr("num_heads", 0))
+    if not heads:
+        raise ValueError("com.microsoft::Attention requires num_heads")
+    qkv_sizes = ctx.attr_ints("qkv_hidden_sizes")
+    if qkv_sizes and len(set(qkv_sizes)) != 1:
+        raise NotImplementedError(
+            "com.microsoft::Attention: asymmetric qkv_hidden_sizes not "
+            "supported"
+        )
+    unidir = bool(ctx.attr("unidirectional", 0))
+    b, s, _ = x.shape
+    qkv = jnp.matmul(x, weights)
+    if bias is not None:
+        qkv = qkv + bias
+    h3 = qkv.shape[-1]
+    dh = h3 // 3 // heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale is not None else 1.0 / float(np.sqrt(dh))
+    att = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+    ) * scale
+    neg = jnp.asarray(-1e9, att.dtype)
+    if attention_bias is not None:
+        att = att + attention_bias.astype(att.dtype)
+    if mask_index is not None:
+        mi = mask_index
+        if mi.ndim == 1 and mi.shape[0] == b:
+            # right-side key lengths: key j valid iff j < len[b]
+            valid = jnp.arange(s)[None, :] < mi.astype(jnp.int32)[:, None]
+            att = jnp.where(valid[:, None, None, :], att, neg)
+        elif mi.ndim == 2 and mi.shape == (b, s):
+            att = jnp.where(
+                mi.astype(bool)[:, None, None, :], att, neg
+            )
+        else:
+            raise NotImplementedError(
+                "com.microsoft::Attention: only [batch] right-side lengths "
+                f"or [batch, seq] key padding masks supported, got shape "
+                f"{tuple(mi.shape)}"
+            )
+    if unidir:
+        att = jnp.where(jnp.tril(jnp.ones((s, s), bool)), att, neg)
+    import jax
+
+    w_att = jax.nn.softmax(
+        att.astype(jnp.promote_types(att.dtype, jnp.float32)), axis=-1
+    )
+    y = jnp.einsum("bhqk,bhkd->bhqd", w_att.astype(v.dtype), v)
+    return y.transpose(0, 2, 1, 3).reshape(b, s, heads * dh)

@@ -113,24 +113,191 @@ def test_quick_gelu():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_contrib_attention_rejected_clearly():
-    """com.microsoft::Attention has a different schema than ai.onnx
-    Attention-23 — it must refuse loudly, never compute garbage."""
+def _run_ms(nodes, inputs, outputs, inits, **kw):
     from lele_tpu.compiler import compile_model
     from lele_tpu.onnx import OnnxModel, builder as ob
 
-    rng = np.random.default_rng(6)
-    x = rng.standard_normal((1, 4, 8)).astype(np.float32)
-    w = rng.standard_normal((8, 24)).astype(np.float32)
-    bias = rng.standard_normal(24).astype(np.float32)
-    node = ob.node("Attention", ["x", "w", "bias"], ["y"],
-                   domain="com.microsoft", num_heads=2)
     bs = ob.build_model_bytes(
-        [node],
-        inputs=[ob.vi_from_array("x", x)],
-        outputs=[ob.value_info("y", 1, [])],
-        initializers=[ob.tensor_from_array(w, "w"),
-                      ob.tensor_from_array(bias, "bias")],
+        nodes,
+        inputs=[ob.vi_from_array(k, v) for k, v in inputs.items()],
+        outputs=[ob.value_info(o, 1, []) for o in outputs],
+        initializers=[ob.tensor_from_array(v, k) for k, v in inits.items()],
     )
-    with pytest.raises(Exception, match="com.microsoft"):
-        compile_model(OnnxModel.from_bytes(bs)).run_np(x=x)
+    return compile_model(OnnxModel.from_bytes(bs)).run_np(**inputs)
+
+
+def _torch_ms_attention(x, w, bias, heads, lens=None, causal=False):
+    import torch
+    import torch.nn.functional as F
+
+    b, s, d = x.shape
+    qkv = torch.from_numpy(x) @ torch.from_numpy(w) + torch.from_numpy(bias)
+    q, k, v = qkv.split(qkv.shape[-1] // 3, dim=-1)
+    dh = q.shape[-1] // heads
+
+    def sh(t):
+        return t.reshape(b, s, heads, dh).transpose(1, 2)
+
+    mask = None
+    if lens is not None:
+        mask = (torch.arange(s)[None, :] <
+                torch.from_numpy(lens)[:, None])[:, None, None, :]
+    out = F.scaled_dot_product_attention(
+        sh(q), sh(k), sh(v), attn_mask=mask, is_causal=causal
+    )
+    return out.transpose(1, 2).reshape(b, s, heads * dh).numpy()
+
+
+def test_ms_attention_basic_and_lengths_mask():
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(6)
+    B, S, D, H = 2, 5, 8, 2
+    x = rng.standard_normal((B, S, D)).astype(np.float32)
+    w = (rng.standard_normal((D, 3 * D)) / np.sqrt(D)).astype(np.float32)
+    bias = rng.standard_normal(3 * D).astype(np.float32)
+    lens = np.array([5, 3], dtype=np.int32)
+    node = ob.node("Attention", ["x", "w", "bias", "mi"], ["y"],
+                   domain="com.microsoft", num_heads=H)
+    got = _run_ms([node], {"x": x, "mi": lens}, ["y"],
+                  {"w": w, "bias": bias})[0]
+    want = _torch_ms_attention(x, w, bias, H, lens=lens)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_attention_unidirectional():
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(7)
+    B, S, D, H = 1, 6, 8, 2
+    x = rng.standard_normal((B, S, D)).astype(np.float32)
+    w = (rng.standard_normal((D, 3 * D)) / np.sqrt(D)).astype(np.float32)
+    bias = np.zeros(3 * D, np.float32)
+    node = ob.node("Attention", ["x", "w", "bias"], ["y"],
+                   domain="com.microsoft", num_heads=H, unidirectional=1)
+    got = _run_ms([node], {"x": x}, ["y"], {"w": w, "bias": bias})[0]
+    want = _torch_ms_attention(x, w, bias, H, causal=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ms_attention_past_rejected():
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(8)
+    B, S, D, H = 1, 4, 8, 2
+    x = rng.standard_normal((B, S, D)).astype(np.float32)
+    w = np.eye(D, 3 * D, dtype=np.float32)
+    past = np.zeros((2, B, H, 3, D // H), np.float32)
+    node = ob.node("Attention", ["x", "w", "", "", "past"], ["y"],
+                   domain="com.microsoft", num_heads=H)
+    with pytest.raises(Exception, match="past"):
+        _run_ms([node], {"x": x}, ["y"], {"w": w, "past": past})
+
+
+def test_bias_gelu_fast_gelu():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    b = rng.standard_normal(8).astype(np.float32)
+    got = run_op("BiasGelu", {"x": x, "b": b})[0]
+    want = F.gelu(torch.from_numpy(x + b)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    got = run_op("FastGelu", {"x": x, "b": b})[0]
+    want = F.gelu(torch.from_numpy(x + b), approximate="tanh").numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_embed_layer_norm():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(10)
+    B, S, V, D, NS = 2, 5, 11, 8, 2
+    ids = rng.integers(0, V, (B, S)).astype(np.int64)
+    seg = rng.integers(0, NS, (B, S)).astype(np.int64)
+    we = rng.standard_normal((V, D)).astype(np.float32)
+    pe = rng.standard_normal((S + 2, D)).astype(np.float32)
+    se = rng.standard_normal((NS, D)).astype(np.float32)
+    g = rng.standard_normal(D).astype(np.float32)
+    be = rng.standard_normal(D).astype(np.float32)
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], np.int32)
+    outs = run_op(
+        "EmbedLayerNormalization",
+        {"ids": ids, "seg": seg, "mask": mask},
+        initializers={"we": we, "pe": pe, "se": se, "g": g, "be": be},
+        input_names=["ids", "seg", "we", "pe", "se", "g", "be", "mask"],
+        n_outputs=3, epsilon=1e-12,
+    )
+    emb = we[ids] + pe[None, :S] + se[seg]
+    want = F.layer_norm(torch.from_numpy(emb), (D,), torch.from_numpy(g),
+                        torch.from_numpy(be), eps=1e-12).numpy()
+    np.testing.assert_allclose(outs[0], want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(outs[1], [3, 5])
+    np.testing.assert_allclose(outs[2], emb, rtol=1e-6)
+
+
+def test_ort_optimized_bert_block_composition():
+    """A full ORT-optimized-style encoder block: EmbedLayerNormalization →
+    com.microsoft Attention → SkipLayerNormalization → BiasGelu →
+    SkipLayerNormalization, vs an independent torch implementation."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from lele_tpu.onnx import builder as ob
+
+    rng = np.random.default_rng(11)
+    B, S, V, D, H = 2, 4, 13, 8, 2
+    ids = rng.integers(0, V, (B, S)).astype(np.int64)
+    we = rng.standard_normal((V, D)).astype(np.float32) * 0.5
+    pe = rng.standard_normal((S, D)).astype(np.float32) * 0.5
+    g0 = np.ones(D, np.float32)
+    b0 = np.zeros(D, np.float32)
+    wqkv = (rng.standard_normal((D, 3 * D)) / np.sqrt(D)).astype(np.float32)
+    bqkv = rng.standard_normal(3 * D).astype(np.float32) * 0.1
+    wo = (rng.standard_normal((D, D)) / np.sqrt(D)).astype(np.float32)
+    g1 = rng.standard_normal(D).astype(np.float32) * 0.1 + 1
+    b1 = rng.standard_normal(D).astype(np.float32) * 0.1
+    wup = (rng.standard_normal((D, 2 * D)) / np.sqrt(D)).astype(np.float32)
+    bup = rng.standard_normal(2 * D).astype(np.float32) * 0.1
+    wdn = (rng.standard_normal((2 * D, D)) / np.sqrt(2 * D)).astype(np.float32)
+    g2 = rng.standard_normal(D).astype(np.float32) * 0.1 + 1
+    b2 = rng.standard_normal(D).astype(np.float32) * 0.1
+
+    nodes = [
+        ob.node("EmbedLayerNormalization",
+                ["ids", "", "we", "pe", "", "g0", "b0"], ["emb"],
+                domain="com.microsoft", epsilon=1e-12),
+        ob.node("Attention", ["emb", "wqkv", "bqkv"], ["att"],
+                domain="com.microsoft", num_heads=H),
+        ob.node("MatMul", ["att", "wo"], ["ao"]),
+        ob.node("SkipLayerNormalization", ["ao", "emb", "g1", "b1"], ["h1"],
+                domain="com.microsoft", epsilon=1e-12),
+        ob.node("MatMul", ["h1", "wup"], ["up"]),
+        ob.node("BiasGelu", ["up", "bup"], ["act"],
+                domain="com.microsoft"),
+        ob.node("MatMul", ["act", "wdn"], ["dn"]),
+        ob.node("SkipLayerNormalization", ["dn", "h1", "g2", "b2"], ["y"],
+                domain="com.microsoft", epsilon=1e-12),
+    ]
+    got = _run_ms(
+        nodes, {"ids": ids}, ["y"],
+        {k: v for k, v in [("we", we), ("pe", pe), ("g0", g0), ("b0", b0),
+                           ("wqkv", wqkv), ("bqkv", bqkv), ("wo", wo),
+                           ("g1", g1), ("b1", b1), ("wup", wup),
+                           ("bup", bup), ("wdn", wdn), ("g2", g2),
+                           ("b2", b2)]},
+    )[0]
+
+    emb = F.layer_norm(torch.from_numpy(we[ids] + pe[None]), (D,),
+                       torch.from_numpy(g0), torch.from_numpy(b0),
+                       eps=1e-12)
+    att = torch.from_numpy(
+        _torch_ms_attention(emb.numpy(), wqkv, bqkv, H))
+    h1 = F.layer_norm(att @ torch.from_numpy(wo) + emb, (D,),
+                      torch.from_numpy(g1), torch.from_numpy(b1), eps=1e-12)
+    act = F.gelu(h1 @ torch.from_numpy(wup) + torch.from_numpy(bup))
+    y = F.layer_norm(act @ torch.from_numpy(wdn) + h1, (D,),
+                     torch.from_numpy(g2), torch.from_numpy(b2), eps=1e-12)
+    np.testing.assert_allclose(got, y.numpy(), rtol=1e-3, atol=1e-4)
