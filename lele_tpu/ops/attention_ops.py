@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .math_ops import _prec
 from .registry import OpContext, op
 
 
@@ -205,6 +206,7 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
     qk = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
         preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+        precision=_prec(),
     ).astype(cdt) * scale
     taps = {0: qk}
     neg = jnp.asarray(jnp.finfo(cdt).min, cdt)
@@ -233,7 +235,8 @@ def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
         w = jax.nn.softmax(qk.astype(jnp.promote_types(qk.dtype, jnp.float32)),
                            axis=-1)
     taps[3] = w
-    y = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v)
+    y = jnp.einsum("bhqk,bhkd->bhqd", w.astype(v.dtype), v,
+                   precision=_prec())
     if three_d:
         b, h, s, d = y.shape
         y = y.transpose(0, 2, 1, 3).reshape(b, s, h * d)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .math_ops import _prec
 from .registry import OpContext, op
 
 
@@ -83,6 +84,7 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
         out = jnp.matmul(
             a, w.T.astype(adt) if adt != np.float32 else w.T,
             preferred_element_type=jnp.promote_types(adt, jnp.float32),
+            precision=_prec(),
         ).astype(adt)
     if bias is not None:
         out = out + bias
@@ -143,7 +145,7 @@ def fused_matmul(ctx: OpContext, a, b):
     if ctx.attr("transB", 0):
         b = jnp.swapaxes(b, -1, -2)
     alpha = float(ctx.attr("alpha", 1.0))
-    out = jnp.matmul(a, b)
+    out = jnp.matmul(a, b, precision=_prec())
     return out * alpha if alpha != 1.0 else out
 
 
@@ -246,7 +248,7 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
         )
     unidir = bool(ctx.attr("unidirectional", 0))
     b, s, _ = x.shape
-    qkv = jnp.matmul(x, weights)
+    qkv = jnp.matmul(x, weights, precision=_prec())
     if bias is not None:
         qkv = qkv + bias
     h3 = qkv.shape[-1]
@@ -262,6 +264,7 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     att = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
         preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        precision=_prec(),
     ) * scale
     neg = jnp.asarray(-1e9, att.dtype)
     if attention_bias is not None:
@@ -289,5 +292,6 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     w_att = jax.nn.softmax(
         att.astype(jnp.promote_types(att.dtype, jnp.float32)), axis=-1
     )
-    y = jnp.einsum("bhqk,bhkd->bhqd", w_att.astype(v.dtype), v)
+    y = jnp.einsum("bhqk,bhkd->bhqd", w_att.astype(v.dtype), v,
+                   precision=_prec())
     return y.transpose(0, 2, 1, 3).reshape(b, s, heads * dh)
