@@ -155,6 +155,20 @@ def _load_external(t: Proto, np_dtype: np.dtype | None, dims: list[int],
     return np.frombuffer(mm, dtype=np_dtype, count=n, offset=offset)
 
 
+class Int4Array(np.ndarray):
+    """ndarray view marking values that came from a 4-bit TensorProto.
+
+    Storage widens to int8/uint8 (jax has no packed-int4 compute type) but
+    the VALUE RANGE stays 4-bit — QuantizeLinear reads `onnx_dtype`
+    (21=uint4 / 22=int4) to clip at [0,15]/[-8,7] instead of the storage
+    type's [0,255]/[-128,127] (ADVICE r4)."""
+
+    onnx_dtype: int | None = None
+
+    def __array_finalize__(self, obj):
+        self.onnx_dtype = getattr(obj, "onnx_dtype", None)
+
+
 def _load_int4(t: Proto, base_dir) -> np.ndarray:
     """Unpack a 4-bit tensor (uint4=21 / int4=22): raw_data carries two
     elements per byte, LOW nibble first, last byte zero-padded when the
@@ -193,7 +207,9 @@ def _load_int4(t: Proto, base_dir) -> np.ndarray:
         v = np.where(v > 7, v - 16, v).astype(np.int8)
     else:
         v = vals
-    return v.reshape(dims) if dims else v.reshape(())
+    v = (v.reshape(dims) if dims else v.reshape(())).view(Int4Array)
+    v.onnx_dtype = int(t.data_type)
+    return v
 
 
 def tensor_to_array(t: Proto, base_dir: str | Path | None = None) -> np.ndarray:

@@ -344,12 +344,21 @@ def calibrate_minmax(data: bytes, batches,
         raw = inline_functions(raw)
     g = raw["graph"]
     inits = {t.get("name", "") for t in g.get("initializer", [])}
+    # Constant-node outputs take the weight path in quantize_static —
+    # exclude them like initializers so they aren't treated as activations
+    static_out = inits | {
+        n["output"][0] for n in g.get("node", [])
+        if n.get("op_type") == "Constant" and n.get("output")
+    }
     names: list[str] = []
     for n in g.get("node", []):
         if n.get("op_type") not in ("Conv", "MatMul", "Gemm"):
             continue
-        for t in [n["input"][0], n["output"][0]]:
-            if t and t not in inits and t not in names:
+        # EVERY dynamic-activation input is a calibrated edge (ORT MinMax
+        # calibrater records all target inputs) — a MatMul whose second
+        # input is an activation (attention scores) gets both calibrated
+        for t in list(n.get("input", [])) + [n["output"][0]]:
+            if t and t not in static_out and t not in names:
                 names.append(t)
     if not names:
         return {}
@@ -515,9 +524,12 @@ def quantize_static(data: bytes, calibration_batches,
         outs_orig = list(n.get("output", []))
         if id(n) in target_ids:
             w = _weight_array(n["input"][1], inits, const_nodes, base_dir)
-            ins = list(n["input"])
-            if ins[0] in dq_alias:
-                ins[0] = dq_alias[ins[0]]
+            # every calibrated edge carries the fake-quant view, same as
+            # the non-target consumer branch — a target whose SECOND input
+            # is a dynamic activation (attention-score MatMul) must also
+            # read the dequantized alias (ADVICE r4); a static weight
+            # replaces ins[1] below regardless
+            ins = [dq_alias.get(x, x) for x in n["input"]]
             if w is not None and w.ndim >= 2 and w.dtype == np.float32:
                 ins[1] = weight_dq(n["input"][1], w)
                 pair = qdq_nodes.get(f"__w_{n['input'][1]}")

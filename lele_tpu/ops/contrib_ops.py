@@ -93,13 +93,17 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
 
 @op("SimplifiedLayerNormalization", foldable=False)
 def simplified_layer_norm(ctx: OpContext, x, weight):
-    """RMSNorm under its onnxruntime name (LLM exports)."""
+    """RMSNorm under its onnxruntime name (LLM exports). Like
+    LayerNormalization, the mean-square reduces over [axis, rank)
+    (ADVICE r4: a single-axis reduction silently diverges for axis != -1
+    on inputs with multiple trailing dims)."""
     import jax.numpy as jnp
 
     eps = float(ctx.attr("epsilon", 1e-5))
-    axis = int(ctx.attr("axis", -1))
+    axis = int(ctx.attr("axis", -1)) % x.ndim
+    red = tuple(range(axis, x.ndim))
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-    ms = jnp.mean(xf * xf, axis=axis, keepdims=True)
+    ms = jnp.mean(xf * xf, axis=red, keepdims=True)
     return (xf * jax_rsqrt(ms + eps)).astype(x.dtype) * weight
 
 

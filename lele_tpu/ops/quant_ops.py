@@ -34,6 +34,10 @@ def _round_half_even(xp, x):
     return xp.round(x)  # numpy/jnp round = banker's rounding, per ONNX spec
 
 
+def _is_host(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic))
+
+
 @op("DynamicQuantizeLinear")
 def dynamic_quantize_linear(ctx: OpContext, x):
     """y_scale = (max(x,0)-min(x,0))/255; zp = round(clip(-min/scale,0,255))."""
@@ -51,15 +55,39 @@ def dynamic_quantize_linear(ctx: OpContext, x):
     return y, scale.astype(np.float32), zp
 
 
-@op("QuantizeLinear")
+@op("QuantizeLinear", static_args=(2,))
 def quantize_linear(ctx: OpContext, x, scale, zp=None):
+    """zp stays host-side when static (static_args) so the loader's
+    Int4Array marker survives: int4/uint4 zero points unpack to int8/uint8
+    STORAGE but must clip at the 4-bit VALUE range [-8,7]/[0,15]
+    (ADVICE r4). The opset-21 `output_dtype` attribute is honored too
+    (it wins over zp inference per the spec; 21/22 map to the widened
+    storage dtype with narrow bounds)."""
     xp = ctx.xp
     axis = ctx.attr("axis", 1)
     block = int(ctx.attr("block_size", 0))
-    qdt = np.dtype(np.uint8) if zp is None else np.dtype(
-        str(np.asarray(zp).dtype if ctx.is_fold else zp.dtype)
-    )
-    info = np.iinfo(qdt)
+    out_dt = ctx.attr("output_dtype")
+    int4_kind = None  # 21 (uint4) / 22 (int4) when the output is 4-bit
+    if out_dt is not None and int(out_dt) in (21, 22):
+        int4_kind = int(out_dt)
+    elif getattr(zp, "onnx_dtype", None) in (21, 22):
+        int4_kind = int(zp.onnx_dtype)
+    if int4_kind is not None:
+        qdt = np.dtype(np.uint8 if int4_kind == 21 else np.int8)
+        lo, hi = (0, 15) if int4_kind == 21 else (-8, 7)
+    else:
+        if out_dt is not None:
+            from ..onnx.loader import DTYPE_MAP
+
+            qdt = DTYPE_MAP[int(out_dt)]
+        elif zp is None:
+            qdt = np.dtype(np.uint8)
+        else:
+            qdt = np.dtype(
+                str(np.asarray(zp).dtype if _is_host(zp) else zp.dtype)
+            )
+        info = np.iinfo(qdt)
+        lo, hi = info.min, info.max
 
     def expand(p):
         """Per-tensor / per-axis / blocked (opset 21) broadcast — the same
@@ -81,7 +109,7 @@ def quantize_linear(ctx: OpContext, x, scale, zp=None):
     y = _round_half_even(xp, x / expand(scale))
     if zp is not None:
         y = y + expand(zp).astype(np.float32)
-    return xp.clip(y, info.min, info.max).astype(qdt)
+    return xp.clip(y, lo, hi).astype(qdt)
 
 
 @op("DequantizeLinear")
