@@ -43,6 +43,7 @@ from ..onnx import loader
 from ..onnx.loader import OnnxModel, tensor_to_array
 from ..onnx.schema import Proto
 from ..ops import OPS, make_ctx
+from ..ops.registry import canon_domain, lookup_op
 from ..ops.tensor_ops import canonical_dtype
 
 # static values with at least this many elements become runtime params
@@ -152,33 +153,48 @@ class GraphTracer:
         import jax.numpy as jnp
 
         op_type = node.op_type
-        if op_type == "If":
-            return self._emit_if(state, node, env, scope, tag)
-        if op_type == "Loop":
-            return self._emit_loop(state, node, env, scope, tag)
-        if op_type == "Scan":
-            return self._emit_scan(state, node, env, scope, tag)
-        if op_type == "SequenceMap":
-            return self._emit_sequence_map(state, node, env, scope, tag)
+        dom = canon_domain(node.domain)
+        if not dom:
+            # control-flow special cases belong to the default operator set
+            if op_type == "If":
+                return self._emit_if(state, node, env, scope, tag)
+            if op_type == "Loop":
+                return self._emit_loop(state, node, env, scope, tag)
+            if op_type == "Scan":
+                return self._emit_scan(state, node, env, scope, tag)
+            if op_type == "SequenceMap":
+                return self._emit_sequence_map(state, node, env, scope, tag)
 
         ins = [env[n] if n else None for n in node.input]
-        emitter = self.overrides.get(op_type)
-        opdef = OPS.get(op_type)
+        # overrides are domain-scoped too: bare names bind the default
+        # domain, "domain::Name" binds a contrib domain explicitly
+        emitter = self.overrides.get(
+            f"{dom}::{op_type}" if dom else op_type
+        )
+        opdef = lookup_op(dom, op_type)
         if emitter is None and opdef is not None:
             emitter = opdef.fn
         if emitter is None:
-            dom = node.domain
             label = f"{dom}::{op_type}" if dom else op_type
-            hint = (
-                " (custom-domain op with no matching model-local function —"
-                " functions are inlined before tracing)" if dom else ""
-            )
+            if dom and op_type in OPS:
+                hint = (
+                    f" (a default-domain ai.onnx emitter named {op_type!r}"
+                    " exists but the contrib schema differs — add a"
+                    " CONTRIB_OPS entry or a CONTRIB_ALIASES row if the"
+                    " schemas genuinely coincide)"
+                )
+            else:
+                hint = (
+                    " (custom-domain op with no matching model-local"
+                    " function — functions are inlined before tracing)"
+                    if dom else ""
+                )
             if self.strict:
                 raise NotImplementedError(
                     f"unsupported op {label} ({node.name}){hint}"
                 )
-            if op_type not in state.warned:
-                state.warned.add(op_type)
+            if label not in state.warned:
+                state.warned.add(label)
                 print(
                     f"Warning: unsupported op {label}; emitting empty tensor",
                     file=sys.stderr,

@@ -124,18 +124,6 @@ _FLASH_BAILED = False
 
 
 @op("Attention", foldable=False)
-def attention_dispatch(ctx: OpContext, *ins):
-    """`Attention` names TWO different ops: ai.onnx opset-23 (q/k/v
-    tensors) and com.microsoft's packed-qkv fused form (input/weights/
-    bias/mask_index/...). Dispatch on the node's domain so neither ever
-    runs the other's math."""
-    if ctx.node is not None and ctx.node.domain == "com.microsoft":
-        from .contrib_ops import ms_attention
-
-        return ms_attention(ctx, *ins)
-    return attention(ctx, *ins)
-
-
 def attention(ctx: OpContext, q, k, v, attn_mask=None, past_key=None,
               past_value=None):
     """ONNX Attention (opset 23): scaled dot-product attention with
@@ -276,6 +264,20 @@ def rotary_embedding(ctx: OpContext, x, cos_cache, sin_cache,
         cos, sin = cos_cache, sin_cache
     cos = cos[:, None, :, : r // 2]  # [B,1,S,r/2]
     sin = sin[:, None, :, : r // 2]
+    out = apply_rotary(x, cos, sin, r, interleaved)
+    if three_d:
+        out = out.transpose(0, 2, 1, 3).reshape(orig)
+    return out
+
+
+def apply_rotary(x, cos, sin, r, interleaved):
+    """Rotate the leading `r` lanes of each head of x [B,H,S,D] by
+    cos/sin [B|1, 1, S, r/2]. Shared by ai.onnx-23 RotaryEmbedding,
+    com.microsoft::RotaryEmbedding, and GroupQueryAttention's fused
+    rotary path."""
+    import jax.numpy as jnp
+
+    d = x.shape[-1]
     xr, rest = x[..., :r], x[..., r:]
     if interleaved:
         x1, x2 = xr[..., 0::2], xr[..., 1::2]
@@ -288,10 +290,7 @@ def rotary_embedding(ctx: OpContext, x, cos_cache, sin_cache,
     else:
         rot = jnp.concatenate([o1, o2], axis=-1)
     out = jnp.concatenate([rot, rest], axis=-1) if r < d else rot
-    out = out.astype(x.dtype)
-    if three_d:
-        out = out.transpose(0, 2, 1, 3).reshape(orig)
-    return out
+    return out.astype(x.dtype)
 
 
 @op("Swish", foldable=False)

@@ -21,7 +21,30 @@ import numpy as np
 from ..onnx import schema, tensor_to_array
 from ..onnx.schema import Proto
 
-OPS: dict[str, "OpDef"] = {}
+OPS: dict[str, "OpDef"] = {}  # default-domain (ai.onnx) emitters, by op_type
+
+# Non-default-domain emitters, keyed (domain, op_type). Domain dispatch is
+# STRUCTURAL (VERDICT r4): a contrib node only ever reaches (a) its own
+# domain's entry or (b) a default-domain emitter the alias table explicitly
+# declares schema-identical. It can never fall into a same-named ai.onnx
+# emitter with a different schema (the com.microsoft::RotaryEmbedding /
+# ai.onnx-23 RotaryEmbedding input-order collision).
+CONTRIB_OPS: dict[tuple[str, str], "OpDef"] = {}
+
+# (domain, op_type) -> default-domain op_type whose schema genuinely
+# coincides (inputs, attrs, semantics). Curated, not inferred.
+CONTRIB_ALIASES: dict[tuple[str, str], str] = {
+    ("com.microsoft", "Gelu"): "Gelu",
+    ("com.microsoft", "Trilu"): "Trilu",
+    ("com.microsoft", "Range"): "Range",
+}
+
+_DEFAULT_DOMAINS = ("", "ai.onnx")
+
+
+def canon_domain(domain: str | None) -> str:
+    """'' and 'ai.onnx' both name the default operator set."""
+    return "" if (domain or "") in _DEFAULT_DOMAINS else domain
 
 
 @dataclass
@@ -32,14 +55,39 @@ class OpDef:
     # input positions that must stay host-static (shape/axes/k arguments);
     # the tracer never converts these to device values
     static_args: tuple = ()
+    domain: str = ""
 
 
-def op(name: str, foldable: bool = True, static_args: tuple = ()):
+def op(name: str, foldable: bool = True, static_args: tuple = (),
+       domain: str = ""):
+    d = canon_domain(domain)
+
     def deco(fn):
-        OPS[name] = OpDef(name, fn, foldable, static_args)
+        od = OpDef(name, fn, foldable, static_args, d)
+        if d:
+            CONTRIB_OPS[(d, name)] = od
+        else:
+            OPS[name] = od
         return fn
 
     return deco
+
+
+def lookup_op(domain: str | None, op_type: str) -> "OpDef | None":
+    """The one domain-aware dispatch point (analog surface:
+    generate.rs:802-997). Default-domain nodes hit OPS; contrib nodes hit
+    their (domain, op_type) entry or a declared alias — never a bare-name
+    fallback."""
+    d = canon_domain(domain)
+    if not d:
+        return OPS.get(op_type)
+    od = CONTRIB_OPS.get((d, op_type))
+    if od is not None:
+        return od
+    alias = CONTRIB_ALIASES.get((d, op_type))
+    if alias is not None:
+        return OPS.get(alias)
+    return None
 
 
 def parse_attr(a: Proto) -> Any:

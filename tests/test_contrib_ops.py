@@ -35,7 +35,7 @@ def test_matmul_nbits_default_zp():
         "MatMulNBits", {"a": a},
         initializers={"b": b.reshape(N, KB, BLK // 2), "sc": scale},
         input_names=["a", "b", "sc"],
-        K=K, N=N, bits=4, block_size=BLK,
+        domain="com.microsoft", K=K, N=N, bits=4, block_size=BLK,
     )[0]
     np.testing.assert_allclose(got, a @ wdq.T, rtol=1e-5, atol=1e-5)
 
@@ -59,7 +59,7 @@ def test_matmul_nbits_packed_zp_and_bias():
         "MatMulNBits", {"a": a},
         initializers={"b": b, "sc": scale, "zp": zp_packed, "bias": bias},
         input_names=["a", "b", "sc", "zp", "", "bias"],
-        K=K, N=N, bits=4, block_size=BLK,
+        domain="com.microsoft", K=K, N=N, bits=4, block_size=BLK,
     )[0]
     np.testing.assert_allclose(got, a @ wdq.T + bias, rtol=1e-5, atol=1e-5)
 
@@ -87,7 +87,7 @@ def test_skip_layer_norm():
     outs = run_op(
         "SkipLayerNormalization",
         {"x": x, "skip": skip, "g": g, "be": be, "bias": bias},
-        n_outputs=4, epsilon=1e-6,
+        n_outputs=4, domain="com.microsoft", epsilon=1e-6,
     )
     s = torch.from_numpy(x + skip + bias)
     want = F.layer_norm(s, (8,), torch.from_numpy(g), torch.from_numpy(be),
@@ -101,6 +101,7 @@ def test_fused_matmul():
     a = rng.standard_normal((5, 3)).astype(np.float32)
     b = rng.standard_normal((7, 5)).astype(np.float32)
     got = run_op("FusedMatMul", {"a": a, "b": b},
+                 domain="com.microsoft",
                  transA=1, transB=1, alpha=0.5)[0]
     np.testing.assert_allclose(got, 0.5 * (a.T @ b.T), rtol=1e-5, atol=1e-6)
 
@@ -108,7 +109,7 @@ def test_fused_matmul():
 def test_quick_gelu():
     rng = np.random.default_rng(5)
     x = rng.standard_normal((4, 6)).astype(np.float32)
-    got = run_op("QuickGelu", {"x": x})[0]
+    got = run_op("QuickGelu", {"x": x}, domain="com.microsoft")[0]
     want = x / (1 + np.exp(-1.702 * x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
@@ -201,10 +202,10 @@ def test_bias_gelu_fast_gelu():
     rng = np.random.default_rng(9)
     x = rng.standard_normal((3, 8)).astype(np.float32)
     b = rng.standard_normal(8).astype(np.float32)
-    got = run_op("BiasGelu", {"x": x, "b": b})[0]
+    got = run_op("BiasGelu", {"x": x, "b": b}, domain="com.microsoft")[0]
     want = F.gelu(torch.from_numpy(x + b)).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-    got = run_op("FastGelu", {"x": x, "b": b})[0]
+    got = run_op("FastGelu", {"x": x, "b": b}, domain="com.microsoft")[0]
     want = F.gelu(torch.from_numpy(x + b), approximate="tanh").numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
@@ -228,7 +229,7 @@ def test_embed_layer_norm():
         {"ids": ids, "seg": seg, "mask": mask},
         initializers={"we": we, "pe": pe, "se": se, "g": g, "be": be},
         input_names=["ids", "seg", "we", "pe", "se", "g", "be", "mask"],
-        n_outputs=3, epsilon=1e-12,
+        n_outputs=3, domain="com.microsoft", epsilon=1e-12,
     )
     emb = we[ids] + pe[None, :S] + se[seg]
     want = F.layer_norm(torch.from_numpy(emb), (D,), torch.from_numpy(g),
