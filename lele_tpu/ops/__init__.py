@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     contrib_ops,
     deform_ops,
     extra_ops,
+    genai_ops,
     io_ops,
     math_ops,
     nn_ops,

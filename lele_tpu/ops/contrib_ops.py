@@ -29,10 +29,14 @@ from .registry import OpContext, op
 @op("MatMulNBits", foldable=False, domain="com.microsoft")
 def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
                  g_idx=None, bias=None):
-    """A @ dequant(B)^T for the ORT 4-bit blob layout: B is uint8
-    [N, k_blocks, block_size/2] (two K-adjacent nibbles per byte, low
-    first), scales [N, k_blocks] (or flat), zero_points either packed
-    uint8 4-bit [N, ceil(k_blocks/2)] or unpacked int, default 8.
+    """A @ dequant(B)^T for the ORT n-bit blob layout: bits=4 packs B as
+    uint8 [N, k_blocks, block_size/2] (two K-adjacent nibbles per byte,
+    low first) with zero_points either packed uint8 4-bit
+    [N, ceil(k_blocks/2)] or unpacked int; bits=8 stores one byte per
+    element [N, k_blocks, block_size] with [N, k_blocks] zero points.
+    scales are [N, k_blocks] (or flat); the zero-point default is
+    2^(bits-1). g_idx [K] (GPTQ act-order) maps each K column to its
+    quantization group.
 
     TPU-first layout choice: the PACKED bytes ride to the device and the
     unpack+dequant runs on the VPU per forward — weight HBM traffic is
@@ -46,35 +50,50 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
     N = int(ctx.attr("N"))
     bits = int(ctx.attr("bits", 4))
     block = int(ctx.attr("block_size"))
-    if bits != 4:
-        raise NotImplementedError(
-            f"MatMulNBits: only bits=4 is implemented (got {bits})"
-        )
-    if g_idx is not None:
-        raise NotImplementedError(
-            "MatMulNBits: g_idx (act-order grouping) is not supported"
-        )
     k_blocks = (K + block - 1) // block
-    bq = xp.asarray(b).astype(np.uint8).reshape(N, k_blocks, block // 2)
-    lo = bq & 0x0F
-    hi = bq >> 4
-    nibbles = xp.stack([lo, hi], axis=-1).reshape(N, k_blocks, block)
-    w = nibbles.astype(np.float32)
+    if bits == 4:
+        bq = xp.asarray(b).astype(np.uint8).reshape(N, k_blocks, block // 2)
+        lo = bq & 0x0F
+        hi = bq >> 4
+        vals = xp.stack([lo, hi], axis=-1).reshape(N, k_blocks * block)
+    elif bits == 8:
+        vals = xp.asarray(b).astype(np.uint8).reshape(N, k_blocks * block)
+    else:
+        raise NotImplementedError(
+            f"MatMulNBits: only bits=4 and bits=8 are implemented "
+            f"(got {bits})"
+        )
+    w = vals.astype(np.float32)
 
+    # zp2/sc as [N, k_blocks] (zp2 may be a scalar default of 2^(bits-1))
     if zero_points is None:
-        zp = np.float32(8.0)
+        zp2 = np.float32(1 << (bits - 1))
     else:
         z = xp.asarray(zero_points)
         packed_len = N * ((k_blocks + 1) // 2)
-        if z.dtype == np.uint8 and z.size == packed_len:
+        if bits == 4 and z.dtype == np.uint8 and z.size == packed_len:
             zpk = z.reshape(N, (k_blocks + 1) // 2)
             zfull = xp.stack([zpk & 0x0F, zpk >> 4], axis=-1).reshape(N, -1)
-            zp = zfull[:, :k_blocks].astype(np.float32)[:, :, None]
+            zp2 = zfull[:, :k_blocks].astype(np.float32)
         else:
-            zp = z.reshape(N, k_blocks).astype(np.float32)[:, :, None]
+            zp2 = z.reshape(N, k_blocks).astype(np.float32)
     sc = xp.asarray(scales).astype(np.float32).reshape(N, k_blocks)
-    w = (w - zp) * sc[:, :, None]
-    w = w.reshape(N, k_blocks * block)[:, :K]  # trim ceil-padding
+
+    if g_idx is not None:
+        # act-order (GPTQ desc_act): per-column group membership — gather
+        # scales/zero-points per K column instead of block-broadcasting
+        g = xp.asarray(g_idx).astype(np.int32).reshape(-1)
+        w = w[:, :K]
+        sc_g = xp.take(sc, g, axis=1)  # [N, K]
+        zp_g = zp2 if np.isscalar(zp2) or getattr(zp2, "ndim", 0) == 0 \
+            else xp.take(zp2, g, axis=1)
+        w = (w - zp_g) * sc_g
+    else:
+        w = w.reshape(N, k_blocks, block)
+        zb = zp2 if np.isscalar(zp2) or getattr(zp2, "ndim", 0) == 0 \
+            else zp2[:, :, None]
+        w = (w - zb) * sc[:, :, None]
+        w = w.reshape(N, k_blocks * block)[:, :K]  # trim ceil-padding
 
     adt = np.asarray(a).dtype if ctx.is_fold else a.dtype
     if ctx.is_fold:
@@ -237,15 +256,18 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     Supported subset (the BERT-export common case): qkv packed in one
     weight [D, 3*H*dh] (+ bias), mask_index as None, [B] right-side key
     lengths, or [B, S_kv] key padding mask; `unidirectional` causal flag;
-    additive `attention_bias`. past/present KV and qkv_hidden_sizes
-    asymmetry raise — lower those exports to MatMul form instead."""
+    additive `attention_bias`; past/present KV in the stacked
+    [2, B, H, P, dh] concat form (decoder exports) — the second output is
+    the updated stack. past_present_share_buffer (with its past_seq_len
+    input) and qkv_hidden_sizes asymmetry raise — GQA's static ring
+    buffer is the share-buffer path here."""
     import jax.numpy as jnp
 
-    if past is not None or past_seq_len is not None:
+    if past_seq_len is not None or ctx.attr("past_present_share_buffer", 0):
         raise NotImplementedError(
-            "com.microsoft::Attention: past/present KV state is not "
-            "supported — use the ai.onnx opset-23 Attention for cached "
-            "decode"
+            "com.microsoft::Attention: past_present_share_buffer is not "
+            "supported — ORT-GenAI exports carry GroupQueryAttention for "
+            "the static-buffer cache, which is implemented"
         )
     heads = int(ctx.attr("num_heads", 0))
     if not heads:
@@ -269,6 +291,12 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
         return t.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    if past is not None:
+        # stacked [2, B, H, P, dh]: concat-form decoder cache
+        k = jnp.concatenate([past[0], k], axis=2)
+        v = jnp.concatenate([past[1], v], axis=2)
+    t = k.shape[2]  # total kv length (past + new)
+    present = jnp.stack([k, v], axis=0)
     scale = ctx.attr("scale")
     scale = float(scale) if scale is not None else 1.0 / float(np.sqrt(dh))
     att = jnp.einsum(
@@ -282,21 +310,24 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     if mask_index is not None:
         mi = mask_index
         if mi.ndim == 1 and mi.shape[0] == b:
-            # right-side key lengths: key j valid iff j < len[b]
-            valid = jnp.arange(s)[None, :] < mi.astype(jnp.int32)[:, None]
+            # right-side key lengths over the TOTAL kv axis: j < len[b]
+            valid = jnp.arange(t)[None, :] < mi.astype(jnp.int32)[:, None]
             att = jnp.where(valid[:, None, None, :], att, neg)
-        elif mi.ndim == 2 and mi.shape == (b, s):
+        elif mi.ndim == 2 and mi.shape == (b, t):
             att = jnp.where(
                 mi.astype(bool)[:, None, None, :], att, neg
             )
         else:
             raise NotImplementedError(
                 "com.microsoft::Attention: only [batch] right-side lengths "
-                f"or [batch, seq] key padding masks supported, got shape "
-                f"{tuple(mi.shape)}"
+                f"or [batch, total_kv] key padding masks supported, got "
+                f"shape {tuple(mi.shape)}"
             )
     if unidir:
-        att = jnp.where(jnp.tril(jnp.ones((s, s), bool)), att, neg)
+        # query row i sits at global position (t - s) + i
+        causal = (jnp.arange(t)[None, :]
+                  <= (t - s + jnp.arange(s))[:, None])
+        att = jnp.where(causal[None, None], att, neg)
     import jax
 
     w_att = jax.nn.softmax(
@@ -304,7 +335,11 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     )
     y = jnp.einsum("bhqk,bhkd->bhqd", w_att.astype(v.dtype), v,
                    precision=_prec())
-    return y.transpose(0, 2, 1, 3).reshape(b, s, heads * dh)
+    y = y.transpose(0, 2, 1, 3).reshape(b, s, heads * dh)
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    return (y, present)[:n_out]
 
 
 @op("RotaryEmbedding", foldable=False, domain="com.microsoft")

@@ -181,18 +181,24 @@ def test_ms_attention_unidirectional():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_ms_attention_past_rejected():
+def test_ms_attention_share_buffer_rejected():
+    # past-KV CONCAT form is supported (test_genai_ops); the share-buffer
+    # variant (past_seq_len input / past_present_share_buffer attr) must
+    # still refuse loudly rather than compute over a stale ring buffer
     from lele_tpu.onnx import builder as ob
 
     rng = np.random.default_rng(8)
     B, S, D, H = 1, 4, 8, 2
     x = rng.standard_normal((B, S, D)).astype(np.float32)
     w = np.eye(D, 3 * D, dtype=np.float32)
-    past = np.zeros((2, B, H, 3, D // H), np.float32)
-    node = ob.node("Attention", ["x", "w", "", "", "past"], ["y"],
-                   domain="com.microsoft", num_heads=H)
-    with pytest.raises(Exception, match="past"):
-        _run_ms([node], {"x": x}, ["y"], {"w": w, "past": past})
+    past = np.zeros((2, B, H, 8, D // H), np.float32)
+    psl = np.asarray([3], np.int32)
+    node = ob.node("Attention", ["x", "w", "", "", "past", "", "psl"],
+                   ["y"], domain="com.microsoft", num_heads=H,
+                   past_present_share_buffer=1)
+    with pytest.raises(Exception, match="share_buffer"):
+        _run_ms([node], {"x": x}, ["y"],
+                {"w": w, "past": past, "psl": psl})
 
 
 def test_bias_gelu_fast_gelu():
