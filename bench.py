@@ -312,6 +312,70 @@ def bench_compiled_yolo():
     return dt * 1e3
 
 
+def bench_genai_decode():
+    """ORT-GenAI int4 decoder DECODE-step latency: the published-LLM-export
+    graph form (MatMulNBits packed-nibble weight streaming + GQA over a
+    static KV-cache buffer + contrib rotary + RMS skip-norms,
+    onnx/synth.py build_genai_decoder) at Phi-3-mini-like layer geometry
+    scaled to 4 layers. The reference cannot load this op family at all
+    (its emitter tables predate com.microsoft contrib ops), so the row
+    tracks the path against its own history, no vs_baseline.
+
+    Anti-hoist discipline: the scan carry perturbs ids and the KV buffer
+    (the usual input mix) AND every packed-weight/scale param via the
+    integer-zero trick (`q + int32(c*1e-30)` — exact value, loop-variant
+    provenance), so XLA cannot hoist the nibble unpack or dequant out of
+    the chain and silently swap the 0.5 byte/weight packed HBM stream for
+    a materialized f32 one."""
+    import jax
+    import jax.numpy as jnp
+
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.onnx.synth import (
+        GENAI_CFG,
+        build_genai_decoder,
+        genai_decoder_params,
+        genai_feeds,
+    )
+
+    cfg = dict(GENAI_CFG, B=1, V=4096, qh=16, kvh=8, hd=64, nl=4,
+               ffn=2816, L=512, blk=32)
+    rng = np.random.default_rng(0)
+    inits, _ = genai_decoder_params(rng, cfg)
+    cm = compile_model(OnnxModel.from_bytes(build_genai_decoder(inits, 1,
+                                                                cfg)))
+    kvh, L, hd, nl = cfg["kvh"], cfg["L"], cfg["hd"], cfg["nl"]
+    plen = 128
+    pks = [rng.standard_normal((1, kvh, L, hd)).astype(np.float32)
+           for _ in range(nl)]
+    pvs = [rng.standard_normal((1, kvh, L, hd)).astype(np.float32)
+           for _ in range(nl)]
+    feeds = genai_feeds(np.ones((1, 1), np.int64),
+                        np.full((1, 1), plen, np.int64),
+                        plen, 1, pks, pvs, cfg)
+    feeds_j = {k: jnp.asarray(np.asarray(v), cm._canon[k])
+               for k, v in feeds.items()}
+
+    def fwd(c, params, ids, pk0):
+        zi = (c * 1e-30).astype(jnp.int32)
+        p2 = {
+            k: (v + zi.astype(v.dtype) if v.dtype == jnp.uint8
+                else (v + c * 1e-30 if k.endswith("_s") else v))
+            for k, v in params.items()
+        }
+        ins = dict(feeds_j)
+        ins["ids"] = ids + zi
+        ins["pk0"] = pk0 + c * 1e-30
+        return cm._walk_fn(p2, ins)  # ALL outputs: logits + every present
+
+    dt = _chain_slope(
+        fwd, (cm.params, feeds_j["ids"], feeds_j["pk0"]),
+        Ks=(16, 96) if jax.devices()[0].platform == "tpu" else (1, 3),
+    )
+    return dt * 1e6  # µs per decoded token
+
+
 def bench_silero_step(pcm):
     """Per-chunk STREAMING step time (VERDICT r2 #6): the donated-state
     step chained through its own state carry — a natural data dependency,
@@ -529,6 +593,10 @@ def main():
         # the COMPILED path against its own history (r2: 0.60 ms).
         ("compiled_yolo_fixture_ms", bench_compiled_yolo, None, "ms"),
         ("yolo26n_seg_ms", lambda: bench_yolo(True), 64.82, "ms"),
+        # ORT-GenAI int4 decode step (MatMulNBits+GQA family) — the
+        # reference cannot load these contrib ops at all, so the row
+        # tracks the path against its own history only
+        ("genai_int4_decode_us", bench_genai_decode, None, "us"),
     ]
     vals = {}
     for name, fn, ref, unit in side:

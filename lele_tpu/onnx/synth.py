@@ -242,3 +242,163 @@ def build_sanm_int8_graph(
     ]
     outputs = [ob.value_info("logits", 1, [1, "T4", vocab])]
     return nodes, inits, inputs, outputs
+
+
+# --------------------------------------------------------------------------
+# ORT-GenAI decoder form — the graph vocabulary onnxruntime-genai's model
+# builder writes into every published int4 LLM ONNX export (Phi-3/Llama/
+# Qwen hub releases): MatMulNBits projections, com.microsoft::
+# RotaryEmbedding, GroupQueryAttention over static KV-cache buffers,
+# SimplifiedLayerNormalization / SkipSimplifiedLayerNormalization residual
+# plumbing, SwiGLU MLP. Used by tests/test_genai_decoder_e2e.py (torch
+# logit parity), the launch rehearsal (external-data distribution form),
+# the multichip dryrun leg, examples/genai_decode.py, and bench.py.
+# Reference analog: running published exports end-to-end is the product
+# (/root/reference/crates/lele-build/src/lib.rs:72-135).
+
+GENAI_CFG = dict(B=2, V=48, qh=4, kvh=2, hd=8, nl=2, L=16, ffn=48, blk=16,
+                 eps=1e-5)
+
+
+def quant4_ort(w: np.ndarray, blk: int):
+    """Float [N, K] → (packed_u8 [N,kb,blk/2], scales [N,kb], wdq [N,K])
+    in the ORT MatMulNBits layout (default zero point 8)."""
+    n, k = w.shape
+    kb = k // blk
+    wg = w.reshape(n, kb, blk)
+    sc = (np.abs(wg).max(-1) / 7.0 + 1e-8).astype(np.float32)
+    q = np.clip(np.round(wg / sc[:, :, None]) + 8, 0, 15).astype(np.uint8)
+    wdq = ((q.astype(np.float32) - 8.0) * sc[:, :, None]).reshape(n, k)
+    packed = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+    return packed, sc, wdq
+
+
+def genai_decoder_params(rng, cfg=None):
+    """Quantized graph initializers + the dequantized float twins an
+    independent oracle consumes (same numbers both sides — parity is exact
+    math, not approximate quantization agreement)."""
+    c = dict(GENAI_CFG, **(cfg or {}))
+    V, qh, kvh, hd, nl, L, ffn, blk = (c["V"], c["qh"], c["kvh"], c["hd"],
+                                       c["nl"], c["L"], c["ffn"], c["blk"])
+    D, KVD = qh * hd, kvh * hd
+    inits, deq = {}, {}
+
+    def linear(name, n, k):
+        w = (rng.standard_normal((n, k)) / np.sqrt(k)).astype(np.float32)
+        packed, sc, wdq = quant4_ort(w, blk)
+        inits[f"{name}_q"] = packed
+        inits[f"{name}_s"] = sc
+        deq[name] = wdq  # [N, K]; the layer computes x @ wdq.T
+
+    inits["emb"] = (rng.standard_normal((V, D)) * 0.5).astype(np.float32)
+    deq["emb"] = inits["emb"]
+    for i in range(nl):
+        linear(f"wq{i}", D, D)
+        linear(f"wk{i}", KVD, D)
+        linear(f"wv{i}", KVD, D)
+        linear(f"wo{i}", D, D)
+        linear(f"wg{i}", ffn, D)
+        linear(f"wu{i}", ffn, D)
+        linear(f"wd{i}", D, ffn)
+        for g in (f"g_attn{i}", f"g_mlp{i}"):
+            inits[g] = (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)
+            deq[g] = inits[g]
+    inits["g_final"] = (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)
+    deq["g_final"] = inits["g_final"]
+    linear("head", V, D)
+    inv = 1.0 / 10000 ** (np.arange(hd // 2) / (hd // 2))
+    t = np.arange(L)[:, None] * inv[None, :]
+    inits["cos"] = np.cos(t).astype(np.float32)
+    inits["sin"] = np.sin(t).astype(np.float32)
+    deq["cos"], deq["sin"] = inits["cos"], inits["sin"]
+    return inits, deq
+
+
+def build_genai_decoder(inits, s: int, cfg=None, raw: bool = False):
+    """The GenAI step graph for sequence length `s` (prefill or decode —
+    one static XLA program per shape). raw=True returns the ModelProto
+    dict (for save_with_external_data) instead of serialized bytes."""
+    c = dict(GENAI_CFG, **(cfg or {}))
+    B, V, qh, kvh, hd, nl, L, ffn, blk, eps = (
+        c["B"], c["V"], c["qh"], c["kvh"], c["hd"], c["nl"], c["L"],
+        c["ffn"], c["blk"], c["eps"])
+    D, KVD = qh * hd, kvh * hd
+    nodes = []
+
+    def n(*a, **kw):
+        nodes.append(ob.node(*a, **kw))
+
+    def mmnb(x, w, out, n_, k_):
+        n("MatMulNBits", [x, f"{w}_q", f"{w}_s"], [out],
+          domain="com.microsoft", K=k_, N=n_, bits=4, block_size=blk)
+
+    n("Gather", ["emb", "ids"], ["x0"])  # [B,S,D]
+    outs = ["logits"]
+    res, cur = None, "x0"
+    for i in range(nl):
+        if res is None:
+            n("SimplifiedLayerNormalization", [cur, f"g_attn{i}"],
+              [f"h{i}"], epsilon=eps, domain="com.microsoft")
+            res = cur
+        else:
+            n("SkipSimplifiedLayerNormalization",
+              [cur, res, f"g_attn{i}"],
+              [f"h{i}", f"m{i}", f"iv{i}", f"sum_in{i}"],
+              epsilon=eps, domain="com.microsoft")
+            res = f"sum_in{i}"
+        mmnb(f"h{i}", f"wq{i}", f"q{i}", D, D)
+        mmnb(f"h{i}", f"wk{i}", f"k{i}", KVD, D)
+        mmnb(f"h{i}", f"wv{i}", f"v{i}", KVD, D)
+        n("RotaryEmbedding", [f"q{i}", "pos", "cos", "sin"], [f"qr{i}"],
+          domain="com.microsoft", num_heads=qh)
+        n("RotaryEmbedding", [f"k{i}", "pos", "cos", "sin"], [f"kr{i}"],
+          domain="com.microsoft", num_heads=kvh)
+        n("GroupQueryAttention",
+          [f"qr{i}", f"kr{i}", f"v{i}", f"pk{i}", f"pv{i}", "slk", "tot"],
+          [f"att{i}", f"npk{i}", f"npv{i}"],
+          domain="com.microsoft", num_heads=qh, kv_num_heads=kvh)
+        mmnb(f"att{i}", f"wo{i}", f"ao{i}", D, D)
+        n("SkipSimplifiedLayerNormalization",
+          [f"ao{i}", res, f"g_mlp{i}"],
+          [f"hm{i}", f"mm_{i}", f"ivm{i}", f"sum_attn{i}"],
+          epsilon=eps, domain="com.microsoft")
+        res = f"sum_attn{i}"
+        mmnb(f"hm{i}", f"wg{i}", f"gate{i}", ffn, D)
+        mmnb(f"hm{i}", f"wu{i}", f"up{i}", ffn, D)
+        n("Sigmoid", [f"gate{i}"], [f"sig{i}"])
+        n("Mul", [f"gate{i}", f"sig{i}"], [f"silu{i}"])
+        n("Mul", [f"silu{i}", f"up{i}"], [f"ff{i}"])
+        mmnb(f"ff{i}", f"wd{i}", f"dn{i}", D, ffn)
+        cur = f"dn{i}"
+        outs += [f"npk{i}", f"npv{i}"]
+    n("SkipSimplifiedLayerNormalization", [cur, res, "g_final"],
+      ["hfin", "mf", "ivf", "sumf"], epsilon=eps, domain="com.microsoft")
+    mmnb("hfin", "head", "logits", V, D)
+
+    inputs = [
+        ob.value_info("ids", 7, [B, s]),
+        ob.value_info("pos", 7, [B, s]),
+        ob.value_info("slk", 6, [B]),
+        ob.value_info("tot", 6, [1]),
+    ]
+    for i in range(nl):
+        inputs += [ob.value_info(f"pk{i}", 1, [B, kvh, L, hd]),
+                   ob.value_info(f"pv{i}", 1, [B, kvh, L, hd])]
+    m = ob.model(ob.graph(
+        nodes, "genai_decoder", inputs,
+        [ob.value_info(o, 1, []) for o in outs],
+        [ob.tensor_from_array(v, k) for k, v in inits.items()],
+    ), opset=17)
+    return m if raw else ob.serialize(m)
+
+
+def genai_feeds(ids, pos, past_len, s, pks, pvs, cfg=None):
+    """Input dict for one step at uniform past length `past_len`."""
+    c = dict(GENAI_CFG, **(cfg or {}))
+    b = c["B"]
+    f = {"ids": ids, "pos": pos,
+         "slk": np.full((b,), past_len + s - 1, np.int32),
+         "tot": np.asarray([past_len + s], np.int32)}
+    for i in range(c["nl"]):
+        f[f"pk{i}"], f[f"pv{i}"] = pks[i], pvs[i]
+    return f

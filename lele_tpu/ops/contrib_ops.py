@@ -162,6 +162,32 @@ def skip_layer_norm(ctx: OpContext, x, skip, gamma, beta=None, bias=None):
     return (y, mean.astype(s.dtype), inv.astype(s.dtype), s)[:n_out]
 
 
+@op("SkipSimplifiedLayerNormalization", foldable=False,
+    domain="com.microsoft")
+def skip_simplified_layer_norm(ctx: OpContext, x, skip, gamma, bias=None):
+    """RMSNorm(x + skip [+ bias]) — the residual-add form ORT-GenAI's
+    model builder emits between every decoder layer (llama/phi/qwen int4
+    exports). Output 4 (input_skip_bias_sum) carries the pre-norm sum the
+    next layer's residual consumes; outputs 2/3 are unused by those
+    graphs but produced when named."""
+    import jax.numpy as jnp
+
+    eps = float(ctx.attr("epsilon", 1e-12))
+    s = x + skip
+    if bias is not None:
+        s = s + bias
+    f32 = jnp.promote_types(s.dtype, jnp.float32)
+    sf = s.astype(f32)
+    ms = jnp.mean(sf * sf, axis=-1, keepdims=True)
+    inv = jax_rsqrt(ms + eps)
+    y = (sf * inv).astype(s.dtype) * gamma
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    zero = jnp.zeros_like(inv.astype(s.dtype))  # mean is not defined for RMS
+    return (y, zero, inv.astype(s.dtype), s)[:n_out]
+
+
 @op("FusedMatMul", foldable=False, domain="com.microsoft")
 def fused_matmul(ctx: OpContext, a, b):
     import jax.numpy as jnp

@@ -158,3 +158,84 @@ def test_build_tool_hub_acquire_staleness_and_runner(hub, tmp_path,
     probs = vad.speech_probs(pcm.astype(np.float32))
     assert probs.shape[0] == 4096 // 512
     assert np.all(np.isfinite(probs)) and np.all((0 <= probs) & (probs <= 1))
+
+
+def test_llm_int4_family_rehearsal(tmp_path):
+    """Launch rehearsal for the llm_int4 lock family (Phi-3-mini int4 ONNX):
+    a mock hub serves a synthetic ORT-GenAI-form decoder under the REAL
+    lock paths — model.onnx + model.onnx.data external side file, exactly
+    how the published repo distributes it — then fetch → TOFU pin →
+    compile (strict) → two greedy decode steps. On launch day only the
+    bytes differ."""
+    import test_genai_decoder_e2e as G
+
+    from lele_tpu.onnx import OnnxModel, builder as ob
+    from lele_tpu.compiler import compile_model
+
+    rng = np.random.default_rng(0)
+    inits, _ = G._params(rng)
+    raw = G._build(inits, 1, raw=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    ob.save_with_external_data(raw, src / "model.onnx")
+    assert (src / "model.onnx.data").exists(), "side file must spill"
+
+    base = "/microsoft/Phi-3-mini-4k-instruct-onnx/resolve/main/" \
+           "cpu_and_mobile/cpu-int4-rtn-block-32/"
+    stem = "phi3-mini-4k-instruct-cpu-int4-rtn-block-32"
+    routes = {
+        base + stem + ".onnx": (src / "model.onnx").read_bytes(),
+        base + stem + ".onnx.data": (src / "model.onnx.data").read_bytes(),
+        base + "genai_config.json": b'{"model": {"type": "phi3"}}',
+        base + "tokenizer.json": b'{"version": "1.0"}',
+    }
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = routes.get(self.path)
+            if data is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        lock = tmp_path / "lock.json"
+        full = json.loads((ROOT / "scripts" / "MODELS.lock.json").read_text())
+        lock.write_text(json.dumps({"llm_int4": full["llm_int4"]}))
+        r = subprocess.run(
+            [sys.executable, str(FETCH), "llm_int4", "--lock", str(lock),
+             "--root", str(tmp_path), "--update-lock"],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/bin:/bin", "HF_ENDPOINT": endpoint,
+                 "HOME": str(tmp_path), "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr + r.stdout
+        pins = json.loads(lock.read_text())["llm_int4"]["files"]
+        assert all(f["sha256"] for f in pins), pins
+    finally:
+        srv.shutdown()
+
+    fetched = tmp_path / "examples" / "llm_int4" / "model.onnx"
+    assert fetched.exists() and fetched.with_suffix(".onnx.data").exists()
+    cm = compile_model(OnnxModel.load(fetched), strict=True)
+    B, KVH, L, HD, NL = G.B, G.KVH, G.L, G.HD, G.NL
+    pks = [np.zeros((B, KVH, L, HD), np.float32) for _ in range(NL)]
+    pvs = [np.zeros((B, KVH, L, HD), np.float32) for _ in range(NL)]
+    tok = np.ones((B, 1), np.int64)
+    for step in range(2):
+        outs = cm.run_np(**G._ours_feeds(
+            tok, np.full((B, 1), step, np.int64), step, 1, pks, pvs))
+        for i in range(NL):
+            pks[i] = np.asarray(outs[1 + 2 * i])
+            pvs[i] = np.asarray(outs[2 + 2 * i])
+        tok = np.asarray(outs[0])[:, -1].argmax(-1)[:, None].astype(np.int64)
+    assert np.isfinite(np.asarray(outs[0])).all()
