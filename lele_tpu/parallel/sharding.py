@@ -112,3 +112,19 @@ def param_spec_tree(params, rules=sensevoice_param_rules):
     flat = dict(_tree_paths(params))
     placed = {p: rules(p) for p in flat}
     return _unflatten(placed)
+
+
+def dp_put(mesh: Mesh, arrays, axis: int = 0):
+    """device_put live batch inputs with the batch dim sharded over
+    "data" (the serving dp layout). An array whose batch dim does not
+    divide the axis replicates instead — same leniency rule as
+    shard_params, so partially-filled power-of-two batches still run."""
+    dp = mesh.shape.get("data", 1)
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        spec = [None] * a.ndim
+        if a.ndim > axis and dp > 1 and a.shape[axis] % dp == 0:
+            spec[axis] = "data"
+        out.append(jax.device_put(a, NamedSharding(mesh, P(*spec))))
+    return tuple(out)

@@ -103,6 +103,7 @@ class Yolo26Engine:
 
     model: Any = None
     conf_threshold: float = 0.25
+    mesh: Any = None  # serving dp mesh (server.py --mesh auto)
     _fn: Any = None
 
     def __post_init__(self):
@@ -144,7 +145,18 @@ class Yolo26Engine:
             x[i] = a
         if self._fn is None:
             self._fn = jax.jit(self.model.forward_fn())
-        outs = self._fn(self.model.params, x)
+        if self.mesh is not None:
+            from .parallel.sharding import dp_put, replicate
+
+            if not getattr(self, "_mesh_placed", False):
+                self.model.params = jax.device_put(
+                    self.model.params, replicate(self.mesh))
+                self._mesh_placed = True
+            (x,) = dp_put(self.mesh, (x,))
+            with self.mesh:
+                outs = self._fn(self.model.params, x)
+        else:
+            outs = self._fn(self.model.params, x)
         scores = np.asarray(outs[0])
         boxes = np.asarray(outs[1])
         return [

@@ -33,7 +33,7 @@ def _post(url, body, headers=None):
 
 def test_healthz(server):
     with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
-        assert json.loads(r.read()) == {"ok": True}
+        assert json.loads(r.read()) == {"ok": True, "mesh": None}
 
 
 def test_demo_page(server):
