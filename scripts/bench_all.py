@@ -63,6 +63,10 @@ def main():
         # reference column (the NEON number is for the full YOLO26n)
         "compiled_yolo_fixture_ms": (bench.bench_compiled_yolo, None, None),
         "yolo26n_seg_ms": (lambda: bench.bench_yolo(True), 64.82, 126.51),
+        # ORT-GenAI int4 decode step (MatMulNBits w4-kernel + GQA family)
+        # — no reference column: the reference cannot load these contrib
+        # ops at all; tracked vs its own history
+        "genai_int4_decode_us": (bench.bench_genai_decode, None, None),
     }
     import statistics
 
