@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     deform_ops,
     diffusion_ops,
     extra_ops,
+    fused_ops,
     genai_ops,
     io_ops,
     math_ops,

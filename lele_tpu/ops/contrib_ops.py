@@ -391,7 +391,19 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     qkv = jnp.matmul(x, weights, precision=_prec())
     if bias is not None:
         qkv = qkv + bias
-    h3 = qkv.shape[-1]
+    return _packed_qkv_attention(ctx, qkv, heads, unidir, mask_index, past,
+                                 attention_bias)
+
+
+def _packed_qkv_attention(ctx: OpContext, qkv, heads, unidir, mask_index,
+                          past, attention_bias):
+    """Shared post-projection core of the packed-QKV contrib attentions
+    (com.microsoft Attention / QAttention): split heads, concat past,
+    mask per the ORT mask_index convention, softmax, weighted sum.
+    qkv: [B, S, 3*H*dh] float."""
+    import jax.numpy as jnp
+
+    b, s, h3 = qkv.shape
     dh = h3 // 3 // heads
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -409,7 +421,7 @@ def ms_attention(ctx: OpContext, x, weights, bias=None, mask_index=None,
     scale = float(scale) if scale is not None else 1.0 / float(np.sqrt(dh))
     att = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
-        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+        preferred_element_type=jnp.promote_types(qkv.dtype, jnp.float32),
         precision=_prec(),
     ) * scale
     neg = jnp.asarray(-1e9, att.dtype)
@@ -526,3 +538,154 @@ def ms_rotary_embedding(ctx: OpContext, x, position_ids, cos_cache,
     if three_d:
         out = out.transpose(0, 2, 1, 3).reshape(orig)
     return out
+
+
+@op("GatherBlockQuantized", foldable=False, domain="com.microsoft")
+def gather_block_quantized(ctx: OpContext, data, indices, scales,
+                           zero_points=None):
+    """Gather over a block-quantized table — the op the newest ORT-GenAI
+    exports (Phi-3.5 / Llama-3.2 ONNX releases) use for the quantized
+    embedding table and tied lm_head, next to MatMulNBits.
+
+    data: int4/uint4 (arrives value-unpacked from the loader, logical
+    dims, Int4Array provenance) or uint8 packed two-per-byte low-first
+    along quantize_axis; scales: data's shape with
+    dim[quantize_axis] = ceil(d/block_size); zero_points matches scales
+    (packed 4-bit allowed), defaulting to the midpoint (0 signed /
+    2^(bits-1) unsigned — the MatMulNBits convention).
+
+    TPU-first order of operations: gather the QUANTIZED rows and their
+    scale rows first, dequantize only what was gathered — a token
+    embedding lookup touches B·S rows of a 100k-row table, so
+    dequantize-then-gather would stream 250× the bytes.
+    """
+    from ..onnx.loader import Int4Array
+
+    xp = ctx.xp
+    gather_axis = int(ctx.attr("gather_axis", 0)) % np.ndim(data)
+    q_axis = int(ctx.attr("quantize_axis", 1)) % np.ndim(data)
+    block = int(ctx.attr("block_size", 128))
+    if gather_axis == q_axis:
+        raise NotImplementedError(
+            "GatherBlockQuantized: gather_axis == quantize_axis is not "
+            "supported (no published export gathers along the quantized "
+            "axis)"
+        )
+    # int4/uint4 data arrives loader-unpacked to int8/uint8 logical dims
+    # (and then device-hoisted, which drops the Int4Array marker); a
+    # uint8-typed data tensor means two-per-byte packing along
+    # quantize_axis. Disambiguate by the scales' block count: unpacked
+    # data has ceil(d_q/block) blocks, packed has ceil(2*d_q/block).
+    blocks = int(np.shape(scales)[q_axis])
+    d_q = int(np.shape(data)[q_axis])
+    dt = np.dtype(str(data.dtype))
+    signed = dt == np.int8
+    unpacked = -(-d_q // block) == blocks
+    if isinstance(data, Int4Array):
+        signed = data.onnx_dtype == 22
+        vals = np.asarray(data)
+    elif dt == np.uint8 and not unpacked and -(-2 * d_q // block) == blocks:
+        # packed two-per-byte along quantize_axis, low nibble first
+        d = xp.asarray(data)
+        lo, hi = d & 0x0F, d >> 4
+        vals = xp.stack([lo, hi], axis=q_axis + 1)
+        shp = list(np.shape(data))
+        shp[q_axis] *= 2
+        vals = vals.reshape(shp)
+    elif unpacked:
+        vals = xp.asarray(data)
+    else:
+        raise ValueError(
+            f"GatherBlockQuantized: data dim {d_q} along quantize_axis "
+            f"{q_axis} matches neither unpacked nor packed layout for "
+            f"{blocks} blocks of {block}"
+        )
+    midpoint = 0 if signed else 8  # 4-bit value range midpoint
+    idx = xp.asarray(indices).astype(np.int32)
+    g_vals = xp.take(vals, idx.reshape(-1), axis=gather_axis)
+    g_scales = xp.take(xp.asarray(scales), idx.reshape(-1),
+                       axis=gather_axis)
+    if zero_points is None:
+        g_zp = np.float32(midpoint)
+    else:
+        zp = zero_points
+        if isinstance(zp, Int4Array):
+            zp = np.asarray(zp)
+        elif np.shape(zp) != np.shape(scales):
+            # packed 4-bit zero points (two per byte along q_axis)
+            z = xp.asarray(zp).astype(np.uint8)
+            lo, hi = z & 0x0F, z >> 4
+            z2 = xp.stack([lo, hi], axis=q_axis + 1)
+            shp = list(np.shape(zp))
+            shp[q_axis] *= 2
+            z2 = z2.reshape(shp)
+            # trim ceil-packing to the scales' block count
+            sl = [slice(None)] * z2.ndim
+            sl[q_axis] = slice(0, np.shape(scales)[q_axis])
+            z2 = z2[tuple(sl)]
+            if signed:
+                z2 = xp.where(z2 > 7, z2.astype(np.int32) - 16,
+                              z2.astype(np.int32))
+            zp = z2
+        g_zp = xp.take(xp.asarray(zp).astype(np.float32), idx.reshape(-1),
+                       axis=gather_axis)
+        g_zp = xp.repeat(g_zp, block, axis=q_axis)
+        sl = [slice(None)] * g_zp.ndim
+        sl[q_axis] = slice(0, g_vals.shape[q_axis])
+        g_zp = g_zp[tuple(sl)]
+    sc = xp.repeat(g_scales.astype(np.float32), block, axis=q_axis)
+    sl = [slice(None)] * sc.ndim
+    sl[q_axis] = slice(0, g_vals.shape[q_axis])
+    sc = sc[tuple(sl)]
+    out = (g_vals.astype(np.float32) - g_zp) * sc
+    out = out.astype(np.asarray(scales).dtype if ctx.is_fold
+                     else scales.dtype)
+    # fold the flattened index axis back to indices' shape
+    out_shape = (np.shape(out)[:gather_axis] + tuple(np.shape(indices))
+                 + np.shape(out)[gather_axis + 1:])
+    return out.reshape(out_shape)
+
+
+# bitsandbytes 4-bit dequant tables (the two quant_type values of
+# com.microsoft::MatMulBnb4). FP4: 1 sign / 2 exp / 1 mantissa code;
+# NF4: the 16 normal-quantile levels.
+_FP4_LUT = np.array(
+    [0.0, 0.0625, 8.0, 12.0, 4.0, 6.0, 2.0, 3.0,
+     -0.0, -0.0625, -8.0, -12.0, -4.0, -6.0, -2.0, -3.0], np.float32)
+_NF4_LUT = np.array(
+    [-1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+     -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+     0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+     0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+     0.7229568362236023, 1.0], np.float32)
+
+
+@op("MatMulBnb4", foldable=False, domain="com.microsoft")
+def matmul_bnb4(ctx: OpContext, a, b, absmax):
+    """A @ dequant(B)ᵀ for the bitsandbytes 4-bit blockwise layout
+    (quant_type 0=FP4 / 1=NF4): B is a flat uint8 buffer packing the
+    row-major [N, K] codes two per byte, FIRST code in the HIGH nibble
+    (the bitsandbytes convention — opposite of MatMulNBits), absmax one
+    f32 per block_size run of the flattened codes; value = LUT[code] ·
+    absmax[i // block_size].
+
+    Correctness tier: the LUT gather + scale materializes the dequantized
+    weight; the published bnb4 checkpoints are small adapters, and the
+    int4 fast path in this framework is the MatMulNBits w4 kernel route
+    (compiler/patterns.py::matmul_nbits_w4)."""
+    xp = ctx.xp
+    K = int(ctx.attr("K"))
+    N = int(ctx.attr("N"))
+    block = int(ctx.attr("block_size"))
+    quant_type = int(ctx.attr("quant_type", 1))
+    lut = xp.asarray(_FP4_LUT if quant_type == 0 else _NF4_LUT)
+    bb = xp.asarray(b).astype(np.uint8).reshape(-1)
+    codes = xp.stack([bb >> 4, bb & 0x0F], axis=-1).reshape(-1)[: N * K]
+    w = xp.take(lut, codes.astype(np.int32))
+    am = xp.asarray(absmax).astype(np.float32)
+    scale = xp.repeat(am, block)[: N * K]
+    w = (w * scale).reshape(N, K)
+    adt = np.asarray(a).dtype if ctx.is_fold else a.dtype
+    if ctx.is_fold:
+        return xp.matmul(a.astype(np.float32), w.T).astype(adt)
+    return _nk_dot(a, w.astype(adt) if adt != np.float32 else w, K, N, adt)

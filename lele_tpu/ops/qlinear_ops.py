@@ -224,3 +224,43 @@ def dynamic_quantize_matmul(ctx: OpContext, a, b, b_scale, b_zp=None,
     aq, a_scale, a_zp = dynamic_quantize_linear(ctx, a)
     return matmul_integer_to_float(ctx, aq, b, a_scale, b_scale,
                                    a_zp, b_zp, bias)
+
+
+@op("QAttention", foldable=False, domain="com.microsoft")
+def qattention(ctx: OpContext, x, weight, bias, input_scale, weight_scale,
+               mask_index=None, input_zp=None, weight_zp=None, past=None):
+    """com.microsoft::QAttention — the quantized packed-QKV attention
+    ORT's static quantizer writes into int8 BERT exports (the QOperator
+    twin of contrib Attention).
+
+    The projection runs as an int8 MXU dot with zero-point corrections
+    (the MatMulInteger core), dequantized by input_scale · weight_scale
+    (weight_scale/weight_zp may be per-output-column [3·H·dh]); the
+    float bias is added post-dequant per the ORT kernel. Everything
+    after the projection — head split, past concat, the ORT mask_index
+    convention, causal `unidirectional` — is the shared contrib
+    attention core (contrib_ops._packed_qkv_attention)."""
+    import jax.numpy as jnp
+
+    from .contrib_ops import _packed_qkv_attention
+
+    heads = int(ctx.attr("num_heads", 0))
+    if not heads:
+        raise ValueError("com.microsoft::QAttention requires num_heads")
+    if ctx.attr("past_present_share_buffer", 0):
+        raise NotImplementedError(
+            "com.microsoft::QAttention: past_present_share_buffer is not "
+            "supported (GQA's static buffer is the share-buffer path)"
+        )
+    unidir = bool(ctx.attr("unidirectional", 0))
+    acc = matmul_integer(ctx, x, weight, input_zp, weight_zp)  # int32
+    sw = jnp.asarray(weight_scale).astype(np.float32)
+    if sw.ndim == 1 and sw.size > 1:
+        sw = sw.reshape(1, 1, -1)  # per-output-column
+    qkv = acc.astype(np.float32) * (
+        jnp.asarray(input_scale).astype(np.float32) * sw
+    )
+    if bias is not None:
+        qkv = qkv + jnp.asarray(bias).astype(np.float32)
+    return _packed_qkv_attention(ctx, qkv, heads, unidir, mask_index,
+                                 past, None)
