@@ -206,6 +206,13 @@ class GraphTracer:
 
         # (TensorSeq inputs are never static: _is_static rejects list values)
         all_static = all(_is_static(v) for v in ins)
+        if opdef is not None and opdef.subgraph:
+            # subgraph-tracing ops (BeamSearch/GreedySearch/Sampling) walk
+            # their attribute graphs themselves — they must see the trace
+            # state (param hoisting for the embedded weights) and can never
+            # take the eager all-static fold, whose discovery-mode param
+            # stand-ins would bake garbage into a folded result
+            all_static = False
         foldable = opdef.foldable if opdef is not None else False
         state.n_nodes += 1
         if all_static and (foldable or ins):
@@ -248,7 +255,8 @@ class GraphTracer:
         # dynamic: convert static inputs, hoisting large ones to params;
         # shape-position args (static_args) stay host-static for the emitter
         static_pos = set(opdef.static_args) if opdef is not None else set()
-        ctx = make_ctx(jnp, node, self.opset, tracer=self)
+        ctx = make_ctx(jnp, node, self.opset, tracer=self, state=state,
+                       scope=scope)
         dyn_ins = []
         for i, v in enumerate(ins):
             if v is None or not _is_static(v) or i in static_pos:

@@ -402,3 +402,134 @@ def genai_feeds(ids, pos, past_len, s, pks, pvs, cfg=None):
     for i in range(c["nl"]):
         f[f"pk{i}"], f[f"pv{i}"] = pks[i], pvs[i]
     return f
+
+
+# --------------------------------------------------------------------------
+# GPT-2 decoder subgraph + search-op models (com.microsoft Beam/Greedy/
+# Sampling). The subgraph follows onnxruntime convert_generation.py's GPT
+# contract: inputs (input_ids, position_ids, attention_mask, past_0..),
+# outputs (logits, present_0..), attention as com.microsoft::Attention with
+# the stacked [2,B,H,P,dh] past and a [B,total] binary mask_index.
+
+
+def build_gpt2_decoder_graph(params, n_layer: int, n_head: int,
+                             eps: float = 1e-5, name: str = "decoder"):
+    """GraphProto dict of a GPT-2 LM step from a params dict (numpy):
+    wte [V,D], wpe [P,D], lm_w [D,V]; per layer i: ln1_g{i}/ln1_b{i},
+    attn_w{i} [D,3D], attn_b{i}, proj_w{i} [D,D], proj_b{i}, ln2_*,
+    fc_w{i} [D,4D], fc_b{i}, fcp_w{i} [4D,D], fcp_b{i}; lnf_g/lnf_b.
+    The HF Conv1D [in,out] layout is exactly contrib Attention's weight
+    layout and MatMul's right-operand layout — no transposes needed."""
+    nodes = []
+
+    def n(*a, **kw):
+        nodes.append(ob.node(*a, **kw))
+
+    n("Gather", ["wte", "input_ids"], ["te"])
+    n("Gather", ["wpe", "position_ids"], ["pe"])
+    n("Add", ["te", "pe"], ["x0"])
+    cur = "x0"
+    outs = ["logits"]
+    for i in range(n_layer):
+        n("LayerNormalization", [cur, f"ln1_g{i}", f"ln1_b{i}"], [f"h{i}"],
+          epsilon=eps)
+        n("Attention", [f"h{i}", f"attn_w{i}", f"attn_b{i}",
+                        "attention_mask", f"past_{i}"],
+          [f"a{i}", f"present_{i}"], domain="com.microsoft",
+          num_heads=n_head, unidirectional=1)
+        n("MatMul", [f"a{i}", f"proj_w{i}"], [f"ap{i}"])
+        n("Add", [f"ap{i}", f"proj_b{i}"], [f"ab{i}"])
+        n("Add", [f"ab{i}", cur], [f"x1_{i}"])
+        n("LayerNormalization", [f"x1_{i}", f"ln2_g{i}", f"ln2_b{i}"],
+          [f"h2_{i}"], epsilon=eps)
+        n("MatMul", [f"h2_{i}", f"fc_w{i}"], [f"fc{i}"])
+        n("FastGelu", [f"fc{i}", f"fc_b{i}"], [f"gelu{i}"],
+          domain="com.microsoft")
+        n("MatMul", [f"gelu{i}", f"fcp_w{i}"], [f"fcp{i}"])
+        n("Add", [f"fcp{i}", f"fcp_b{i}"], [f"fcpb{i}"])
+        n("Add", [f"fcpb{i}", f"x1_{i}"], [f"x2_{i}"])
+        cur = f"x2_{i}"
+        outs.append(f"present_{i}")
+    n("LayerNormalization", [cur, "lnf_g", "lnf_b"], ["hf"], epsilon=eps)
+    n("MatMul", ["hf", "lm_w"], ["logits"])
+
+    d = params["wte"].shape[1]
+    dh = d // n_head
+    inputs = [
+        ob.value_info("input_ids", 6, ["b", "s"]),
+        ob.value_info("position_ids", 6, ["b", "s"]),
+        ob.value_info("attention_mask", 6, ["b", "total"]),
+    ]
+    for i in range(n_layer):
+        inputs.append(
+            ob.value_info(f"past_{i}", 1, [2, "b", n_head, "p", dh])
+        )
+    return ob.graph(
+        nodes, name, inputs,
+        [ob.value_info(o, 1, []) for o in outs],
+        [ob.tensor_from_array(np.asarray(v, np.float32), k)
+         for k, v in params.items()],
+    )
+
+
+# canonical ORT input orders for the three search ops
+SEARCH_INPUT_ORDER = {
+    "BeamSearch": [
+        "input_ids", "max_length", "min_length", "num_beams",
+        "num_return_sequences", "length_penalty", "repetition_penalty",
+        "vocab_mask", "prefix_vocab_mask", "attention_mask",
+        "decoder_input_ids", "logits_processor",
+    ],
+    "GreedySearch": [
+        "input_ids", "max_length", "min_length", "repetition_penalty",
+        "vocab_mask", "prefix_vocab_mask", "attention_mask",
+    ],
+    "Sampling": [
+        "input_ids", "max_length", "min_length", "repetition_penalty",
+        "vocab_mask", "prefix_vocab_mask", "attention_mask",
+        "presence_mask", "seed",
+    ],
+}
+
+
+def build_search_model(kind: str, decoder_graph, b: int, s: int,
+                       search_inits: dict, attrs: dict,
+                       n_outputs: int = 1) -> bytes:
+    """A top-level one-node search model: dynamic inputs input_ids [b,s] and
+    (when present in search_inits=None marker 'attention_mask') mask; every
+    scalar search parameter rides as an initializer (trace-time static —
+    the TPU contract for shape-determining values)."""
+    order = SEARCH_INPUT_ORDER[kind]
+    names = []
+    for nm in order:
+        if nm == "input_ids" or (
+            nm == "attention_mask" and search_inits.get(nm) is None
+            and nm in search_inits
+        ):
+            names.append(nm)
+        elif nm in search_inits and search_inits[nm] is not None:
+            names.append(nm)
+        else:
+            names.append("")
+    while names and not names[-1]:
+        names.pop()
+    out_names = ["sequences", "sequences_scores", "scores"][:n_outputs]
+    node = ob.node(kind, names, out_names, domain="com.microsoft",
+                   decoder=decoder_graph, **attrs)
+    inputs = [ob.value_info("input_ids", 6, [b, s])]
+    if "attention_mask" in search_inits and \
+            search_inits["attention_mask"] is None:
+        inputs.append(ob.value_info("attention_mask", 6, [b, s]))
+    inits = [
+        ob.tensor_from_array(np.asarray(v), k)
+        for k, v in search_inits.items()
+        if v is not None and k != "input_ids"
+    ]
+    out_vis = [ob.value_info("sequences", 6, [])]
+    if n_outputs > 1:
+        out_vis.append(ob.value_info("sequences_scores", 1, []))
+    if n_outputs > 2:
+        out_vis.append(ob.value_info("scores", 1, []))
+    return ob.serialize(ob.model(ob.graph(
+        [node], f"{kind.lower()}_model", inputs, out_vis, inits,
+    ), opset=17))

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     nn_ops,
     qlinear_ops,
     quant_ops,
+    search_ops,
     string_ops,
     tensor_ops,
     tfidf_ops,

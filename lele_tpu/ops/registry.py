@@ -56,14 +56,19 @@ class OpDef:
     # the tracer never converts these to device values
     static_args: tuple = ()
     domain: str = ""
+    # ops that trace attribute subgraphs themselves (BeamSearch/GreedySearch
+    # …) — the tracer must route them through the dynamic path with state +
+    # scope in the ctx, never the eager all-static fold (whose param
+    # stand-ins would poison a discovery-mode fold)
+    subgraph: bool = False
 
 
 def op(name: str, foldable: bool = True, static_args: tuple = (),
-       domain: str = ""):
+       domain: str = "", subgraph: bool = False):
     d = canon_domain(domain)
 
     def deco(fn):
-        od = OpDef(name, fn, foldable, static_args, d)
+        od = OpDef(name, fn, foldable, static_args, d, subgraph)
         if d:
             CONTRIB_OPS[(d, name)] = od
         else:
@@ -143,6 +148,10 @@ class OpContext:
     opset: int
     node: Proto | None = None
     tracer: Any = None
+    # subgraph-tracing ops need the walk state + value scope to call
+    # tracer._walk_graph on their attribute graphs (BeamSearch's decoder)
+    state: Any = None
+    scope: str = ""
 
     @property
     def is_fold(self) -> bool:
@@ -158,9 +167,11 @@ class OpContext:
         return [int(x) for x in v] if isinstance(v, (list, tuple)) else [int(v)]
 
 
-def make_ctx(xp, node: Proto, opset: int, tracer=None) -> OpContext:
+def make_ctx(xp, node: Proto, opset: int, tracer=None, state=None,
+             scope: str = "") -> OpContext:
     attrs = {a.name: parse_attr(a) for a in node.attribute}
-    return OpContext(xp=xp, attrs=attrs, opset=opset, node=node, tracer=tracer)
+    return OpContext(xp=xp, attrs=attrs, opset=opset, node=node,
+                     tracer=tracer, state=state, scope=scope)
 
 
 def static_ints(v, what: str = "value") -> list[int]:

@@ -1,0 +1,640 @@
+"""com.microsoft generative search ops: BeamSearch / GreedySearch / Sampling.
+
+ORT's generative exports (GPT-2 via onnxruntime's convert_generation.py,
+Whisper, T5) ship the WHOLE generation loop as one node whose decoder is an
+embedded GraphProto attribute. ORT executes that node as a host orchestrator
+re-running the decoder subgraph with growing dynamic shapes; here the whole
+search lowers to ONE XLA program:
+
+- the decoder subgraph is traced INTO a `lax.scan` step (its initializers
+  hoist to runtime params exactly once, shared between the prefill trace and
+  the step trace via the scope name),
+- the KV cache is a static max_length buffer per past input; each step's new
+  row lands via `dynamic_update_slice` at the step counter, and a running
+  key-validity mask is fed as the subgraph's attention_mask (width
+  max_length+1: buffer slots + the current token),
+- beam bookkeeping (top-2k continuation selection, the finished-hypothesis
+  pool, the early-stopping test) is static-shape jnp over [batch, beams]
+  arrays, frozen by `where` once a batch finishes — no recompiles, no host
+  round-trips, early exit is a freeze instead of a break (SURVEY §7
+  "dynamic shapes").
+
+Semantics follow ORT's beam-search scorer (a port of the legacy HF
+BeamSearchScorer, which onnxruntime/contrib_ops beam_search_scorer.cc
+mirrors): log-softmax before the logits processors, length penalty divides
+by the FULL hypothesis length (prompt included, final EOS excluded), EOS
+candidates enter the finished pool only from the top `num_beams` ranks, EOS
+candidates never continue as running beams, and early_stopping=0 keeps
+searching until the worst finished score can no longer be beaten
+(best running logprob sum / cur_len^penalty). The tests gate this against an
+independent torch implementation of that algorithm plus HF `generate` for
+the greedy path.
+
+Reference surface: the reference's product is running published exports
+end-to-end (/root/reference/crates/lele-build/src/lib.rs:72-135); these ops
+are the graph form ORT publishes generative models in.
+
+Supported here: model_type=0 (GPT: decoder-only subgraph with inputs
+input_ids, position_ids, attention_mask, past_* and outputs logits,
+present_*). T5/Whisper (model_type 1/2, encoder + init_decoder subgraphs)
+are refused loudly. max_length / num_beams / num_return_sequences are
+shape-determining and must be trace-time static (graph initializers —
+published search exports carry them as runtime inputs, which a static-shape
+TPU program cannot honor; bind them at compile time).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+
+from .registry import OpContext, op, static_ints
+
+NEG = -1e30  # finite -inf stand-in: keeps where()-arithmetic NaN-free
+
+
+# --------------------------------------------------------------- subgraph io
+
+
+def _decoder_io(g, what: str):
+    ins = [vi.name for vi in g.input]
+    outs = [vi.name for vi in g.output]
+    if len(ins) < 3:
+        raise ValueError(
+            f"{what}: decoder subgraph must declare at least (input_ids, "
+            f"position_ids, attention_mask) inputs, got {ins}"
+        )
+    n_past = len(ins) - 3
+    if len(outs) != 1 + n_past:
+        raise ValueError(
+            f"{what}: decoder subgraph declares {n_past} past inputs but "
+            f"{len(outs) - 1} present outputs — they must pair positionally"
+        )
+    return ins, outs, n_past
+
+
+def _run_decoder(ctx: OpContext, g, feeds: dict, tag: str):
+    """Trace the decoder subgraph once with the given input bindings.
+
+    The scope is the same for every walk of one search node, so the
+    subgraph's initializers hoist to ONE set of runtime params shared by
+    the prefill trace and the in-scan step trace."""
+    if ctx.tracer is None or ctx.state is None:
+        raise RuntimeError(
+            "search ops need the tracer walk state (ctx.state); they can "
+            "only run under the graph tracer"
+        )
+    env: dict[str, Any] = {"": None}
+    env.update(feeds)
+    name = ctx.node.name if (ctx.node is not None and ctx.node.name) else tag
+    return ctx.tracer._walk_graph(ctx.state, g, env, ctx.scope + name + "/")
+
+
+# ------------------------------------------------------------- logits rules
+
+
+@dataclass
+class _SearchOpts:
+    max_length: int
+    prompt_len: int
+    eos: int
+    pad: int
+    nb: int = 1
+    nret: int = 1
+    early_stopping: bool = False
+    ngram: int = 0
+    min_length: Any = None  # jnp scalar or None
+    rep_penalty: Any = None  # jnp scalar or None
+    length_penalty: Any = None  # jnp scalar (beam only)
+    vocab_mask: Any = None  # [V] or None
+    prefix_mask: Any = None  # [B, V] or None (first step only)
+
+
+def _scatter_any(tokens, flags, vocab):
+    """tokens [R, W] i32, flags [R, W] bool → [R, vocab] bool: does any
+    flagged position hold token t?"""
+    import jax
+    import jax.numpy as jnp
+
+    def row(t, f):
+        return jnp.zeros((vocab,), jnp.int32).at[t].max(f.astype(jnp.int32))
+
+    return jax.vmap(row)(tokens, flags) > 0
+
+
+def _ngram_ban(scores, seqs, p, n):
+    """HF/ORT NoRepeatNGram: ban token t when the (n-1)-gram ending at the
+    current position p already occurred in seq[0:p) followed by t."""
+    import jax.numpy as jnp
+
+    r, vocab = scores.shape
+    ml = seqs.shape[-1]
+    w = ml - n + 1
+    if w <= 0:
+        return scores
+    if n > 1:
+        wins = jnp.stack([seqs[:, i:i + w] for i in range(n - 1)], axis=-1)
+        idx = jnp.clip(
+            p - (n - 1) + jnp.arange(n - 1, dtype=jnp.int32), 0, ml - 1
+        )
+        prefix = jnp.take(seqs, idx, axis=1)
+        match = (wins == prefix[:, None, :]).all(-1)  # [R, W]
+    else:
+        match = jnp.ones((r, w), bool)
+    # the historic n-gram [j, j+n) must lie fully inside the generated
+    # prefix [0, p); no bans before p >= n falls out of the same test
+    jvalid = jnp.arange(w, dtype=jnp.int32) + (n - 1) < p
+    nxt = seqs[:, n - 1: n - 1 + w]
+    banned = _scatter_any(nxt, match & jvalid[None, :], vocab)
+    return jnp.where(banned, jnp.asarray(NEG, scores.dtype), scores)
+
+
+def _process_scores(scores, seqs, p, opts: _SearchOpts, first: bool):
+    """The ORT logits-processor stack over [rows, V] scores (raw logits for
+    greedy/sampling, logprobs for beam — matching where ORT applies them).
+    seqs [rows, max_length] holds the tokens so far; p is the dynamic
+    current length (position the new token will take)."""
+    import jax.numpy as jnp
+
+    neg = jnp.asarray(NEG, scores.dtype)
+    if opts.rep_penalty is not None:
+        valid = jnp.broadcast_to(
+            jnp.arange(seqs.shape[-1], dtype=jnp.int32)[None, :] < p,
+            seqs.shape,
+        )
+        appeared = _scatter_any(seqs, valid, scores.shape[-1])
+        rp = opts.rep_penalty
+        pen = jnp.where(scores < 0, scores * rp, scores / rp)
+        scores = jnp.where(appeared, pen, scores)
+    if opts.ngram > 0:
+        scores = _ngram_ban(scores, seqs, p, opts.ngram)
+    if opts.vocab_mask is not None:
+        scores = jnp.where(opts.vocab_mask.astype(bool)[None, :], scores, neg)
+    if first and opts.prefix_mask is not None:
+        pm = jnp.repeat(opts.prefix_mask.astype(bool), opts.nb, axis=0)
+        scores = jnp.where(pm, scores, neg)
+    if opts.min_length is not None:
+        ban = p < opts.min_length
+        scores = scores.at[:, opts.eos].set(
+            jnp.where(ban, neg, scores[:, opts.eos])
+        )
+    return scores
+
+
+# ------------------------------------------------------ decoder step driver
+
+
+def _prefill(ctx, g, in_names, n_past, ids, mask, max_length, tag):
+    """Run the decoder at past=None over the whole prompt; return the last
+    row's logits, max_length KV buffers, the key-validity mask, and the
+    per-row logical lengths."""
+    import jax.numpy as jnp
+
+    bb, s = ids.shape
+    pos = jnp.clip(jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1, 0)
+    feeds = {in_names[0]: ids, in_names[1]: pos, in_names[2]: mask}
+    for nm in in_names[3:]:
+        feeds[nm] = None
+    outs = _run_decoder(ctx, g, feeds, tag)
+    logits = outs[0][:, -1, :].astype(jnp.float32)
+    bufs = []
+    for pr in outs[1:1 + n_past]:
+        pad = [(0, 0)] * pr.ndim
+        pad[-2] = (0, max_length - s)
+        bufs.append(jnp.pad(pr, pad))
+    key_mask = jnp.concatenate(
+        [mask.astype(jnp.int32),
+         jnp.zeros((bb, max_length - s), jnp.int32)], axis=1
+    )
+    pos0 = jnp.sum(mask.astype(jnp.int32), axis=1)  # real prompt lengths
+    return logits, bufs, key_mask, pos0
+
+
+def _decode_step(ctx, g, in_names, n_past, toks, pos_ids, key_mask, bufs,
+                 slot, tag):
+    """One static-shape decode step: feed one token per row against the full
+    buffers, write the new KV rows at `slot`, mark the slot valid."""
+    import jax
+    import jax.numpy as jnp
+
+    bb = toks.shape[0]
+    ml = key_mask.shape[1]
+    mask_t = jnp.concatenate(
+        [key_mask, jnp.ones((bb, 1), key_mask.dtype)], axis=1
+    )
+    feeds = {
+        in_names[0]: toks[:, None],
+        in_names[1]: pos_ids[:, None].astype(jnp.int32),
+        in_names[2]: mask_t,
+    }
+    for nm, b in zip(in_names[3:], bufs):
+        feeds[nm] = b
+    outs = _run_decoder(ctx, g, feeds, tag)
+    logits = outs[0][:, -1, :].astype(jnp.float32)
+    new_bufs = []
+    for pr, b in zip(outs[1:1 + n_past], bufs):
+        tail = jax.lax.slice_in_dim(pr, ml, ml + 1, axis=pr.ndim - 2)
+        new_bufs.append(
+            jax.lax.dynamic_update_slice_in_dim(
+                b, tail.astype(b.dtype), slot, axis=pr.ndim - 2
+            )
+        )
+    key_mask = key_mask.at[:, slot].set(1)
+    return logits, new_bufs, key_mask
+
+
+def _gather_rows(bufs, flat_idx):
+    """Reorder each KV buffer's batch-beam axis (axis ndim-4: [2,BB,H,L,dh]
+    stacked or [BB,H,L,dh] split layouts)."""
+    import jax.numpy as jnp
+
+    return [jnp.take(b, flat_idx, axis=b.ndim - 4) for b in bufs]
+
+
+# --------------------------------------------------------- shared front door
+
+
+def _common_setup(ctx, what, input_ids, max_length, attention_mask):
+    import jax.numpy as jnp
+
+    g = ctx.attr("decoder")
+    if g is None:
+        raise ValueError(f"{what} requires the `decoder` graph attribute")
+    model_type = int(ctx.attr("model_type", 0))
+    if model_type != 0 or ctx.attr("encoder") is not None \
+            or ctx.attr("init_decoder") is not None:
+        raise NotImplementedError(
+            f"{what}: only model_type=0 (GPT decoder-only) is supported; "
+            "T5/Whisper encoder+init_decoder forms are not implemented"
+        )
+    ml = static_ints(max_length, f"{what} max_length")[0]
+    ids = jnp.asarray(input_ids).astype(jnp.int32)
+    if ids.ndim != 2:
+        raise ValueError(f"{what}: input_ids must be [batch, seq]")
+    b, s = ids.shape
+    if s >= ml:
+        raise ValueError(
+            f"{what}: max_length ({ml}) must exceed the prompt length ({s})"
+        )
+    mask = (
+        jnp.ones((b, s), jnp.int32)
+        if attention_mask is None
+        else jnp.asarray(attention_mask).astype(jnp.int32).reshape(b, s)
+    )
+    eos = ctx.attr("eos_token_id")
+    pad = ctx.attr("pad_token_id")
+    if eos is None or pad is None:
+        raise ValueError(f"{what} requires eos_token_id and pad_token_id")
+    in_names, _, n_past = _decoder_io(g, what)
+    return g, in_names, n_past, ids, mask, ml, int(eos), int(pad)
+
+
+def _opt_scalar(v, dtype):
+    import jax.numpy as jnp
+
+    if v is None:
+        return None
+    return jnp.reshape(jnp.asarray(v), ()).astype(dtype)
+
+
+# ----------------------------------------------------- greedy and sampling
+
+
+def _simple_generate(ctx, g, in_names, n_past, ids, mask, opts: _SearchOpts,
+                     pick, tag):
+    """Shared greedy/sampling loop: pick(processed_scores, step_key) → [BB]
+    token ids. Finished rows keep emitting pad (the HF/ORT freeze rule:
+    the EOS itself is written, everything after is pad)."""
+    import jax
+    import jax.numpy as jnp
+
+    bb, s = ids.shape
+    ml = opts.max_length
+    logits0, bufs, key_mask, pos0 = _prefill(
+        ctx, g, in_names, n_past, ids, mask, ml, tag
+    )
+    seqs = jnp.full((bb, ml), opts.pad, jnp.int32).at[:, :s].set(ids)
+    done = jnp.zeros((bb,), bool)
+
+    def select(logits, seqs, done, p, first, key):
+        sc = _process_scores(logits, seqs, p, opts, first)
+        tok = pick(sc, key).astype(jnp.int32)
+        tok = jnp.where(done, opts.pad, tok)
+        seqs = seqs.at[:, p].set(tok)
+        done = done | (tok == opts.eos)
+        return tok, seqs, done
+
+    key0 = jax.random.PRNGKey(getattr(opts, "seed", 0) or 0)
+    tok, seqs, done = select(
+        logits0, seqs, done, jnp.int32(s), True, jax.random.fold_in(key0, 0)
+    )
+    steps = ml - s - 1
+    if steps > 0:
+        def body(carry, i):
+            tok, seqs, done, key_mask, bufs = carry
+            slot = jnp.int32(s) + i
+            logits, bufs, key_mask = _decode_step(
+                ctx, g, in_names, n_past, tok, pos0 + i, key_mask, bufs,
+                slot, tag,
+            )
+            tok, seqs, done = select(
+                logits, seqs, done, slot + 1, False,
+                jax.random.fold_in(key0, i + 1),
+            )
+            return (tok, seqs, done, key_mask, bufs), None
+
+        (tok, seqs, done, key_mask, bufs), _ = jax.lax.scan(
+            body, (tok, seqs, done, key_mask, bufs),
+            jnp.arange(steps, dtype=jnp.int32),
+        )
+    return seqs
+
+
+@op("GreedySearch", foldable=False, domain="com.microsoft",
+    static_args=(1,), subgraph=True)
+def greedy_search(ctx: OpContext, input_ids, max_length, min_length=None,
+                  repetition_penalty=None, vocab_mask=None,
+                  prefix_vocab_mask=None, attention_mask=None):
+    """com.microsoft::GreedySearch — argmax generation with the whole loop
+    inside one node (see module docstring for the TPU lowering)."""
+    import jax.numpy as jnp
+
+    g, in_names, n_past, ids, mask, ml, eos, pad = _common_setup(
+        ctx, "GreedySearch", input_ids, max_length, attention_mask
+    )
+    opts = _SearchOpts(
+        max_length=ml, prompt_len=ids.shape[1], eos=eos, pad=pad,
+        ngram=int(ctx.attr("no_repeat_ngram_size", 0)),
+        min_length=_opt_scalar(min_length, jnp.int32),
+        rep_penalty=_opt_scalar(repetition_penalty, jnp.float32),
+        vocab_mask=vocab_mask, prefix_mask=prefix_vocab_mask,
+    )
+    seqs = _simple_generate(
+        ctx, g, in_names, n_past, ids, mask, opts,
+        lambda sc, key: jnp.argmax(sc, axis=-1), "greedy"
+    )
+    return seqs
+
+
+@op("Sampling", foldable=False, domain="com.microsoft",
+    static_args=(1,), subgraph=True)
+def sampling(ctx: OpContext, input_ids, max_length, min_length=None,
+             repetition_penalty=None, vocab_mask=None,
+             prefix_vocab_mask=None, attention_mask=None,
+             presence_mask=None, seed=None):
+    """com.microsoft::Sampling — top-p / temperature sampling generation.
+
+    The RNG is jax.random (threefry), NOT ORT's std::mt19937, so sampled
+    sequences differ from ORT run-for-run by design; the processed
+    distribution itself (temperature → penalties → top-p filter, the HF
+    warper order ORT ports) is what the tests pin down."""
+    import jax
+    import jax.numpy as jnp
+
+    if int(ctx.attr("custom", 0)):
+        raise NotImplementedError("Sampling: custom=1 (external sampling "
+                                  "function) is not supported")
+    g, in_names, n_past, ids, mask, ml, eos, pad = _common_setup(
+        ctx, "Sampling", input_ids, max_length, attention_mask
+    )
+    temperature = float(ctx.attr("temperature", 1.0)) or 1.0
+    top_p = float(ctx.attr("top_p", 0.0))
+    filter_value = float(ctx.attr("filter_value", NEG))
+    presence_penalty = float(ctx.attr("presence_penalty", 0.0))
+    opts = _SearchOpts(
+        max_length=ml, prompt_len=ids.shape[1], eos=eos, pad=pad,
+        ngram=int(ctx.attr("no_repeat_ngram_size", 0)),
+        min_length=_opt_scalar(min_length, jnp.int32),
+        rep_penalty=_opt_scalar(repetition_penalty, jnp.float32),
+        vocab_mask=vocab_mask, prefix_mask=prefix_vocab_mask,
+    )
+    opts.seed = int(ctx.attr("seed", 0)) if seed is None else None
+    seed_dyn = None if seed is None else jnp.reshape(
+        jnp.asarray(seed), ()).astype(jnp.uint32)
+
+    def pick(sc, key):
+        sc = sc / jnp.float32(temperature)
+        if presence_penalty and presence_mask is not None:
+            sc = sc - jnp.float32(presence_penalty) * presence_mask.astype(
+                sc.dtype)
+        if top_p > 0.0:
+            srt = jnp.sort(sc, axis=-1)[:, ::-1]
+            cum = jnp.cumsum(jax.nn.softmax(srt, axis=-1), axis=-1)
+            keep = jnp.concatenate(
+                [jnp.ones((sc.shape[0], 1), bool), cum[:, :-1] < top_p],
+                axis=1,
+            )
+            thr = jnp.min(
+                jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+            )
+            sc = jnp.where(sc >= thr, sc, jnp.asarray(filter_value, sc.dtype))
+        if seed_dyn is not None:
+            key = jax.random.fold_in(key, seed_dyn)
+        return jax.random.categorical(key, sc, axis=-1)
+
+    if opts.seed is None:
+        opts.seed = 0
+    seqs = _simple_generate(
+        ctx, g, in_names, n_past, ids, mask, opts, pick, "sampling"
+    )
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out > 1 and ctx.node.output[1]:
+        raise NotImplementedError(
+            "Sampling: the filtered_logits output is not supported"
+        )
+    return seqs
+
+
+# ------------------------------------------------------------- beam search
+
+
+@op("BeamSearch", foldable=False, domain="com.microsoft",
+    static_args=(1, 3, 4), subgraph=True)
+def beam_search(ctx: OpContext, input_ids, max_length, min_length=None,
+                num_beams=None, num_return_sequences=None,
+                length_penalty=None, repetition_penalty=None,
+                vocab_mask=None, prefix_vocab_mask=None, attention_mask=None,
+                decoder_input_ids=None, logits_processor=None):
+    """com.microsoft::BeamSearch — the full beam search as one XLA program
+    (module docstring has the lowering; semantics are ORT's legacy-HF
+    scorer port, gated in tests/test_search_ops.py against an independent
+    torch implementation of that algorithm)."""
+    import jax
+    import jax.numpy as jnp
+
+    if decoder_input_ids is not None:
+        raise NotImplementedError(
+            "BeamSearch: decoder_input_ids is a T5/Whisper input "
+            "(model_type 1/2), which is not supported"
+        )
+    if logits_processor is not None and np.any(
+            np.asarray(logits_processor) != 0):
+        raise NotImplementedError(
+            "BeamSearch: logits_processor=1 (Whisper timestamp rules) is "
+            "not supported"
+        )
+    g, in_names, n_past, ids, mask, ml, eos, pad = _common_setup(
+        ctx, "BeamSearch", input_ids, max_length, attention_mask
+    )
+    if num_beams is None or num_return_sequences is None:
+        raise ValueError(
+            "BeamSearch requires num_beams and num_return_sequences"
+        )
+    nb = static_ints(num_beams, "BeamSearch num_beams")[0]
+    nret = static_ints(num_return_sequences,
+                       "BeamSearch num_return_sequences")[0]
+    if nret > nb:
+        raise ValueError(
+            f"BeamSearch: num_return_sequences ({nret}) > num_beams ({nb})"
+        )
+    b, s = ids.shape
+    bb = b * nb
+    opts = _SearchOpts(
+        max_length=ml, prompt_len=s, eos=eos, pad=pad, nb=nb, nret=nret,
+        early_stopping=bool(ctx.attr("early_stopping", 0)),
+        ngram=int(ctx.attr("no_repeat_ngram_size", 0)),
+        min_length=_opt_scalar(min_length, jnp.int32),
+        rep_penalty=_opt_scalar(repetition_penalty, jnp.float32),
+        length_penalty=(
+            jnp.float32(1.0) if length_penalty is None
+            else _opt_scalar(length_penalty, jnp.float32)
+        ),
+        vocab_mask=vocab_mask, prefix_mask=prefix_vocab_mask,
+    )
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    want_scores = n_out > 2 and bool(ctx.node.output[2])
+    if n_out > 3:
+        raise NotImplementedError(
+            "BeamSearch: Whisper cross_qk / no_speech_probs outputs are "
+            "not supported"
+        )
+
+    ids_x = jnp.repeat(ids, nb, axis=0)
+    mask_x = jnp.repeat(mask, nb, axis=0)
+    logits0, bufs, key_mask, pos0 = _prefill(
+        ctx, g, in_names, n_past, ids_x, mask_x, ml, "beam"
+    )
+    seqs = jnp.full((b, nb, ml), pad, jnp.int32).at[:, :, :s].set(
+        ids[:, None, :]
+    )
+    # HF/ORT beam-score init: only beam 0 is live at the first expansion
+    bscore = jnp.zeros((b, nb), jnp.float32).at[:, 1:].set(-1e9)
+    fseq = jnp.full((b, nb, ml), pad, jnp.int32)
+    fsc = jnp.full((b, nb), NEG, jnp.float32)
+    done = jnp.zeros((b,), bool)
+    col_ids = jnp.arange(ml, dtype=jnp.int32)
+    lp = opts.length_penalty
+
+    def select(logits, st, p, first):
+        """One scorer round at dynamic current-length p (the position the
+        chosen token takes). Returns flat next tokens + parent rows and the
+        updated (seqs, bscore, fseq, fsc, done) state."""
+        seqs, bscore, fseq, fsc, done = st
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        logp = _process_scores(logp, seqs.reshape(bb, ml), p, opts, first)
+        vocab = logp.shape[-1]
+        cand = (bscore[:, :, None] + logp.reshape(b, nb, vocab)).reshape(
+            b, nb * vocab
+        )
+        top_sc, top_ix = jax.lax.top_k(cand, 2 * nb)  # sorted desc
+        tok = (top_ix % vocab).astype(jnp.int32)
+        parent = (top_ix // vocab).astype(jnp.int32)
+        is_eos = tok == eos
+        plen = p.astype(jnp.float32)
+
+        # finished pool: EOS candidates ranked inside the top nb join, with
+        # the ORT/legacy-HF score = sum_logprobs / full_len^penalty (the
+        # stored hypothesis excludes the EOS; the EOS logprob is included)
+        add = is_eos & (jnp.arange(2 * nb) < nb)[None, :] & ~done[:, None]
+        cand_f = jnp.where(add, top_sc / plen ** lp, NEG)
+        pseq = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+        at_p = col_ids[None, None, :] == p
+        cand_seq = jnp.where(at_p, eos, pseq)
+        # old pool first: lax.top_k is stable, so ties keep the incumbent
+        # (the legacy scorer's strict `score > worst_score` replacement)
+        m_sc = jnp.concatenate([fsc, cand_f], axis=1)
+        m_seq = jnp.concatenate([fseq, cand_seq], axis=1)
+        new_fsc, sel = jax.lax.top_k(m_sc, nb)
+        new_fseq = jnp.take_along_axis(m_seq, sel[:, :, None], axis=1)
+
+        # running beams: best nb non-EOS continuations, in rank order
+        alive = jnp.where(is_eos, NEG, top_sc)
+        a_sc, aix = jax.lax.top_k(alive, nb)
+        a_tok = jnp.take_along_axis(tok, aix, axis=1)
+        a_par = jnp.take_along_axis(parent, aix, axis=1)
+        new_seqs = jnp.where(
+            at_p, a_tok[:, :, None],
+            jnp.take_along_axis(seqs, a_par[:, :, None], axis=1),
+        )
+
+        # done test (legacy scorer): pool full AND (early stop, or the best
+        # running sum can no longer beat the worst finished score)
+        n_fin = (new_fsc > NEG / 2).sum(axis=1)
+        worst = new_fsc[:, -1]
+        attainable = top_sc[:, 0] / plen ** lp
+        done_now = (n_fin >= nb) & (
+            jnp.asarray(True) if opts.early_stopping else (worst >= attainable)
+        )
+        keep = done[:, None]
+        out_tok = jnp.where(keep, pad, a_tok)
+        out_par = jnp.where(keep, jnp.arange(nb)[None, :], a_par)
+        st = (
+            jnp.where(keep[:, :, None], seqs, new_seqs),
+            jnp.where(keep, bscore, a_sc),
+            jnp.where(keep[:, :, None], fseq, new_fseq),
+            jnp.where(keep, fsc, new_fsc),
+            done | done_now,
+        )
+        flat_par = (
+            jnp.arange(b, dtype=jnp.int32)[:, None] * nb + out_par
+        ).reshape(bb)
+        return out_tok.reshape(bb), flat_par, st, logp.reshape(b, nb, vocab)
+
+    st = (seqs, bscore, fseq, fsc, done)
+    tok, flat_par, st, logp0 = select(logits0, st, jnp.int32(s), True)
+    bufs = _gather_rows(bufs, flat_par)
+    steps = ml - s - 1
+    ys = None
+    if steps > 0:
+        def body(carry, i):
+            tok, st, key_mask, bufs = carry
+            slot = jnp.int32(s) + i
+            logits, bufs, key_mask = _decode_step(
+                ctx, g, in_names, n_past, tok, pos0 + i, key_mask, bufs,
+                slot, "beam",
+            )
+            tok, flat_par, st, logp = select(logits, st, slot + 1, False)
+            bufs = _gather_rows(bufs, flat_par)
+            return (tok, st, key_mask, bufs), (logp if want_scores else None)
+
+        (tok, st, key_mask, bufs), ys = jax.lax.scan(
+            body, (tok, st, key_mask, bufs),
+            jnp.arange(steps, dtype=jnp.int32),
+        )
+    seqs, bscore, fseq, fsc, done = st
+
+    # finalize (legacy scorer): batches that never went done contribute all
+    # running beams at full length; then the best nret hypotheses win
+    alive_f = jnp.where(done[:, None], NEG, bscore / jnp.float32(ml) ** lp)
+    m_sc = jnp.concatenate([fsc, alive_f], axis=1)
+    m_seq = jnp.concatenate([fseq, seqs], axis=1)
+    fin_sc, sel = jax.lax.top_k(m_sc, nb)
+    fin_seq = jnp.take_along_axis(m_seq, sel[:, :, None], axis=1)
+    sequences = fin_seq[:, :nret]
+    sequences_scores = fin_sc[:, :nret]
+
+    if n_out <= 1:
+        return sequences
+    outs = [sequences, sequences_scores]
+    if n_out > 2:
+        if want_scores:
+            scores = (
+                jnp.concatenate([logp0[None], ys], axis=0)
+                if ys is not None else logp0[None]
+            )
+        else:
+            scores = jnp.zeros((0,), jnp.float32)
+        outs.append(scores)
+    return tuple(outs[:n_out])

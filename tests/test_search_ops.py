@@ -1,0 +1,452 @@
+"""com.microsoft search ops (BeamSearch / GreedySearch / Sampling) on the
+GPT export form: a tiny HF GPT-2's weights are packed into the
+convert_generation.py decoder-subgraph contract (contrib Attention with
+stacked past, FastGelu MLP), the whole search node compiles to ONE XLA
+program, and outputs are gated against:
+
+- HF `transformers.generate` for greedy (its semantics are unchanged since
+  the version ORT ported), and
+- an INDEPENDENT torch implementation of ORT's beam-search scorer (the
+  legacy-HF algorithm onnxruntime/contrib_ops beam_search_scorer.cc ports:
+  full-length length penalty, top-num_beams EOS pool admission, strict
+  worst-score replacement, early_stopping=False attainability test) —
+  modern HF changed these rules (generated-length penalty), so HF
+  `generate` is NOT the oracle for beam.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from lele_tpu.compiler import compile_model  # noqa: E402
+from lele_tpu.onnx import OnnxModel  # noqa: E402
+from lele_tpu.onnx.synth import (  # noqa: E402
+    build_gpt2_decoder_graph,
+    build_search_model,
+)
+
+V, D, NH, NL, NPOS = 61, 32, 2, 2, 48
+EOS, PAD = 59, 60
+NEG = -1e30
+
+
+@pytest.fixture(scope="module")
+def gpt2():
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(7)
+    cfg = GPT2Config(
+        vocab_size=V, n_positions=NPOS, n_embd=D, n_layer=NL, n_head=NH,
+        eos_token_id=EOS, pad_token_id=PAD,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    return GPT2LMHeadModel(cfg).eval()
+
+
+def gpt2_params(m):
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    p = {
+        "wte": sd["transformer.wte.weight"],
+        "wpe": sd["transformer.wpe.weight"],
+        "lnf_g": sd["transformer.ln_f.weight"],
+        "lnf_b": sd["transformer.ln_f.bias"],
+    }
+    for i in range(NL):
+        pre = f"transformer.h.{i}."
+        p[f"ln1_g{i}"], p[f"ln1_b{i}"] = sd[pre + "ln_1.weight"], sd[pre + "ln_1.bias"]
+        p[f"attn_w{i}"], p[f"attn_b{i}"] = sd[pre + "attn.c_attn.weight"], sd[pre + "attn.c_attn.bias"]
+        p[f"proj_w{i}"], p[f"proj_b{i}"] = sd[pre + "attn.c_proj.weight"], sd[pre + "attn.c_proj.bias"]
+        p[f"ln2_g{i}"], p[f"ln2_b{i}"] = sd[pre + "ln_2.weight"], sd[pre + "ln_2.bias"]
+        p[f"fc_w{i}"], p[f"fc_b{i}"] = sd[pre + "mlp.c_fc.weight"], sd[pre + "mlp.c_fc.bias"]
+        p[f"fcp_w{i}"], p[f"fcp_b{i}"] = sd[pre + "mlp.c_proj.weight"], sd[pre + "mlp.c_proj.bias"]
+    p["lm_w"] = np.ascontiguousarray(p["wte"].T)
+    return p
+
+
+def run_search(kind, model, ids, mask=None, n_outputs=1, search=None,
+               **attrs):
+    dec = build_gpt2_decoder_graph(gpt2_params(model), NL, NH)
+    si = dict(search or {})
+    if mask is not None:
+        si["attention_mask"] = None  # marker: dynamic graph input
+    bs = build_search_model(kind, dec, ids.shape[0], ids.shape[1], si,
+                            attrs, n_outputs)
+    cm = compile_model(OnnxModel.from_bytes(bs), strict=True)
+    feeds = {"input_ids": ids}
+    if mask is not None:
+        feeds["attention_mask"] = mask
+    return cm.run_np(**feeds)
+
+
+def base_attrs(**kw):
+    a = dict(eos_token_id=EOS, pad_token_id=PAD, model_type=0)
+    a.update(kw)
+    return a
+
+
+# ---------------------------------------------- independent beam oracle
+# ORT semantics (onnxruntime beam_search_scorer.cc = legacy-HF scorer).
+
+
+def _pool_add(pool, nb, score, toks):
+    if len(pool) < nb:
+        pool.append((score, toks))
+    elif score > min(s for s, _ in pool):
+        worst = min(range(len(pool)), key=lambda i: pool[i][0])
+        pool[worst] = (score, toks)
+
+
+def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
+             min_length=None, early_stopping=False, vocab_mask=None,
+             prefix_mask=None, eos=EOS, pad=PAD):
+    import torch.nn.functional as F
+
+    B, S = ids.shape
+    BB = B * nb
+    cur = torch.from_numpy(ids.astype(np.int64)).repeat_interleave(nb, 0)
+    cmask = torch.from_numpy(mask.astype(np.int64)).repeat_interleave(nb, 0)
+    beam_scores = torch.zeros(BB)
+    for b in range(B):
+        beam_scores[b * nb + 1:(b + 1) * nb] = -1e9
+    pools = [[] for _ in range(B)]
+    done = [False] * B
+    while cur.shape[1] < ml:
+        p = cur.shape[1]
+        posi = (cmask.cumsum(-1) - 1).clamp(min=0)
+        with torch.no_grad():
+            logits = model(input_ids=cur, attention_mask=cmask,
+                           position_ids=posi).logits[:, -1, :].float()
+        logp = F.log_softmax(logits, -1)
+        if rp:
+            for r in range(BB):
+                for t in set(cur[r].tolist()):
+                    v = float(logp[r, t])
+                    logp[r, t] = v * rp if v < 0 else v / rp
+        if ngram:
+            for r in range(BB):
+                toks = cur[r].tolist()
+                if p >= ngram:
+                    prefix = tuple(toks[p - ngram + 1:])
+                    for j in range(p - ngram + 1):
+                        if tuple(toks[j:j + ngram - 1]) == prefix:
+                            logp[r, toks[j + ngram - 1]] = NEG
+        if vocab_mask is not None:
+            logp[:, torch.from_numpy(vocab_mask == 0)] = NEG
+        if prefix_mask is not None and p == S:
+            for r in range(BB):
+                logp[r, torch.from_numpy(prefix_mask[r // nb] == 0)] = NEG
+        if min_length is not None and p < min_length:
+            logp[:, eos] = NEG
+        cand = (beam_scores.view(B, nb, 1) + logp.view(B, nb, V)).view(
+            B, nb * V)
+        top_sc, top_ix = cand.topk(2 * nb, -1)
+        rows, scores = [], []
+        for b in range(B):
+            if done[b]:
+                for j in range(nb):
+                    rows.append(torch.cat(
+                        [cur[b * nb + j], torch.tensor([pad])]))
+                    scores.append(float(beam_scores[b * nb + j]))
+                continue
+            alive = []
+            for r in range(2 * nb):
+                tok = int(top_ix[b, r]) % V
+                par = int(top_ix[b, r]) // V
+                sc = float(top_sc[b, r])
+                if tok == eos:
+                    if r < nb:
+                        _pool_add(pools[b], nb, sc / p ** lp,
+                                  cur[b * nb + par].tolist())
+                elif len(alive) < nb:
+                    alive.append((sc, par, tok))
+            assert len(alive) == nb, "ran out of running beams"
+            if len(pools[b]) == nb:
+                worst = min(s for s, _ in pools[b])
+                if early_stopping or worst >= float(top_sc[b, 0]) / p ** lp:
+                    done[b] = True
+            for sc, par, tok in alive:
+                rows.append(torch.cat(
+                    [cur[b * nb + par], torch.tensor([tok])]))
+                scores.append(sc)
+        cur = torch.stack(rows)
+        beam_scores = torch.tensor(scores)
+        cmask = torch.cat(
+            [cmask, torch.ones(BB, 1, dtype=cmask.dtype)], 1)
+    for b in range(B):
+        if not done[b]:
+            for j in range(nb):
+                _pool_add(pools[b], nb,
+                          float(beam_scores[b * nb + j]) / ml ** lp,
+                          cur[b * nb + j].tolist())
+    seq = np.full((B, nret, ml), pad, np.int64)
+    sco = np.zeros((B, nret), np.float64)
+    for b in range(B):
+        best = sorted(pools[b], key=lambda x: -x[0])[:nret]
+        assert len(best) == nret
+        for j, (s0, toks) in enumerate(best):
+            seq[b, j, :len(toks)] = toks
+            if len(toks) < ml:
+                seq[b, j, len(toks)] = eos
+            sco[b, j] = s0
+    return seq, sco
+
+
+def eos_boosted(model):
+    """A copy whose EOS logit tracks the most likely token (so EOS lands in
+    top beams without dominating) — the finished-pool path gets exercised
+    deterministically."""
+    m = copy.deepcopy(model)
+    with torch.no_grad():
+        ids = torch.arange(5).view(1, 5) % (V - 2)
+        top = int(m(input_ids=ids).logits[0, -1].argmax())
+        w = m.lm_head.weight  # tied to wte
+        w[EOS] = w[top] + 0.01 * torch.randn_like(w[top])
+    return m
+
+
+# ------------------------------------------------------------------ greedy
+
+
+def test_greedy_matches_hf(gpt2):
+    rng = np.random.default_rng(0)
+    B, S, ML = 3, 5, 16
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    (seq,) = run_search(
+        "GreedySearch", gpt2, ids,
+        search={"max_length": np.asarray([ML], np.int32)},
+        **base_attrs(),
+    )
+    hf = gpt2.generate(
+        torch.from_numpy(ids.astype(np.int64)), max_length=ML,
+        do_sample=False, num_beams=1, eos_token_id=EOS, pad_token_id=PAD,
+    ).numpy()
+    assert seq.shape == (B, ML)
+    np.testing.assert_array_equal(seq[:, :hf.shape[1]], hf)
+    assert (seq[:, hf.shape[1]:] == PAD).all()
+
+
+def test_greedy_eos_and_left_padding(gpt2):
+    rng = np.random.default_rng(1)
+    B, S, ML = 3, 6, 18
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    ids[0, :2], mask[0, :2] = PAD, 0  # left-padded shorter prompt
+    ids[2, :3], mask[2, :3] = PAD, 0
+    ids_t = torch.from_numpy(ids.astype(np.int64))
+    mask_t = torch.from_numpy(mask.astype(np.int64))
+    # adaptive EOS: a token row 0 actually generates mid-way, so the EOS
+    # stop/pad path is exercised deterministically on a real argmax
+    plain = gpt2.generate(ids_t, attention_mask=mask_t, max_length=ML,
+                          do_sample=False, num_beams=1, eos_token_id=None,
+                          pad_token_id=PAD).numpy()
+    eos = int(plain[0, S + 3])
+    assert eos != PAD
+    (seq,) = run_search(
+        "GreedySearch", gpt2, ids, mask=mask,
+        search={"max_length": np.asarray([ML], np.int32)},
+        **base_attrs(eos_token_id=eos),
+    )
+    hf = gpt2.generate(
+        ids_t, attention_mask=mask_t,
+        max_length=ML, do_sample=False, num_beams=1,
+        eos_token_id=eos, pad_token_id=PAD,
+    ).numpy()
+    assert (hf == eos).any(), "EOS path not exercised"
+    np.testing.assert_array_equal(seq[:, :hf.shape[1]], hf)
+    assert (seq[:, hf.shape[1]:] == PAD).all()
+
+
+def test_greedy_processors_match_hf(gpt2):
+    rng = np.random.default_rng(2)
+    B, S, ML = 2, 4, 14
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    (seq,) = run_search(
+        "GreedySearch", gpt2, ids,
+        search={
+            "max_length": np.asarray([ML], np.int32),
+            "min_length": np.asarray([8], np.int32),
+            "repetition_penalty": np.asarray([1.3], np.float32),
+        },
+        **base_attrs(no_repeat_ngram_size=2),
+    )
+    hf = gpt2.generate(
+        torch.from_numpy(ids.astype(np.int64)), max_length=ML,
+        do_sample=False, num_beams=1, eos_token_id=EOS, pad_token_id=PAD,
+        repetition_penalty=1.3, no_repeat_ngram_size=2, min_length=8,
+    ).numpy()
+    np.testing.assert_array_equal(seq[:, :hf.shape[1]], hf)
+
+
+def test_greedy_vocab_mask(gpt2):
+    rng = np.random.default_rng(3)
+    B, S, ML = 2, 4, 10
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    (plain,) = run_search(
+        "GreedySearch", gpt2, ids,
+        search={"max_length": np.asarray([ML], np.int32)}, **base_attrs(),
+    )
+    banned = int(plain[0, S])  # the token greedy would pick first
+    vm = np.ones((V,), np.int32)
+    vm[banned] = 0
+    (seq,) = run_search(
+        "GreedySearch", gpt2, ids,
+        search={"max_length": np.asarray([ML], np.int32), "vocab_mask": vm},
+        **base_attrs(),
+    )
+    assert (seq[:, S:] != banned).all()
+    assert seq[0, S] != plain[0, S]
+
+
+# -------------------------------------------------------------------- beam
+
+
+def _beam_case(model, ids, mask, ml, nb, nret, n_outputs=2, **kw):
+    search = {
+        "max_length": np.asarray([ml], np.int32),
+        "num_beams": np.asarray([nb], np.int32),
+        "num_return_sequences": np.asarray([nret], np.int32),
+    }
+    attrs = base_attrs()
+    if "lp" in kw:
+        search["length_penalty"] = np.asarray([kw["lp"]], np.float32)
+    if "rp" in kw:
+        search["repetition_penalty"] = np.asarray([kw["rp"]], np.float32)
+    if "min_length" in kw:
+        search["min_length"] = np.asarray([kw["min_length"]], np.int32)
+    if "vocab_mask" in kw:
+        search["vocab_mask"] = kw["vocab_mask"]
+    if "prefix_mask" in kw:
+        search["prefix_vocab_mask"] = kw["prefix_mask"]
+    if "ngram" in kw:
+        attrs["no_repeat_ngram_size"] = kw["ngram"]
+    if kw.get("early_stopping"):
+        attrs["early_stopping"] = 1
+    outs = run_search("BeamSearch", model, ids, mask=mask,
+                      n_outputs=n_outputs, search=search, **attrs)
+    ref_seq, ref_sco = ref_beam(
+        model, ids, mask, ml, nb, nret,
+        lp=kw.get("lp", 1.0), rp=kw.get("rp"), ngram=kw.get("ngram", 0),
+        min_length=kw.get("min_length"),
+        early_stopping=kw.get("early_stopping", False),
+        vocab_mask=kw.get("vocab_mask"), prefix_mask=kw.get("prefix_mask"),
+    )
+    np.testing.assert_array_equal(np.asarray(outs[0], np.int64), ref_seq)
+    np.testing.assert_allclose(outs[1], ref_sco, atol=2e-3)
+    return outs, ref_seq
+
+
+def test_beam_basic(gpt2):
+    rng = np.random.default_rng(4)
+    B, S, ML, nb = 2, 4, 14, 3
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    _beam_case(gpt2, ids, mask, ML, nb, nret=2)
+
+
+def test_beam_eos_pool_and_early_stopping(gpt2):
+    m = eos_boosted(gpt2)
+    rng = np.random.default_rng(5)
+    B, S, ML, nb = 2, 4, 16, 3
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    (outs, ref_seq) = _beam_case(m, ids, mask, ML, nb, nret=3)
+    # the finished pool must actually have been used
+    gen = ref_seq[:, :, S:]
+    assert (gen == EOS).any(), "EOS never entered the pool — weak test"
+    _beam_case(m, ids, mask, ML, nb, nret=2, early_stopping=True)
+
+
+def test_beam_length_penalty_and_processors(gpt2):
+    m = eos_boosted(gpt2)
+    rng = np.random.default_rng(6)
+    B, S, ML, nb = 2, 4, 15, 3
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    _beam_case(m, ids, mask, ML, nb, nret=2, lp=2.0, rp=1.2, ngram=2)
+    _beam_case(m, ids, mask, ML, nb, nret=2, lp=0.5, min_length=9)
+
+
+def test_beam_left_padding_and_prefix_mask(gpt2):
+    rng = np.random.default_rng(7)
+    B, S, ML, nb = 2, 5, 13, 2
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    ids[1, :2], mask[1, :2] = PAD, 0
+    pm = np.ones((B, V), np.int32)
+    pm[0, ::2] = 0  # batch 0 can only open with odd tokens
+    _beam_case(gpt2, ids, mask, ML, nb, nret=2, prefix_mask=pm)
+
+
+def test_beam_scores_output(gpt2):
+    rng = np.random.default_rng(8)
+    B, S, ML, nb = 2, 4, 9, 2
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    outs, _ = _beam_case(gpt2, ids, mask, ML, nb, nret=2, n_outputs=3)
+    scores = outs[2]
+    assert scores.shape == (ML - S, B, nb, V)
+    # first step = processed logprobs of the prompt's last position
+    with torch.no_grad():
+        logits = gpt2(
+            input_ids=torch.from_numpy(ids.astype(np.int64))
+        ).logits[:, -1, :].float()
+    want = torch.log_softmax(logits, -1).numpy()
+    np.testing.assert_allclose(scores[0][:, 0, :], want, atol=2e-4)
+
+
+# --------------------------------------------------------------- sampling
+
+
+def test_sampling_top_p_collapses_to_greedy(gpt2):
+    rng = np.random.default_rng(9)
+    B, S, ML = 2, 4, 12
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    (greedy,) = run_search(
+        "GreedySearch", gpt2, ids,
+        search={"max_length": np.asarray([ML], np.int32)}, **base_attrs(),
+    )
+    (seq,) = run_search(
+        "Sampling", gpt2, ids,
+        search={"max_length": np.asarray([ML], np.int32)},
+        **base_attrs(top_p=1e-4, temperature=1.0, seed=3),
+    )
+    np.testing.assert_array_equal(seq, greedy)
+
+
+def test_sampling_is_seeded_and_varies(gpt2):
+    rng = np.random.default_rng(10)
+    B, S, ML = 2, 4, 14
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+
+    def go(seed):
+        (s,) = run_search(
+            "Sampling", gpt2, ids,
+            search={"max_length": np.asarray([ML], np.int32)},
+            **base_attrs(temperature=1.5, seed=seed),
+        )
+        return s
+
+    a, b_, a2 = go(1), go(2), go(1)
+    np.testing.assert_array_equal(a, a2)  # deterministic per seed
+    assert (a != b_).any()  # different seed → different rollout
+    assert (a < V).all() and (a >= 0).all()
+
+
+# ------------------------------------------------------------- error paths
+
+
+def test_search_refusals(gpt2):
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, V - 2, (1, 4)).astype(np.int32)
+    with pytest.raises(Exception, match="model_type"):
+        run_search("GreedySearch", gpt2, ids,
+                   search={"max_length": np.asarray([8], np.int32)},
+                   **base_attrs(model_type=1))
+    with pytest.raises(Exception, match="max_length"):
+        run_search("GreedySearch", gpt2, ids,
+                   search={"max_length": np.asarray([3], np.int32)},
+                   **base_attrs())
