@@ -492,13 +492,16 @@ SEARCH_INPUT_ORDER = {
 }
 
 
-def build_search_model(kind: str, decoder_graph, b: int, s: int,
+def build_search_model(kind: str, decoder_graph, input_shape,
                        search_inits: dict, attrs: dict,
-                       n_outputs: int = 1) -> bytes:
-    """A top-level one-node search model: dynamic inputs input_ids [b,s] and
-    (when present in search_inits=None marker 'attention_mask') mask; every
+                       n_outputs: int = 1, input_dtype: int = 6,
+                       mask_shape=None) -> bytes:
+    """A top-level one-node search model: dynamic inputs input_ids (i32
+    tokens for GPT/T5, float features for Whisper — input_dtype) and (when
+    search_inits marks 'attention_mask' with None) a mask input; every
     scalar search parameter rides as an initializer (trace-time static —
-    the TPU contract for shape-determining values)."""
+    the TPU contract for shape-determining values). Extra subgraphs
+    (encoder=...) ride in `attrs`."""
     order = SEARCH_INPUT_ORDER[kind]
     names = []
     for nm in order:
@@ -516,10 +519,11 @@ def build_search_model(kind: str, decoder_graph, b: int, s: int,
     out_names = ["sequences", "sequences_scores", "scores"][:n_outputs]
     node = ob.node(kind, names, out_names, domain="com.microsoft",
                    decoder=decoder_graph, **attrs)
-    inputs = [ob.value_info("input_ids", 6, [b, s])]
+    inputs = [ob.value_info("input_ids", input_dtype, list(input_shape))]
     if "attention_mask" in search_inits and \
             search_inits["attention_mask"] is None:
-        inputs.append(ob.value_info("attention_mask", 6, [b, s]))
+        inputs.append(ob.value_info(
+            "attention_mask", 6, list(mask_shape or input_shape)))
     inits = [
         ob.tensor_from_array(np.asarray(v), k)
         for k, v in search_inits.items()
@@ -533,3 +537,145 @@ def build_search_model(kind: str, decoder_graph, b: int, s: int,
     return ob.serialize(ob.model(ob.graph(
         [node], f"{kind.lower()}_model", inputs, out_vis, inits,
     ), opset=17))
+
+
+def build_whisper_search_graphs(p, n_layer: int, n_head: int, s0: int,
+                                eps: float = 1e-5):
+    """(encoder_decoder_init, decoder-step) GraphProto dicts in the ORT
+    Whisper/T5 two-graph BeamSearch form: the init graph runs the encoder
+    AND the first decoder pass on decoder_input_ids, emitting logits +
+    present_*_self + present_*_cross; the step graph consumes
+    past_sequence_length (ORT's DecoderMasked static-buffer contract — the
+    position source that does NOT read buffer capacity via Shape) plus the
+    name-paired past tensors. Params (numpy): We [F,D], be; emb [V,D],
+    emb_T [D,V], pos [P,D]; per layer i: ln{1,2,3}_{g,b}{i}, s{q,k,v,o}_w/b
+    (self), c{q,k,v,o}_w/b (cross, k bias-less like Whisper), f1_w/b,
+    f2_w/b; lnf_{g,b}. Pre-LN blocks, FastGelu MLP, tied lm head."""
+    d = p["emb"].shape[1]
+    dh = d // n_head
+    shp = np.asarray([0, 0, n_head, dh], np.int64)
+
+    def blocks(n, x, tag, self_kv, cross_kv, causal):
+        """Shared decoder stack; self_kv/cross_kv map layer→(k,v) input
+        names (None → compute in-graph / no past)."""
+        for i in range(n_layer):
+            n("LayerNormalization", [x, f"ln1_g{i}", f"ln1_b{i}"],
+              [f"{tag}h{i}"], epsilon=eps)
+            for w in ("q", "k", "v"):
+                n("MatMul", [f"{tag}h{i}", f"s{w}_w{i}"], [f"{tag}s{w}m{i}"])
+                n("Add", [f"{tag}s{w}m{i}", f"s{w}_b{i}"], [f"{tag}s{w}{i}"])
+            past = self_kv(i)
+            ins = [f"{tag}sq{i}", f"{tag}sk{i}", f"{tag}sv{i}", "", "", ""]
+            if past:
+                ins += list(past)
+            n("MultiHeadAttention", ins,
+              [f"{tag}sa{i}", f"present_key_self_{i}",
+               f"present_value_self_{i}"],
+              domain="com.microsoft", num_heads=n_head,
+              unidirectional=1 if causal else 0)
+            n("MatMul", [f"{tag}sa{i}", f"so_w{i}"], [f"{tag}som{i}"])
+            n("Add", [f"{tag}som{i}", f"so_b{i}"], [f"{tag}so{i}"])
+            n("Add", [x, f"{tag}so{i}"], [f"{tag}x1_{i}"])
+            n("LayerNormalization", [f"{tag}x1_{i}", f"ln2_g{i}",
+                                     f"ln2_b{i}"], [f"{tag}h2_{i}"],
+              epsilon=eps)
+            n("MatMul", [f"{tag}h2_{i}", f"cq_w{i}"], [f"{tag}cqm{i}"])
+            n("Add", [f"{tag}cqm{i}", f"cq_b{i}"], [f"{tag}cq{i}"])
+            ck, cv = cross_kv(i)
+            n("MultiHeadAttention", [f"{tag}cq{i}", ck, cv],
+              [f"{tag}ca{i}"], domain="com.microsoft", num_heads=n_head)
+            n("MatMul", [f"{tag}ca{i}", f"co_w{i}"], [f"{tag}com{i}"])
+            n("Add", [f"{tag}com{i}", f"co_b{i}"], [f"{tag}co{i}"])
+            n("Add", [f"{tag}x1_{i}", f"{tag}co{i}"], [f"{tag}x2_{i}"])
+            n("LayerNormalization", [f"{tag}x2_{i}", f"ln3_g{i}",
+                                     f"ln3_b{i}"], [f"{tag}h3_{i}"],
+              epsilon=eps)
+            n("MatMul", [f"{tag}h3_{i}", f"f1_w{i}"], [f"{tag}f1_{i}"])
+            n("FastGelu", [f"{tag}f1_{i}", f"f1_b{i}"], [f"{tag}g{i}"],
+              domain="com.microsoft")
+            n("MatMul", [f"{tag}g{i}", f"f2_w{i}"], [f"{tag}f2m{i}"])
+            n("Add", [f"{tag}f2m{i}", f"f2_b{i}"], [f"{tag}f2b{i}"])
+            n("Add", [f"{tag}x2_{i}", f"{tag}f2b{i}"], [f"{tag}x3_{i}"])
+            x = f"{tag}x3_{i}"
+        n("LayerNormalization", [x, "lnf_g", "lnf_b"], [f"{tag}hf"],
+          epsilon=eps)
+        n("MatMul", [f"{tag}hf", "emb_T"], ["logits"])
+
+    inits = [ob.tensor_from_array(np.asarray(v, np.float32), k)
+             for k, v in p.items()]
+    inits.append(ob.tensor_from_array(shp, "shp"))
+    inits_enc = inits + [
+        ob.tensor_from_array(p["pos"][:s0].astype(np.float32), "pos0")
+    ]
+
+    # ---------- encoder_decoder_init
+    nodes = []
+
+    def n(*a, **kw):
+        nodes.append(ob.node(*a, **kw))
+
+    n("Transpose", ["input_features"], ["ft"], perm=[0, 2, 1])
+    n("MatMul", ["ft", "We"], ["em"])
+    n("Add", ["em", "be"], ["ea"])
+    n("Tanh", ["ea"], ["encoder_hidden_states"])
+    for i in range(n_layer):
+        for w, bias in (("k", False), ("v", True)):
+            src = "encoder_hidden_states"
+            n("MatMul", [src, f"c{w}_w{i}"], [f"x{w}m{i}"])
+            if bias:
+                n("Add", [f"x{w}m{i}", f"c{w}_b{i}"], [f"x{w}a{i}"])
+            flat = f"x{w}a{i}" if bias else f"x{w}m{i}"
+            n("Reshape", [flat, "shp"], [f"x{w}r{i}"])
+            n("Transpose", [f"x{w}r{i}"], [f"present_{'key' if w == 'k' else 'value'}_cross_{i}"],
+              perm=[0, 2, 1, 3])
+    n("Gather", ["emb", "decoder_input_ids"], ["de"])
+    n("Add", ["de", "pos0"], ["dx"])
+    blocks(n, "dx", "d",
+           self_kv=lambda i: None,
+           cross_kv=lambda i: (f"present_key_cross_{i}",
+                               f"present_value_cross_{i}"),
+           causal=True)
+    outs = ["logits", "encoder_hidden_states"]
+    for i in range(n_layer):
+        outs += [f"present_key_self_{i}", f"present_value_self_{i}"]
+    for i in range(n_layer):
+        outs += [f"present_key_cross_{i}", f"present_value_cross_{i}"]
+    enc_graph = ob.graph(
+        nodes, "encoder_decoder_init",
+        [ob.value_info("input_features", 1, ["b", "F", "T"]),
+         ob.value_info("decoder_input_ids", 6, ["b", s0])],
+        [ob.value_info(o, 1, []) for o in outs],
+        inits_enc,
+    )
+
+    # ---------- decoder step
+    nodes = []
+    n("Gather", ["emb", "input_ids"], ["de"])
+    n("Gather", ["pos", "past_sequence_length"], ["pe"])
+    n("Add", ["de", "pe"], ["dx"])
+    blocks(n, "dx", "d",
+           self_kv=lambda i: (f"past_key_self_{i}", f"past_value_self_{i}"),
+           cross_kv=lambda i: (f"past_key_cross_{i}",
+                               f"past_value_cross_{i}"),
+           causal=False)
+    outs = ["logits"]
+    for i in range(n_layer):
+        outs += [f"present_key_self_{i}", f"present_value_self_{i}"]
+    dec_inputs = [
+        ob.value_info("input_ids", 6, ["b", 1]),
+        ob.value_info("past_sequence_length", 6, [1]),
+    ]
+    for i in range(n_layer):
+        dec_inputs += [
+            ob.value_info(f"past_key_self_{i}", 1, ["b", n_head, "p", dh]),
+            ob.value_info(f"past_value_self_{i}", 1, ["b", n_head, "p", dh]),
+            ob.value_info(f"past_key_cross_{i}", 1, ["b", n_head, "T", dh]),
+            ob.value_info(f"past_value_cross_{i}", 1,
+                          ["b", n_head, "T", dh]),
+        ]
+    dec_graph = ob.graph(
+        nodes, "decoder_step", dec_inputs,
+        [ob.value_info(o, 1, []) for o in outs],
+        inits,
+    )
+    return enc_graph, dec_graph

@@ -73,8 +73,7 @@ def run_search(kind, model, ids, mask=None, n_outputs=1, search=None,
     si = dict(search or {})
     if mask is not None:
         si["attention_mask"] = None  # marker: dynamic graph input
-    bs = build_search_model(kind, dec, ids.shape[0], ids.shape[1], si,
-                            attrs, n_outputs)
+    bs = build_search_model(kind, dec, ids.shape, si, attrs, n_outputs)
     cm = compile_model(OnnxModel.from_bytes(bs), strict=True)
     feeds = {"input_ids": ids}
     if mask is not None:
@@ -100,9 +99,21 @@ def _pool_add(pool, nb, score, toks):
         pool[worst] = (score, toks)
 
 
-def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
+def gpt_logits_fn(model):
+    """logits_fn over a HF causal LM: full-prefix recompute with the mask-
+    derived position_ids (the left-padding convention)."""
+    def fn(cur, cmask):
+        posi = (cmask.cumsum(-1) - 1).clamp(min=0)
+        with torch.no_grad():
+            return model(input_ids=cur, attention_mask=cmask,
+                         position_ids=posi).logits[:, -1, :].float()
+
+    return fn
+
+
+def ref_beam(logits_fn, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
              min_length=None, early_stopping=False, vocab_mask=None,
-             prefix_mask=None, eos=EOS, pad=PAD):
+             prefix_mask=None, eos=EOS, pad=PAD, pool_stats=None):
     import torch.nn.functional as F
 
     B, S = ids.shape
@@ -116,10 +127,7 @@ def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
     done = [False] * B
     while cur.shape[1] < ml:
         p = cur.shape[1]
-        posi = (cmask.cumsum(-1) - 1).clamp(min=0)
-        with torch.no_grad():
-            logits = model(input_ids=cur, attention_mask=cmask,
-                           position_ids=posi).logits[:, -1, :].float()
+        logits = logits_fn(cur, cmask)
         logp = F.log_softmax(logits, -1)
         if rp:
             for r in range(BB):
@@ -141,8 +149,9 @@ def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
                 logp[r, torch.from_numpy(prefix_mask[r // nb] == 0)] = NEG
         if min_length is not None and p < min_length:
             logp[:, eos] = NEG
-        cand = (beam_scores.view(B, nb, 1) + logp.view(B, nb, V)).view(
-            B, nb * V)
+        vocab = logp.shape[-1]
+        cand = (beam_scores.view(B, nb, 1)
+                + logp.view(B, nb, vocab)).view(B, nb * vocab)
         top_sc, top_ix = cand.topk(2 * nb, -1)
         rows, scores = [], []
         for b in range(B):
@@ -154,8 +163,8 @@ def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
                 continue
             alive = []
             for r in range(2 * nb):
-                tok = int(top_ix[b, r]) % V
-                par = int(top_ix[b, r]) // V
+                tok = int(top_ix[b, r]) % vocab
+                par = int(top_ix[b, r]) // vocab
                 sc = float(top_sc[b, r])
                 if tok == eos:
                     if r < nb:
@@ -184,6 +193,8 @@ def ref_beam(model, ids, mask, ml, nb, nret, lp=1.0, rp=None, ngram=0,
                           cur[b * nb + j].tolist())
     seq = np.full((B, nret, ml), pad, np.int64)
     sco = np.zeros((B, nret), np.float64)
+    if pool_stats is not None:
+        pool_stats["n"] = sum(len(p_) for p_ in pools)
     for b in range(B):
         best = sorted(pools[b], key=lambda x: -x[0])[:nret]
         assert len(best) == nret
@@ -328,7 +339,7 @@ def _beam_case(model, ids, mask, ml, nb, nret, n_outputs=2, **kw):
     outs = run_search("BeamSearch", model, ids, mask=mask,
                       n_outputs=n_outputs, search=search, **attrs)
     ref_seq, ref_sco = ref_beam(
-        model, ids, mask, ml, nb, nret,
+        gpt_logits_fn(model), ids, mask, ml, nb, nret,
         lp=kw.get("lp", 1.0), rp=kw.get("rp"), ngram=kw.get("ngram", 0),
         min_length=kw.get("min_length"),
         early_stopping=kw.get("early_stopping", False),
@@ -450,3 +461,246 @@ def test_search_refusals(gpt2):
         run_search("GreedySearch", gpt2, ids,
                    search={"max_length": np.asarray([3], np.int32)},
                    **base_attrs())
+
+
+# -------------------------------------- whisper/T5 two-graph form (mt 1/2)
+
+WF, WT, WD, WH, WL, WV, WP = 8, 6, 32, 2, 2, 53, 24
+WPAD = 51
+
+
+@pytest.fixture(scope="module")
+def whisper_params():
+    from lele_tpu.onnx.synth import build_whisper_search_graphs  # noqa: F401
+
+    rng = np.random.default_rng(21)
+
+    def w(*s):
+        return (rng.standard_normal(s) / np.sqrt(s[0])).astype(np.float32)
+
+    def b(n):
+        return (0.1 * rng.standard_normal(n)).astype(np.float32)
+
+    p = {
+        "We": w(WF, WD), "be": b(WD),
+        "emb": (rng.standard_normal((WV, WD)) * 0.5).astype(np.float32),
+        "pos": (rng.standard_normal((WP, WD)) * 0.3).astype(np.float32),
+        "lnf_g": (rng.standard_normal(WD) * 0.1 + 1).astype(np.float32),
+        "lnf_b": b(WD),
+    }
+    for i in range(WL):
+        for nm in ("ln1", "ln2", "ln3"):
+            p[f"{nm}_g{i}"] = (
+                rng.standard_normal(WD) * 0.1 + 1).astype(np.float32)
+            p[f"{nm}_b{i}"] = b(WD)
+        for nm in ("sq", "sk", "sv", "so", "cq", "cv", "co"):
+            p[f"{nm}_w{i}"] = w(WD, WD)
+            p[f"{nm}_b{i}"] = b(WD)
+        p[f"ck_w{i}"] = w(WD, WD)  # whisper cross-K has no bias
+        p[f"f1_w{i}"], p[f"f1_b{i}"] = w(WD, 2 * WD), b(2 * WD)
+        p[f"f2_w{i}"], p[f"f2_b{i}"] = w(2 * WD, WD), b(WD)
+    p["emb_T"] = np.ascontiguousarray(p["emb"].T)
+    return p
+
+
+class WhisperishOracle:
+    """Independent torch implementation of the synthetic whisper-form model
+    (full-prefix recompute — no caching, so any cache bug on the lele side
+    shows up as divergence)."""
+
+    def __init__(self, p):
+        self.p = {k: torch.from_numpy(np.asarray(v, np.float32))
+                  for k, v in p.items()}
+
+    def _ln(self, x, g, b):
+        return torch.nn.functional.layer_norm(
+            x, (WD,), self.p[g], self.p[b], eps=1e-5)
+
+    def encode(self, feats):
+        f = torch.from_numpy(np.asarray(feats, np.float32)).transpose(1, 2)
+        return torch.tanh(f @ self.p["We"] + self.p["be"])
+
+    @staticmethod
+    def _attn(q, k, v, causal):
+        bsz, tq, _ = q.shape
+        dh = WD // WH
+
+        def sh(t):
+            return t.view(bsz, -1, WH, dh).transpose(1, 2)
+
+        qh, kh, vh = sh(q), sh(k), sh(v)
+        sc = qh @ kh.transpose(-1, -2) / np.sqrt(dh)
+        if causal:
+            tkv = kh.shape[2]
+            keep = torch.tril(torch.ones(tq, tkv, dtype=torch.bool),
+                              diagonal=tkv - tq)
+            sc = sc.masked_fill(~keep, -1e9)
+        w = torch.softmax(sc, -1)
+        return (w @ vh).transpose(1, 2).reshape(bsz, tq, WD)
+
+    def logits(self, toks, enc_h):
+        pp = self.p
+        t = toks.shape[1]
+        x = pp["emb"][toks] + pp["pos"][:t]
+        for i in range(WL):
+            h = self._ln(x, f"ln1_g{i}", f"ln1_b{i}")
+            q = h @ pp[f"sq_w{i}"] + pp[f"sq_b{i}"]
+            k = h @ pp[f"sk_w{i}"] + pp[f"sk_b{i}"]
+            v = h @ pp[f"sv_w{i}"] + pp[f"sv_b{i}"]
+            x = x + self._attn(q, k, v, True) @ pp[f"so_w{i}"] \
+                + pp[f"so_b{i}"]
+            h2 = self._ln(x, f"ln2_g{i}", f"ln2_b{i}")
+            q2 = h2 @ pp[f"cq_w{i}"] + pp[f"cq_b{i}"]
+            ck = enc_h @ pp[f"ck_w{i}"]
+            cv = enc_h @ pp[f"cv_w{i}"] + pp[f"cv_b{i}"]
+            x = x + self._attn(q2, ck, cv, False) @ pp[f"co_w{i}"] \
+                + pp[f"co_b{i}"]
+            h3 = self._ln(x, f"ln3_g{i}", f"ln3_b{i}")
+            g = torch.nn.functional.gelu(
+                h3 @ pp[f"f1_w{i}"] + pp[f"f1_b{i}"], approximate="tanh")
+            x = x + g @ pp[f"f2_w{i}"] + pp[f"f2_b{i}"]
+        x = self._ln(x, "lnf_g", "lnf_b")
+        return (x @ pp["emb"].T)[:, -1, :]
+
+
+def run_whisper_search(kind, p, feats, s0, n_outputs=1, search=None,
+                       **attrs):
+    from lele_tpu.onnx.synth import build_whisper_search_graphs
+
+    enc_g, dec_g = build_whisper_search_graphs(p, WL, WH, s0)
+    bs = build_search_model(kind, dec_g, feats.shape, dict(search or {}),
+                            dict(attrs, encoder=enc_g), n_outputs,
+                            input_dtype=1)
+    cm = compile_model(OnnxModel.from_bytes(bs), strict=True)
+    return cm.run_np(input_ids=feats)
+
+
+def test_whisper_greedy(whisper_params):
+    rng = np.random.default_rng(30)
+    B, ML, SOT = 2, 10, 52
+    feats = rng.standard_normal((B, WF, WT)).astype(np.float32)
+    oracle = WhisperishOracle(whisper_params)
+    enc_h = oracle.encode(feats)
+    # adaptive EOS from an unconstrained rollout so the stop path runs
+    cur = torch.full((B, 1), SOT, dtype=torch.long)
+    roll = []
+    for _ in range(ML - 1):
+        tok = oracle.logits(cur, enc_h).argmax(-1)
+        roll.append(tok)
+        cur = torch.cat([cur, tok[:, None]], 1)
+    eos = int(roll[2][0])
+    assert eos != WPAD
+    (seq,) = run_whisper_search(
+        "GreedySearch", whisper_params, feats, 1,
+        search={"max_length": np.asarray([ML], np.int32)},
+        eos_token_id=eos, pad_token_id=WPAD, model_type=2,
+        decoder_start_token_id=SOT,
+    )
+    # oracle greedy with the same freeze rule
+    cur = torch.full((B, 1), SOT, dtype=torch.long)
+    done = np.zeros(B, bool)
+    for _ in range(ML - 1):
+        tok = oracle.logits(cur, enc_h).argmax(-1).numpy()
+        tok = np.where(done, WPAD, tok)
+        done |= tok == eos
+        cur = torch.cat([cur, torch.from_numpy(tok[:, None])], 1)
+    want = cur.numpy()
+    assert (want == eos).any(), "EOS path not exercised"
+    np.testing.assert_array_equal(np.asarray(seq, np.int64), want)
+
+
+def test_whisper_beam_forced_prefix(whisper_params):
+    rng = np.random.default_rng(31)
+    B, ML, nb, nret, SOT, LANG = 2, 11, 3, 2, 52, 7
+    feats = rng.standard_normal((B, WF, WT)).astype(np.float32)
+    start = np.tile(np.asarray([[SOT, LANG]], np.int32), (B, 1))
+    oracle = WhisperishOracle(whisper_params)
+    enc_h = oracle.encode(feats)
+    enc_bb = enc_h.repeat_interleave(nb, 0)
+    fn = lambda cur, cmask: oracle.logits(cur, enc_bb)  # noqa: E731
+    # adaptive EOS: a token the BEAM path actually takes (probe run with
+    # min_length banning every EOS), so the finished pool genuinely fills
+    probe, _ = ref_beam(fn, start, np.ones_like(start), ML, nb, 1,
+                        lp=1.3, min_length=ML, eos=0, pad=WPAD)
+    eos = int(probe[0, 0, start.shape[1] + 2])
+    assert eos != WPAD
+
+    outs = run_whisper_search(
+        "BeamSearch", whisper_params, feats, start.shape[1], n_outputs=2,
+        search={
+            "max_length": np.asarray([ML], np.int32),
+            "num_beams": np.asarray([nb], np.int32),
+            "num_return_sequences": np.asarray([nret], np.int32),
+            "length_penalty": np.asarray([1.3], np.float32),
+            "decoder_input_ids": start,
+        },
+        eos_token_id=eos, pad_token_id=WPAD, model_type=2,
+        decoder_start_token_id=SOT,
+    )
+    stats = {}
+    ref_seq, ref_sco = ref_beam(
+        fn, start, np.ones_like(start), ML, nb, nret, lp=1.3,
+        eos=eos, pad=WPAD, pool_stats=stats,
+    )
+    assert stats["n"] > 0, "EOS never entered the pool — weak test"
+    np.testing.assert_array_equal(np.asarray(outs[0], np.int64), ref_seq)
+    np.testing.assert_allclose(outs[1], ref_sco, atol=2e-3)
+
+
+def test_whisper_refusals(whisper_params):
+    rng = np.random.default_rng(32)
+    feats = rng.standard_normal((1, WF, WT)).astype(np.float32)
+    with pytest.raises(Exception, match="encoder"):
+        # model_type=2 without the encoder subgraph attribute
+        run_whisper_search.__wrapped__ if False else None
+        from lele_tpu.onnx.synth import build_whisper_search_graphs
+        _, dec_g = build_whisper_search_graphs(whisper_params, WL, WH, 1)
+        bs = build_search_model(
+            "GreedySearch", dec_g, feats.shape,
+            {"max_length": np.asarray([6], np.int32)},
+            dict(eos_token_id=50, pad_token_id=WPAD, model_type=2,
+                 decoder_start_token_id=52),
+            input_dtype=1)
+        compile_model(OnnxModel.from_bytes(bs), strict=True).run_np(
+            input_ids=feats)
+
+
+# ---------------------------------------------------------------- fuzz arm
+
+
+def test_beam_search_fuzz(gpt2):
+    """Randomized BeamSearch configs vs the independent ORT-scorer oracle:
+    beams/penalties/ngram/min-length/early-stopping/left-padding drawn per
+    trial, sequences compared token-exact (the r4 fuzzer's track record —
+    it caught a real tracer bug — says interaction bugs live here, not in
+    the hand-picked cases)."""
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        B = int(rng.integers(1, 3))
+        S = int(rng.integers(3, 6))
+        nb = int(rng.integers(2, 4))
+        nret = int(rng.integers(1, nb + 1))
+        ML = S + int(rng.integers(3, 8))
+        kw = {}
+        if rng.random() < 0.5:
+            kw["lp"] = float(rng.choice([0.5, 1.0, 1.7]))
+        if rng.random() < 0.5:
+            kw["rp"] = float(rng.choice([1.15, 1.4]))
+        if rng.random() < 0.4:
+            kw["ngram"] = int(rng.integers(1, 4))
+        if rng.random() < 0.4:
+            kw["min_length"] = S + 2
+        if rng.random() < 0.3:
+            kw["early_stopping"] = True
+        ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+        mask = np.ones((B, S), np.int32)
+        if rng.random() < 0.4 and B > 1:
+            npad = int(rng.integers(1, S - 1))
+            ids[0, :npad], mask[0, :npad] = PAD, 0
+        try:
+            _beam_case(gpt2, ids, mask, ML, nb, nret, **kw)
+        except AssertionError as e:
+            raise AssertionError(
+                f"beam fuzz trial {trial}: B={B} S={S} nb={nb} nret={nret} "
+                f"ML={ML} kw={kw}"
+            ) from e
