@@ -490,6 +490,10 @@ SEARCH_INPUT_ORDER = {
         "presence_mask", "seed",
     ],
 }
+SEARCH_INPUT_ORDER["WhisperBeamSearch"] = (
+    SEARCH_INPUT_ORDER["BeamSearch"]
+    + ["cross_qk_layer_head", "extra_decoding_ids", "temperature"]
+)
 
 
 def build_search_model(kind: str, decoder_graph, input_shape,
@@ -540,7 +544,8 @@ def build_search_model(kind: str, decoder_graph, input_shape,
 
 
 def build_whisper_search_graphs(p, n_layer: int, n_head: int, s0: int,
-                                eps: float = 1e-5):
+                                eps: float = 1e-5,
+                                masked_ops: bool = False):
     """(encoder_decoder_init, decoder-step) GraphProto dicts in the ORT
     Whisper/T5 two-graph BeamSearch form: the init graph runs the encoder
     AND the first decoder pass on decoder_input_ids, emitting logits +
@@ -565,14 +570,28 @@ def build_whisper_search_graphs(p, n_layer: int, n_head: int, s0: int,
                 n("MatMul", [f"{tag}h{i}", f"s{w}_w{i}"], [f"{tag}s{w}m{i}"])
                 n("Add", [f"{tag}s{w}m{i}", f"s{w}_b{i}"], [f"{tag}s{w}{i}"])
             past = self_kv(i)
-            ins = [f"{tag}sq{i}", f"{tag}sk{i}", f"{tag}sv{i}", "", "", ""]
-            if past:
-                ins += list(past)
-            n("MultiHeadAttention", ins,
-              [f"{tag}sa{i}", f"present_key_self_{i}",
-               f"present_value_self_{i}"],
-              domain="com.microsoft", num_heads=n_head,
-              unidirectional=1 if causal else 0)
+            if past and masked_ops:
+                # the ORT GPU generative-export form: explicit
+                # DecoderMaskedMultiHeadAttention over the share buffer,
+                # positioned by the past_sequence_length input — no
+                # injected mask needed
+                n("DecoderMaskedMultiHeadAttention",
+                  [f"{tag}sq{i}", f"{tag}sk{i}", f"{tag}sv{i}", "", "",
+                   past[0], past[1], "past_sequence_length"],
+                  [f"{tag}sa{i}", f"present_key_self_{i}",
+                   f"present_value_self_{i}"],
+                  domain="com.microsoft", num_heads=n_head,
+                  past_present_share_buffer=1)
+            else:
+                ins = [f"{tag}sq{i}", f"{tag}sk{i}", f"{tag}sv{i}",
+                       "", "", ""]
+                if past:
+                    ins += list(past)
+                n("MultiHeadAttention", ins,
+                  [f"{tag}sa{i}", f"present_key_self_{i}",
+                   f"present_value_self_{i}"],
+                  domain="com.microsoft", num_heads=n_head,
+                  unidirectional=1 if causal else 0)
             n("MatMul", [f"{tag}sa{i}", f"so_w{i}"], [f"{tag}som{i}"])
             n("Add", [f"{tag}som{i}", f"so_b{i}"], [f"{tag}so{i}"])
             n("Add", [x, f"{tag}so{i}"], [f"{tag}x1_{i}"])

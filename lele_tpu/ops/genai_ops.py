@@ -334,3 +334,173 @@ def multi_head_attention(ctx: OpContext, query, key=None, value=None,
     if n_out <= 1:
         return y
     return (y, present_key, present_value)[:n_out]
+
+
+# ---------------------------------------------------------------------------
+# DecoderMasked* — ORT's static-buffer decode attention (the form its GPU
+# generative exports carry EXPLICITLY, and the semantics the search ops
+# inject into mask-less subgraphs). past_present_share_buffer: the past IS
+# the max-length buffer; the new kv rows land at `past_sequence_length`
+# (data, not shape), and validity is global causality j <= pseq + i — the
+# buffer's unwritten tail is masked by construction. This is exactly the
+# TPU-native bucketed decode the rest of the runtime uses.
+
+
+def _dm_core(ctx, q, k, v, past_k, past_v, pseq, mask_index, rel_bias,
+             share_expected: str):
+    """Shared DecoderMasked math: q/k/v [B,H,S,dh]; past [B,H,L,dh] buffers
+    or None (cross mode: attend k/v directly, no causality)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, h, s, dh = q.shape
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale else 1.0 / float(np.sqrt(dh))
+    if past_k is not None:
+        if pseq is None:
+            raise ValueError(
+                f"{share_expected}: past_present_share_buffer form needs "
+                "the past_sequence_length input"
+            )
+        p0 = jnp.reshape(pseq, ()).astype(jnp.int32)
+        k_all = jax.lax.dynamic_update_slice(
+            past_k, k.astype(past_k.dtype), (0, 0, p0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            past_v, v.astype(past_v.dtype), (0, 0, p0, 0))
+        length = k_all.shape[2]
+        j = jnp.arange(length, dtype=jnp.int32)
+        pos = p0 + jnp.arange(s, dtype=jnp.int32)  # global query positions
+        valid = j[None, None, None, :] <= pos[None, None, :, None]
+    else:
+        k_all, v_all, valid = k, v, None
+        length = k_all.shape[2]
+    scores = jnp.einsum(
+        "bhsd,bhld->bhsl", q, k_all.astype(q.dtype),
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+        precision=_prec(),
+    ) * scale
+    if rel_bias is not None:
+        scores = scores + rel_bias.astype(scores.dtype)
+    if mask_index is not None:
+        mi = mask_index
+        if mi.ndim == 2 and mi.shape == (b, length):
+            pad_ok = mi.astype(bool)[:, None, None, :]
+            valid = pad_ok if valid is None else (valid & pad_ok)
+        else:
+            raise NotImplementedError(
+                f"{share_expected}: mask_index must be [batch, "
+                f"max_sequence_length] binary, got {tuple(mi.shape)}"
+            )
+    w = _masked_softmax(
+        scores, valid,
+        filter_value=float(ctx.attr("mask_filter_value", -10000.0)))
+    y = jnp.einsum("bhsl,bhld->bhsd", w.astype(v_all.dtype), v_all,
+                   precision=_prec())
+    y = y.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    return y, k_all, v_all
+
+
+def _dm_guards(ctx, what, cache_indirection):
+    if cache_indirection is not None:
+        raise NotImplementedError(
+            f"{what}: cache_indirection (in-kernel beam reordering) is not "
+            "supported — the search ops reorder beams by physical gather"
+        )
+    if bool(ctx.attr("do_rotary", 0)):
+        raise NotImplementedError(
+            f"{what}: do_rotary is not supported — published exports apply "
+            "com.microsoft::RotaryEmbedding as a separate node"
+        )
+    if bool(ctx.attr("output_qk", 0)):
+        raise NotImplementedError(f"{what}: output_qk is not supported")
+
+
+@op("DecoderMaskedSelfAttention", foldable=False, domain="com.microsoft")
+def decoder_masked_self_attention(ctx: OpContext, x, weights, bias=None,
+                                  mask_index=None, past=None,
+                                  relative_position_bias=None,
+                                  past_sequence_length=None,
+                                  beam_width=None, cache_indirection=None):
+    """com.microsoft::DecoderMaskedSelfAttention — fused-projection decode
+    self-attention over the shared max-length buffer (stacked past
+    [2,B,H,L,dh]); beam_width is accepted and unused (beams are physically
+    gathered upstream)."""
+    import jax.numpy as jnp
+
+    _dm_guards(ctx, "DecoderMaskedSelfAttention", cache_indirection)
+    heads = int(ctx.attr("num_heads", 0))
+    if not heads:
+        raise ValueError("DecoderMaskedSelfAttention requires num_heads")
+    if past is not None and not int(
+            ctx.attr("past_present_share_buffer", 0)):
+        raise NotImplementedError(
+            "DecoderMaskedSelfAttention: only the "
+            "past_present_share_buffer=1 form exists in ORT exports"
+        )
+    b, s, _ = x.shape
+    qkv = jnp.matmul(x, weights, precision=_prec())
+    if bias is not None:
+        qkv = qkv + bias
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_bhsd(t, heads) for t in (q, k, v))
+    y, k_all, v_all = _dm_core(
+        ctx, q, k, v,
+        past[0] if past is not None else None,
+        past[1] if past is not None else None,
+        past_sequence_length, mask_index, relative_position_bias,
+        "DecoderMaskedSelfAttention",
+    )
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    return (y, jnp.stack([k_all, v_all], axis=0))[:n_out]
+
+
+@op("DecoderMaskedMultiHeadAttention", foldable=False,
+    domain="com.microsoft")
+def decoder_masked_mha(ctx: OpContext, query, key=None, value=None,
+                       mask_index=None, attention_bias=None, past_key=None,
+                       past_value=None, past_sequence_length=None,
+                       beam_width=None, cache_indirection=None, bias=None):
+    """com.microsoft::DecoderMaskedMultiHeadAttention — pre-projected
+    decode attention. Self mode: 3D q/k/v + split share buffers
+    [B,H,L,dh] + past_sequence_length. Cross mode: 4D key/value (the
+    constant encoder KV), no past — single-row queries attend everything
+    (masked only by mask_index/attention_bias)."""
+    import jax.numpy as jnp
+
+    _dm_guards(ctx, "DecoderMaskedMultiHeadAttention", cache_indirection)
+    heads = int(ctx.attr("num_heads", 0))
+    if not heads:
+        raise ValueError(
+            "DecoderMaskedMultiHeadAttention requires num_heads")
+    if past_key is not None and not int(
+            ctx.attr("past_present_share_buffer", 0)):
+        raise NotImplementedError(
+            "DecoderMaskedMultiHeadAttention: only the "
+            "past_present_share_buffer=1 form exists in ORT exports"
+        )
+    b = query.shape[0]
+    if bias is not None:
+        dq = query.shape[-1]
+        query = query + bias[:dq]
+        if key is not None and key.ndim == 3:
+            dk = key.shape[-1]
+            key = key + bias[dq:dq + dk]
+            value = value + bias[dq + dk:]
+    q = _bhsd(query, heads)
+    if key is None or value is None:
+        raise ValueError(
+            "DecoderMaskedMultiHeadAttention requires key and value")
+    if key.ndim == 4:  # cross mode: already [B,H,T,dh]
+        k, v = key, value
+    else:
+        k, v = _bhsd(key, heads), _bhsd(value, heads)
+    y, k_all, v_all = _dm_core(
+        ctx, q, k, v, past_key, past_value, past_sequence_length,
+        mask_index, attention_bias, "DecoderMaskedMultiHeadAttention",
+    )
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    return (y, k_all, v_all)[:n_out]

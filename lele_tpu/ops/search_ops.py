@@ -247,19 +247,23 @@ def _gpt_io(g, what: str):
 
 
 def _buf_tail_write(present, buf, slot):
-    """Write the last kv row of `present` into `buf` at column `slot`
-    (length axis is ndim-2 for every KV layout: [2,B,H,L,dh] stacked,
-    [B,H,L,dh] split)."""
+    """Merge a step's present into the static buffer. Concat-form presents
+    (length = buffer+1: contrib Attention / MHA) contribute their last kv
+    row at column `slot`; share-buffer presents (length = buffer:
+    DecoderMasked* ops, which update the buffer in-op at
+    past_sequence_length) ARE the new buffer. Length axis is ndim-2 for
+    every KV layout ([2,B,H,L,dh] stacked, [B,H,L,dh] split)."""
     import jax
 
-    ml = buf.shape[-2]
+    if present.shape[-2] == buf.shape[-2]:
+        return present.astype(buf.dtype)
     tail = jax.lax.slice_in_dim(
         present, present.shape[-2] - 1, present.shape[-2],
         axis=present.ndim - 2,
     )
     return jax.lax.dynamic_update_slice_in_dim(
         buf, tail.astype(buf.dtype), slot, axis=buf.ndim - 2
-    ) if ml else buf
+    )
 
 
 def _pad_to(x, length):
@@ -921,3 +925,40 @@ def beam_search(ctx: OpContext, input_ids, max_length, min_length=None,
             scores = jnp.zeros((0,), jnp.float32)
         outs.append(scores)
     return tuple(outs[:n_out])
+
+
+@op("WhisperBeamSearch", foldable=False, domain="com.microsoft",
+    static_args=(1, 3, 4), subgraph=True)
+def whisper_beam_search(ctx: OpContext, input_features, max_length,
+                        min_length=None, num_beams=None,
+                        num_return_sequences=None, length_penalty=None,
+                        repetition_penalty=None, vocab_mask=None,
+                        prefix_vocab_mask=None, attention_mask=None,
+                        decoder_input_ids=None, logits_processor=None,
+                        cross_qk_layer_head=None, extra_decoding_ids=None,
+                        temperature=None):
+    """com.microsoft::WhisperBeamSearch — the node name newer ORT Whisper
+    exports carry; same search as BeamSearch (model_type=2) with extra
+    whisper-only inputs, the unsupported ones refused loudly."""
+    if cross_qk_layer_head is not None:
+        raise NotImplementedError(
+            "WhisperBeamSearch: cross_qk_layer_head (word-level timestamp "
+            "QK extraction) is not supported"
+        )
+    if extra_decoding_ids is not None:
+        raise NotImplementedError(
+            "WhisperBeamSearch: extra_decoding_ids is not supported"
+        )
+    if temperature is not None:
+        t = np.asarray(temperature).reshape(-1)
+        if not (t.size == 1 and float(t[0]) == 1.0):
+            raise NotImplementedError(
+                "WhisperBeamSearch: temperature != 1.0 is not supported "
+                "in beam mode (ORT only uses it for its sampling fork)"
+            )
+    return beam_search(
+        ctx, input_features, max_length, min_length, num_beams,
+        num_return_sequences, length_penalty, repetition_penalty,
+        vocab_mask, prefix_vocab_mask, attention_mask, decoder_input_ids,
+        logits_processor,
+    )
