@@ -12,6 +12,10 @@ per batch on completion.
 
 Usage: python examples/search_decode.py [max_length] [num_beams]
 
+On a tunneled TPU the FIRST compile of the scanned search program can take
+minutes (remote-compile weather; cached afterwards) — for a quick look run
+with JAX_PLATFORMS=cpu (~3 s).
+
 Correctness gates: tests/test_search_ops.py (HF generate for greedy; an
 independent torch implementation of ORT's beam-search scorer for beam;
 randomized-config fuzz arm).
@@ -25,16 +29,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+from lele_tpu import runtime
 from lele_tpu.compiler import compile_model
 from lele_tpu.onnx import OnnxModel
 from lele_tpu.onnx.synth import build_gpt2_decoder_graph, build_search_model
+
+runtime.enable_cache()  # first remote compile is minutes; reruns are fast
 
 
 def main():
     ml = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     nb = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     rng = np.random.default_rng(0)
-    V, D, NH, NL, B, S = 101, 64, 4, 2, 2, 5
+    V, D, NH, NL, B, S = 61, 32, 2, 2, 2, 5
 
     def w(*s):
         return (rng.standard_normal(s) / np.sqrt(s[0])).astype(np.float32)
