@@ -356,3 +356,41 @@ class OnnxModel:
                     dims.append(d.dim_param if d.has("dim_param") else int(d.dim_value))
             out.append((vi.name, int(tt.elem_type) or 1, dims))
         return out
+
+
+def bind_inputs(model: "OnnxModel", values: dict) -> "OnnxModel":
+    """Convert named graph INPUTS into initializers (compile-time
+    constants) — the TPU remedy for exports that feed shape-determining
+    scalars at session.run time.
+
+    Published ORT generative exports declare max_length / num_beams /
+    num_return_sequences as runtime inputs of the BeamSearch node
+    (onnxruntime re-plans shapes every call); a static-shape XLA program
+    cannot honor that, so those values must be trace-time static. Bind
+    them here before compile_model — one compiled program per setting,
+    exactly like every other shape bucket in this runtime.
+
+    Shares tensor storage with the source model (no deep copy: only the
+    graph's input/initializer lists are rebuilt), so mmap'd raw_data and
+    external-data references stay zero-copy."""
+    from . import builder as ob
+
+    g = model.graph._d
+    in_names = {vi.get("name") for vi in g.get("input", [])}
+    missing = set(values) - in_names
+    if missing:
+        raise ValueError(
+            f"bind_inputs: {sorted(missing)} are not graph inputs "
+            f"(inputs: {sorted(in_names)})"
+        )
+    new_g = dict(g)
+    new_g["input"] = [
+        vi for vi in g.get("input", []) if vi.get("name") not in values
+    ]
+    new_g["initializer"] = list(g.get("initializer", [])) + [
+        ob.tensor_from_array(np.asarray(v), k) for k, v in values.items()
+    ]
+    new_d = dict(model.model._d)
+    new_d["graph"] = new_g
+    return OnnxModel(Proto(new_d, "ModelProto"), path=model.path,
+                     base_dir=model.base_dir)

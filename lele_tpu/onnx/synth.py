@@ -499,7 +499,7 @@ SEARCH_INPUT_ORDER["WhisperBeamSearch"] = (
 def build_search_model(kind: str, decoder_graph, input_shape,
                        search_inits: dict, attrs: dict,
                        n_outputs: int = 1, input_dtype: int = 6,
-                       mask_shape=None) -> bytes:
+                       mask_shape=None, runtime_scalars=()) -> bytes:
     """A top-level one-node search model: dynamic inputs input_ids (i32
     tokens for GPT/T5, float features for Whisper — input_dtype) and (when
     search_inits marks 'attention_mask' with None) a mask input; every
@@ -531,8 +531,14 @@ def build_search_model(kind: str, decoder_graph, input_shape,
     inits = [
         ob.tensor_from_array(np.asarray(v), k)
         for k, v in search_inits.items()
-        if v is not None and k != "input_ids"
+        if v is not None and k != "input_ids" and k not in runtime_scalars
     ]
+    for k in runtime_scalars:
+        # the published export form: search scalars as RUNTIME inputs
+        # (bind_inputs converts them to constants before compile)
+        v = np.asarray(search_inits[k])
+        dt = 6 if v.dtype.kind in "iu" else 1
+        inputs.append(ob.value_info(k, dt, list(v.shape)))
     out_vis = [ob.value_info("sequences", 6, [])]
     if n_outputs > 1:
         out_vis.append(ob.value_info("sequences_scores", 1, []))

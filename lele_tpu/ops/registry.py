@@ -180,14 +180,19 @@ def static_ints(v, what: str = "value") -> list[int]:
         raise ValueError(f"{what}: missing")
     if isinstance(v, np.ndarray):
         return [int(x) for x in np.atleast_1d(v)]
-    arr = np.asarray(v)
-    if arr.dtype == object or not np.issubdtype(arr.dtype, np.number):
-        raise ValueError(f"{what}: not numeric")
     try:
+        arr = np.asarray(v)
+        if arr.dtype == object or not np.issubdtype(arr.dtype, np.number):
+            raise ValueError(f"{what}: not numeric")
         return [int(x) for x in np.atleast_1d(arr)]
+    except ValueError:
+        raise
     except Exception as e:  # a traced value reached a shape position
         raise ValueError(
-            f"{what} must be trace-time static, got a traced value; "
-            "constant folding should have resolved it (dynamic shapes are "
-            "bucketed/padded upstream)"
+            f"{what} must be trace-time static, got a traced value (a "
+            "runtime graph input); constant folding should have resolved "
+            "it. Hint: shape-determining scalars fed at session.run time "
+            "(BeamSearch max_length/num_beams in published exports) must "
+            "be bound to constants first — lele_tpu.onnx.bind_inputs "
+            "(dynamic shapes are otherwise bucketed/padded upstream)"
         ) from e

@@ -704,3 +704,38 @@ def test_beam_search_fuzz(gpt2):
                 f"beam fuzz trial {trial}: B={B} S={S} nb={nb} nret={nret} "
                 f"ML={ML} kw={kw}"
             ) from e
+
+
+def test_bind_inputs_runtime_scalar_form(gpt2):
+    """The PUBLISHED export form: max_length / num_beams /
+    num_return_sequences as runtime graph inputs (onnxruntime re-plans
+    shapes per call). A static-shape program refuses them with an
+    actionable error; onnx.bind_inputs converts them to compile-time
+    constants and the result matches the initializer-form model."""
+    from lele_tpu.onnx import bind_inputs
+    from lele_tpu.onnx.synth import build_search_model as bsm
+
+    rng = np.random.default_rng(12)
+    B, S, ML, nb = 2, 4, 12, 3
+    ids = rng.integers(0, V - 2, (B, S)).astype(np.int32)
+    dec = build_gpt2_decoder_graph(gpt2_params(gpt2), NL, NH)
+    search = {
+        "max_length": np.asarray([ML], np.int32),
+        "num_beams": np.asarray([nb], np.int32),
+        "num_return_sequences": np.asarray([2], np.int32),
+    }
+    bs = bsm("BeamSearch", dec, ids.shape, search, base_attrs(), 2,
+             runtime_scalars=("max_length", "num_beams",
+                              "num_return_sequences"))
+    m = OnnxModel.from_bytes(bs)
+    with pytest.raises(Exception, match="static"):
+        compile_model(m, strict=True).run_np(
+            input_ids=ids, **{k: v for k, v in search.items()})
+    cm = compile_model(bind_inputs(m, search), strict=True)
+    got = cm.run_np(input_ids=ids)
+
+    bs2 = bsm("BeamSearch", dec, ids.shape, search, base_attrs(), 2)
+    want = compile_model(OnnxModel.from_bytes(bs2), strict=True).run_np(
+        input_ids=ids)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_allclose(got[1], want[1], atol=1e-6)
