@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     genai_ops,
     io_ops,
     math_ops,
+    moe_ops,
     nn_ops,
     qlinear_ops,
     quant_ops,

@@ -213,6 +213,160 @@ def group_query_attention(ctx: OpContext, query, key=None, value=None,
     return (y, present_key, present_value)[:n_out]
 
 
+def _csr_block_mask(block_row_indices, block_col_indices, nblocks):
+    """Dense [num_layout, nblocks, nblocks] bool from the CSR block layout
+    (block_row_indices [L, max_blocks+1] row pointers, block_col_indices
+    [L, max_nnz] column ids padded with -1). Pure broadcast arithmetic —
+    the layouts are tiny (≤ heads × (seq/block)² entries) and constant in
+    every published export, so XLA folds this whole product at compile
+    time."""
+    import jax.numpy as jnp
+
+    rp = block_row_indices.astype(jnp.int32)
+    cols = block_col_indices.astype(jnp.int32)
+    nnz = cols.shape[-1]
+    i = jnp.arange(nnz, dtype=jnp.int32)
+    # in_row[l, r, n]: nnz slot n belongs to row r of layout l
+    in_row = (i[None, None, :] >= rp[:, :nblocks, None]) & (
+        i[None, None, :] < rp[:, 1: nblocks + 1, None])
+    match = cols[:, None, :, None] == jnp.arange(
+        nblocks, dtype=jnp.int32)[None, None, None, :]
+    return jnp.any(in_row[:, :, :, None] & match, axis=2)
+
+
+@op("SparseAttention", foldable=False, domain="com.microsoft")
+def sparse_attention(ctx: OpContext, query, key=None, value=None,
+                     past_key=None, past_value=None,
+                     block_row_indices=None, block_col_indices=None,
+                     total_sequence_length=None,
+                     key_total_sequence_lengths=None, cos_cache=None,
+                     sin_cache=None):
+    """com.microsoft::SparseAttention — block-sparse attention with the
+    shared static KV buffer; the attention node in the published
+    Phi-3-small ONNX releases (block-sparse "vertical-slash" layouts).
+
+    Same cache/rotary/length conventions as GroupQueryAttention except the
+    per-batch totals arrive directly in `key_total_sequence_lengths` [B]
+    (past_len = total − S) and the causal mask is further intersected with
+    a per-head block layout: query block qb may attend key block kb only
+    if the CSR layout (block_row_indices/block_col_indices, one row set
+    per layout; head h uses layout h % num_layout) contains (qb, kb).
+    Blocks are `sparse_block_size` positions. `total_sequence_length`
+    only sizes ORT's dynamic buffers — here capacity is the static buffer
+    shape, so it is accepted and unused.
+    """
+    import jax.numpy as jnp
+
+    from .attention_ops import apply_rotary
+
+    qh = int(ctx.attr("num_heads", 0))
+    kvh = int(ctx.attr("kv_num_heads", 0))
+    bs_blk = int(ctx.attr("sparse_block_size", 0))
+    if not qh or not kvh or not bs_blk:
+        raise ValueError(
+            "SparseAttention requires num_heads, kv_num_heads and "
+            "sparse_block_size"
+        )
+    if qh % kvh:
+        raise ValueError(
+            f"SparseAttention: num_heads {qh} not divisible by "
+            f"kv_num_heads {kvh}"
+        )
+    if past_key is None or past_value is None:
+        raise NotImplementedError(
+            "SparseAttention: the shared past_key/past_value buffers are "
+            "required (every published export carries them)"
+        )
+    if block_row_indices is None or block_col_indices is None:
+        raise ValueError(
+            "SparseAttention requires block_row_indices/block_col_indices")
+    if key_total_sequence_lengths is None:
+        raise ValueError(
+            "SparseAttention requires key_total_sequence_lengths")
+
+    b, s, hidden = query.shape
+    if key is None or value is None:
+        if key is not None or value is not None:
+            raise ValueError(
+                "SparseAttention: packed QKV requires BOTH key and value "
+                "absent"
+            )
+        head = hidden // (qh + 2 * kvh)
+        q = query[..., : qh * head]
+        k = query[..., qh * head: (qh + kvh) * head]
+        v = query[..., (qh + kvh) * head:]
+    else:
+        head = hidden // qh
+        q, k, v = query, key, value
+    q = _bhsd(q, qh)
+    k = _bhsd(k, kvh)
+    v = _bhsd(v, kvh)
+
+    total = key_total_sequence_lengths.reshape(b).astype(jnp.int32)
+    past_len = total - s
+
+    if bool(ctx.attr("do_rotary", 0)):
+        if cos_cache is None or sin_cache is None:
+            raise ValueError(
+                "SparseAttention: do_rotary=1 requires cos_cache and "
+                "sin_cache"
+            )
+        interleaved = bool(ctx.attr("rotary_interleaved", 0))
+        r = int(cos_cache.shape[-1]) * 2
+        pos = past_len[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+        cos = cos_cache[pos][:, None, :, : r // 2]
+        sin = sin_cache[pos][:, None, :, : r // 2]
+        q = apply_rotary(q, cos, sin, r, interleaved)
+        k = apply_rotary(k, cos, sin, r, interleaved)
+
+    k_all = _cache_append(past_key, k.astype(past_key.dtype), past_len)
+    v_all = _cache_append(past_value, v.astype(past_value.dtype), past_len)
+    present_key, present_value = k_all, v_all
+    L = k_all.shape[2]
+    if L % bs_blk:
+        raise ValueError(
+            f"SparseAttention: cache length {L} is not a multiple of "
+            f"sparse_block_size {bs_blk}"
+        )
+
+    rep = qh // kvh
+    if rep > 1:
+        k_all = jnp.repeat(k_all, rep, axis=1)
+        v_all = jnp.repeat(v_all, rep, axis=1)
+
+    scale = ctx.attr("scale")
+    scale = float(scale) if scale else 1.0 / float(np.sqrt(head))
+    scores = jnp.einsum(
+        "bhsd,bhld->bhsl", q, k_all.astype(q.dtype),
+        preferred_element_type=jnp.promote_types(q.dtype, jnp.float32),
+        precision=_prec(),
+    ) * scale
+
+    # causal over GLOBAL positions (also hides the buffer's stale tail),
+    # intersected with the per-head block layout
+    p = past_len[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B,S]
+    j = jnp.arange(L, dtype=jnp.int32)
+    causal = j[None, None, :] <= p[:, :, None]  # [B,S,L]
+    nblocks = L // bs_blk
+    allowed = _csr_block_mask(block_row_indices, block_col_indices,
+                              nblocks)  # [num_layout, nb, nb]
+    num_layout = allowed.shape[0]
+    lay = jnp.arange(qh, dtype=jnp.int32) % num_layout
+    per_head = allowed[lay]                      # [H, nb, nb]
+    qb = p // bs_blk                             # [B,S]
+    kb = j // bs_blk                             # [L]
+    blk = per_head[:, qb, :][:, :, :, kb]        # [H,B,S,L]
+    valid = blk.transpose(1, 0, 2, 3) & causal[:, None, :, :]  # [B,H,S,L]
+    w = _masked_softmax(scores, valid)
+    y = jnp.einsum("bhsl,bhld->bhsd", w.astype(v_all.dtype), v_all,
+                   precision=_prec())
+    y = y.transpose(0, 2, 1, 3).reshape(b, s, qh * head)
+    n_out = len(ctx.node.output) if ctx.node is not None else 1
+    if n_out <= 1:
+        return y
+    return (y, present_key, present_value)[:n_out]
+
+
 @op("MultiHeadAttention", foldable=False, domain="com.microsoft")
 def multi_head_attention(ctx: OpContext, query, key=None, value=None,
                          bias=None, key_padding_mask=None,

@@ -962,3 +962,22 @@ def whisper_beam_search(ctx: OpContext, input_features, max_length,
         vocab_mask, prefix_vocab_mask, attention_mask, decoder_input_ids,
         logits_processor,
     )
+
+
+@op("NGramRepeatBlock", foldable=False, domain="com.microsoft")
+def ngram_repeat_block(ctx: OpContext, input_ids, scores):
+    """com.microsoft::NGramRepeatBlock — the standalone no-repeat-ngram
+    logits processor (fairseq-lineage generative exports carry it as its
+    own node next to a host search loop). Bans token t when the
+    (ngram_size−1)-gram ending at the current position already occurred
+    in input_ids followed by t; banned scores go to −inf (finite NEG
+    stand-in). Same math as the in-search processor (`_ngram_ban`), with
+    the current length being input_ids' static trailing dim."""
+    import jax.numpy as jnp
+
+    n = int(ctx.attr("ngram_size", 0))
+    if n <= 0:
+        raise ValueError("NGramRepeatBlock requires ngram_size > 0")
+    seqs = input_ids.astype(jnp.int32)
+    p = jnp.asarray(seqs.shape[1], jnp.int32)
+    return _ngram_ban(scores, seqs, p, n).astype(scores.dtype)

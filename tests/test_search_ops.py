@@ -739,3 +739,27 @@ def test_bind_inputs_runtime_scalar_form(gpt2):
         input_ids=ids)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_allclose(got[1], want[1], atol=1e-6)
+
+
+def test_ngram_repeat_block_standalone_op():
+    """NGramRepeatBlock (the standalone fairseq-lineage processor node)
+    vs HF's NoRepeatNGramLogitsProcessor."""
+    import torch
+    from transformers import NoRepeatNGramLogitsProcessor
+
+    from optest import run_op
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 9, size=(4, 7)).astype(np.int64)
+    scores = rng.standard_normal((4, 9)).astype(np.float32)
+    for n in (2, 3):
+        got = run_op("NGramRepeatBlock", {"ids": ids, "sc": scores},
+                     domain="com.microsoft", ngram_size=n)[0]
+        want = NoRepeatNGramLogitsProcessor(n)(
+            torch.from_numpy(ids), torch.from_numpy(scores.copy())
+        ).numpy()
+        banned = ~np.isfinite(np.where(want < -1e29, -np.inf, want)) | (
+            want <= -1e29)
+        np.testing.assert_array_equal(got <= -1e29, banned)
+        np.testing.assert_allclose(np.where(banned, 0, got),
+                                   np.where(banned, 0, want), rtol=1e-6)
