@@ -390,6 +390,66 @@ def bench_genai_decode():
     return dt * 1e6  # µs per decoded token
 
 
+def bench_moe_decode():
+    """Phi-3.5-MoE-form DECODE-step latency: the GenAI attention plumbing
+    with router + com.microsoft::QMoE MLPs (SparseMixer top-2, 4-bit
+    packed experts). At S=1 the op takes its gather decode path — only
+    the 2 selected experts' packed bytes stream from HBM per layer, the
+    MoE capacity economics the format exists for. Same anti-hoist
+    discipline as the int4 row (packed uint8 params perturbed by the
+    integer-zero carry trick, scales by +c*1e-30). No reference analog
+    (contrib MoE ops don't exist there) → tracks its own history."""
+    import jax
+    import jax.numpy as jnp
+
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.onnx.synth import (
+        GENAI_MOE_CFG,
+        build_genai_decoder,
+        genai_decoder_params,
+        genai_feeds,
+    )
+
+    cfg = dict(GENAI_MOE_CFG, B=1, V=4096, qh=16, kvh=8, hd=64, nl=2,
+               ffn=1792, L=512, blk=32, experts=8)
+    rng = np.random.default_rng(0)
+    inits, _ = genai_decoder_params(rng, cfg)
+    cm = compile_model(OnnxModel.from_bytes(build_genai_decoder(inits, 1,
+                                                                cfg)))
+    kvh, L, hd, nl = cfg["kvh"], cfg["L"], cfg["hd"], cfg["nl"]
+    plen = 128
+    pks = [rng.standard_normal((1, kvh, L, hd)).astype(np.float32)
+           for _ in range(nl)]
+    pvs = [rng.standard_normal((1, kvh, L, hd)).astype(np.float32)
+           for _ in range(nl)]
+    feeds = genai_feeds(np.ones((1, 1), np.int64),
+                        np.full((1, 1), plen, np.int64),
+                        plen, 1, pks, pvs, cfg)
+    feeds_j = {k: jnp.asarray(np.asarray(v), cm._canon[k])
+               for k, v in feeds.items()}
+
+    def fwd(c, params, ids, pk0):
+        zi = (c * 1e-30).astype(jnp.int32)
+        p2 = {
+            k: (v + zi.astype(v.dtype)
+                if v.dtype in (jnp.uint8, jnp.int8)
+                else (v + c * 1e-30
+                      if k.endswith("_s") else v))
+            for k, v in params.items()
+        }
+        ins = dict(feeds_j)
+        ins["ids"] = ids + zi
+        ins["pk0"] = pk0 + c * 1e-30
+        return cm._walk_fn(p2, ins)
+
+    dt = _chain_slope(
+        fwd, (cm.params, feeds_j["ids"], feeds_j["pk0"]),
+        Ks=(16, 96) if jax.devices()[0].platform == "tpu" else (1, 3),
+    )
+    return dt * 1e6  # µs per decoded token
+
+
 def bench_silero_step(pcm):
     """Per-chunk STREAMING step time (VERDICT r2 #6): the donated-state
     step chained through its own state carry — a natural data dependency,
@@ -611,6 +671,8 @@ def main():
         # reference cannot load these contrib ops at all, so the row
         # tracks the path against its own history only
         ("genai_int4_decode_us", bench_genai_decode, None, "us"),
+        # Phi-3.5-MoE-form decode step (router + QMoE gather path)
+        ("qmoe_decode_us", bench_moe_decode, None, "us"),
     ]
     vals = {}
     for name, fn, ref, unit in side:

@@ -259,6 +259,22 @@ def build_sanm_int8_graph(
 GENAI_CFG = dict(B=2, V=48, qh=4, kvh=2, hd=8, nl=2, L=16, ffn=48, blk=16,
                  eps=1e-5)
 
+# Phi-3.5-MoE form: the MLP is a router MatMul + com.microsoft::QMoE with
+# SparseMixer top-2 routing and 4-bit experts (fc1/fc3 gate pair + fc2).
+GENAI_MOE_CFG = dict(GENAI_CFG, experts=4, ffn=16)
+
+
+def quant4_cols(w: np.ndarray):
+    """Float [E, in, out] → (packed u8 [E, in, out/2] low-nibble-first,
+    scales [E, out], dequantized twin) — the QMoE expert-weight storage
+    (symmetric per-output-column, zero point 8)."""
+    zp, qmax = 8, 7
+    sc = (np.abs(w).max(axis=1) / qmax + 1e-8).astype(np.float32)
+    q = np.clip(np.round(w / sc[:, None, :]) + zp, 0, 15).astype(np.uint8)
+    deq = ((q.astype(np.float32) - zp) * sc[:, None, :]).astype(np.float32)
+    packed = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+    return packed, sc, deq
+
 
 def quant4_ort(w: np.ndarray, blk: int):
     """Float [N, K] → (packed_u8 [N,kb,blk/2], scales [N,kb], wdq [N,K])
@@ -305,6 +321,25 @@ def genai_decoder_params(rng, cfg=None):
             deq[g] = inits[g]
     inits["g_final"] = (rng.standard_normal(D) * 0.1 + 1).astype(np.float32)
     deq["g_final"] = inits["g_final"]
+    if c.get("experts"):
+        E, ffn = c["experts"], c["ffn"]
+        for i in range(nl):
+            for nm in (f"wg{i}", f"wu{i}", f"wd{i}"):
+                inits.pop(f"{nm}_q", None)
+                inits.pop(f"{nm}_s", None)
+                deq.pop(nm, None)
+            inits[f"router{i}"] = (
+                rng.standard_normal((D, E)) / np.sqrt(D)).astype(np.float32)
+            deq[f"router{i}"] = inits[f"router{i}"]
+            for nm, shp in ((f"fc1_{i}", (E, D, ffn)),
+                            (f"fc2_{i}", (E, ffn, D)),
+                            (f"fc3_{i}", (E, D, ffn))):
+                w = (rng.standard_normal(shp) / np.sqrt(shp[1])
+                     ).astype(np.float32)
+                packed, sc, wdq = quant4_cols(w)
+                inits[f"{nm}_q"] = packed
+                inits[f"{nm}_s"] = sc
+                deq[nm] = wdq  # [E, in, out]
     linear("head", V, D)
     inv = 1.0 / 10000 ** (np.arange(hd // 2) / (hd // 2))
     t = np.arange(L)[:, None] * inv[None, :]
@@ -363,12 +398,23 @@ def build_genai_decoder(inits, s: int, cfg=None, raw: bool = False):
           [f"hm{i}", f"mm_{i}", f"ivm{i}", f"sum_attn{i}"],
           epsilon=eps, domain="com.microsoft")
         res = f"sum_attn{i}"
-        mmnb(f"hm{i}", f"wg{i}", f"gate{i}", ffn, D)
-        mmnb(f"hm{i}", f"wu{i}", f"up{i}", ffn, D)
-        n("Sigmoid", [f"gate{i}"], [f"sig{i}"])
-        n("Mul", [f"gate{i}", f"sig{i}"], [f"silu{i}"])
-        n("Mul", [f"silu{i}", f"up{i}"], [f"ff{i}"])
-        mmnb(f"ff{i}", f"wd{i}", f"dn{i}", D, ffn)
+        if c.get("experts"):
+            # Phi-3.5-MoE MLP: router logits → QMoE (SparseMixer top-2,
+            # silu-gated fc1/fc3 pair, 4-bit experts)
+            n("MatMul", [f"hm{i}", f"router{i}"], [f"rl{i}"])
+            n("QMoE",
+              [f"hm{i}", f"rl{i}", f"fc1_{i}_q", f"fc1_{i}_s", "",
+               f"fc2_{i}_q", f"fc2_{i}_s", "", f"fc3_{i}_q", f"fc3_{i}_s"],
+              [f"dn{i}"], domain="com.microsoft", k=2,
+              activation_type="silu", use_sparse_mixer=1,
+              expert_weight_bits=4)
+        else:
+            mmnb(f"hm{i}", f"wg{i}", f"gate{i}", ffn, D)
+            mmnb(f"hm{i}", f"wu{i}", f"up{i}", ffn, D)
+            n("Sigmoid", [f"gate{i}"], [f"sig{i}"])
+            n("Mul", [f"gate{i}", f"sig{i}"], [f"silu{i}"])
+            n("Mul", [f"silu{i}", f"up{i}"], [f"ff{i}"])
+            mmnb(f"ff{i}", f"wd{i}", f"dn{i}", D, ffn)
         cur = f"dn{i}"
         outs += [f"npk{i}", f"npv{i}"]
     n("SkipSimplifiedLayerNormalization", [cur, res, "g_final"],

@@ -207,17 +207,6 @@ def moe(ctx: OpContext, x, router_probs, fc1_w, fc1_b=None, fc2_w=None,
                      lambda w, which: w)
 
 
-def _unpack4(q):
-    """uint8 nibble-packed [..., n/2] → [..., n] int32, low nibble first
-    (the MatMulNBits convention, shared by the QMoE blob)."""
-    import jax.numpy as jnp
-
-    lo = (q & 0xF).astype(jnp.int32)
-    hi = (q >> 4).astype(jnp.int32)
-    return jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1],
-                                                q.shape[-1] * 2)
-
-
 @op("QMoE", foldable=False, domain="com.microsoft")
 def qmoe(ctx: OpContext, x, router_probs, fc1_w, fc1_scales, fc1_b=None,
          fc2_w=None, fc2_scales=None, fc2_b=None, fc3_w=None,
@@ -248,13 +237,56 @@ def qmoe(ctx: OpContext, x, router_probs, fc1_w, fc1_scales, fc1_b=None,
                                                   fc3_b))
 
 
-def _qmoe_core(ctx, x, logits, bits, zp, fc1, fc2, fc3):
+def _q_mm(x, wq, s, bits, zp, contract):
+    """Quantized matmul keeping the packed bytes as the HBM operand.
+
+    4-bit: the nibble interleave (`stack([lo,hi],-1).reshape`) on the
+    WEIGHT is the known XLA fusion-killer (the MatMulNBits r4 finding —
+    it forces a materialized f32 weight). QMoE packs along the OUTPUT
+    axis, so the repair is plane-split matmuls: output columns 2j come
+    from the lo-nibble plane and 2j+1 from the hi plane — run one matmul
+    per plane (dequant fuses into the operand read as a pure elementwise
+    chain) and interleave the SMALL activation output instead.
+    """
     import jax.numpy as jnp
 
-    def dq(w, s):
-        vals = _unpack4(w) if bits == 4 else w.astype(jnp.int32)
-        return (vals - zp).astype(jnp.float32) * jnp.expand_dims(
-            s, axis=-2).astype(jnp.float32)
+    def col(t, sl):  # scale columns broadcast over the input axis
+        return jnp.expand_dims(t[..., sl], axis=-2).astype(jnp.float32)
+
+    if bits == 8:
+        w = (wq.astype(jnp.float32) - zp) * col(s, slice(None))
+        return jnp.einsum(contract, x, w, precision=_prec(),
+                          preferred_element_type=jnp.float32)
+    lo = ((wq & 0xF).astype(jnp.float32) - zp) * col(s, slice(0, None, 2))
+    hi = ((wq >> 4).astype(jnp.float32) - zp) * col(s, slice(1, None, 2))
+    h_lo = jnp.einsum(contract, x, lo, precision=_prec(),
+                      preferred_element_type=jnp.float32)
+    h_hi = jnp.einsum(contract, x, hi, precision=_prec(),
+                      preferred_element_type=jnp.float32)
+    return jnp.stack([h_lo, h_hi], axis=-1).reshape(
+        *h_lo.shape[:-1], h_lo.shape[-1] * 2)
+
+
+def _q_ffn(ctx, x, fc1, fc2, fc3, bits, zp, contract):
+    """The QMoE expert FFN over packed stacks: fcN = (bytes, scales,
+    bias) already gathered/sliced to match `contract`."""
+    h = _q_mm(x, fc1[0], fc1[1], bits, zp, contract)
+    if fc1[2] is not None:
+        h = h + fc1[2]
+    h = _activation(ctx, h)
+    if fc3 is not None:
+        g = _q_mm(x, fc3[0], fc3[1], bits, zp, contract)
+        if fc3[2] is not None:
+            g = g + fc3[2]
+        h = h * g
+    y = _q_mm(h.astype(x.dtype), fc2[0], fc2[1], bits, zp, contract)
+    if fc2[2] is not None:
+        y = y + fc2[2]
+    return y
+
+
+def _qmoe_core(ctx, x, logits, bits, zp, fc1, fc2, fc3):
+    import jax.numpy as jnp
 
     orig_shape = x.shape
     hidden = orig_shape[-1]
@@ -273,27 +305,21 @@ def _qmoe_core(ctx, x, logits, bits, zp, fc1, fc2, fc3):
     if rows * k <= n_experts:
         flat = experts.reshape(-1)
         xk = jnp.repeat(x2, k, axis=0)
-        w1, s1, b1 = pick(fc1, flat)
-        w2, s2, b2 = pick(fc2, flat)
-        if fc3 is not None:
-            w3, s3, b3 = pick(fc3, flat)
-        y = _ffn(ctx, xk, dq(w1, s1), b1, dq(w2, s2), b2,
-                 None if fc3 is None else dq(w3, s3),
-                 None if fc3 is None else b3, "rh,rhi->ri")
+        y = _q_ffn(ctx, xk, pick(fc1, flat), pick(fc2, flat),
+                   None if fc3 is None else pick(fc3, flat), bits, zp,
+                   "rh,rhi->ri")
         y = y.reshape(rows, k, hidden) * weights[..., None].astype(y.dtype)
         out = jnp.sum(y, axis=1)
     else:
+        def sl(fc, e):
+            w, s, b = fc
+            return (w[e], s[e], None if b is None else b[e])
+
         out = jnp.zeros((rows, hidden), jnp.float32)
         for e in range(n_experts):
-            w1 = dq(fc1[0][e], fc1[1][e])
-            w2 = dq(fc2[0][e], fc2[1][e])
-            w3 = None if fc3 is None else dq(fc3[0][e], fc3[1][e])
-            y = _ffn(ctx, x2, w1,
-                     None if fc1[2] is None else fc1[2][e],
-                     w2, None if fc2[2] is None else fc2[2][e],
-                     w3,
-                     None if (fc3 is None or fc3[2] is None) else fc3[2][e],
-                     "rh,hi->ri")
+            y = _q_ffn(ctx, x2, sl(fc1, e), sl(fc2, e),
+                       None if fc3 is None else sl(fc3, e), bits, zp,
+                       "rh,hi->ri")
             gate = jnp.sum(jnp.where(experts == e, weights, 0.0), axis=-1)
             out = out + y * gate[:, None].astype(y.dtype)
     return out.astype(x.dtype).reshape(orig_shape)

@@ -69,7 +69,7 @@ def test_repo_lock_covers_all_families():
     lock = json.loads((ROOT / "scripts" / "MODELS.lock.json").read_text())
     fams = {k for k in lock if not k.startswith("_")}
     assert fams == {"silero", "sensevoice", "supertonic", "supertonic3",
-                    "yolo26", "yolo26n_seg", "llm_int4"}
+                    "yolo26", "yolo26n_seg", "llm_int4", "llm_moe"}
     for name, spec in lock.items():
         if name.startswith("_"):
             continue

@@ -239,3 +239,87 @@ def test_llm_int4_family_rehearsal(tmp_path):
             pvs[i] = np.asarray(outs[2 + 2 * i])
         tok = np.asarray(outs[0])[:, -1].argmax(-1)[:, None].astype(np.int64)
     assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_llm_moe_family_rehearsal(tmp_path):
+    """Launch rehearsal for the llm_moe lock family (Phi-3.5-MoE ONNX):
+    the mock hub serves a synthetic MoE-form decoder (router + QMoE
+    experts) under the REAL lock paths with the external side file, then
+    fetch → TOFU pin → strict compile → two greedy decode steps."""
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel, builder as ob
+    from lele_tpu.onnx.synth import (
+        GENAI_MOE_CFG,
+        build_genai_decoder,
+        genai_decoder_params,
+        genai_feeds,
+    )
+
+    rng = np.random.default_rng(0)
+    inits, _ = genai_decoder_params(rng, cfg=GENAI_MOE_CFG)
+    raw = build_genai_decoder(inits, 1, cfg=GENAI_MOE_CFG, raw=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    ob.save_with_external_data(raw, src / "model.onnx")
+    assert (src / "model.onnx.data").exists(), "side file must spill"
+
+    base = "/microsoft/Phi-3.5-MoE-instruct-onnx/resolve/main/" \
+           "gpu/gpu-int4-rtn-block-32/"
+    routes = {
+        base + "model.onnx": (src / "model.onnx").read_bytes(),
+        base + "model.onnx.data": (src / "model.onnx.data").read_bytes(),
+        base + "genai_config.json": b'{"model": {"type": "phimoe"}}',
+        base + "tokenizer.json": b'{"version": "1.0"}',
+    }
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            data = routes.get(self.path)
+            if data is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+        lock = tmp_path / "lock.json"
+        full = json.loads((ROOT / "scripts" / "MODELS.lock.json").read_text())
+        lock.write_text(json.dumps({"llm_moe": full["llm_moe"]}))
+        r = subprocess.run(
+            [sys.executable, str(FETCH), "llm_moe", "--lock", str(lock),
+             "--root", str(tmp_path), "--update-lock"],
+            capture_output=True, text=True,
+            env={"PATH": "/usr/bin:/bin", "HF_ENDPOINT": endpoint,
+                 "HOME": str(tmp_path), "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr + r.stdout
+        pins = json.loads(lock.read_text())["llm_moe"]["files"]
+        assert all(f["sha256"] for f in pins), pins
+    finally:
+        srv.shutdown()
+
+    fetched = tmp_path / "examples" / "llm_moe" / "model.onnx"
+    assert fetched.exists() and fetched.with_suffix(".onnx.data").exists()
+    cm = compile_model(OnnxModel.load(fetched), strict=True)
+    c = GENAI_MOE_CFG
+    B, KVH, L, HD, NL = (c[k] for k in ("B", "kvh", "L", "hd", "nl"))
+    pks = [np.zeros((B, KVH, L, HD), np.float32) for _ in range(NL)]
+    pvs = [np.zeros((B, KVH, L, HD), np.float32) for _ in range(NL)]
+    tok = np.ones((B, 1), np.int64)
+    for step in range(2):
+        outs = cm.run_np(**genai_feeds(
+            tok, np.full((B, 1), step, np.int64), step, 1, pks, pvs,
+            cfg=c))
+        for i in range(NL):
+            pks[i] = np.asarray(outs[1 + 2 * i])
+            pvs[i] = np.asarray(outs[2 + 2 * i])
+        tok = np.asarray(outs[0])[:, -1].argmax(-1)[:, None].astype(np.int64)
+    assert np.isfinite(np.asarray(outs[0])).all()
