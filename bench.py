@@ -429,15 +429,30 @@ def bench_moe_decode():
     feeds_j = {k: jnp.asarray(np.asarray(v), cm._canon[k])
                for k, v in feeds.items()}
 
+    # Anti-hoist: when the Pallas routes are engaged (qmoe_w4 for the
+    # expert MLPs, matmul_nbits_w4 for the lm head), every weight read is
+    # either behind a routing-dependent gather (loop-variant through ids)
+    # or inside a custom call XLA cannot pre-transform — perturbing ids +
+    # the KV carry suffices, and must NOT touch the packed expert stacks:
+    # adding zi to ALL experts' bytes costs 4× the selected-expert HBM
+    # stream and would swamp the very economics the row measures. Without
+    # the patterns (CPU smoke / fallback), the XLA-visible dequants could
+    # hoist, so the full packed/scale perturbation is kept there.
+    hits = cm.stats.get("pattern_hits", {})
+    light = bool(hits.get("qmoe_w4")) and bool(hits.get("matmul_nbits_w4"))
+
     def fwd(c, params, ids, pk0):
         zi = (c * 1e-30).astype(jnp.int32)
-        p2 = {
-            k: (v + zi.astype(v.dtype)
-                if v.dtype in (jnp.uint8, jnp.int8)
-                else (v + c * 1e-30
-                      if k.endswith("_s") else v))
-            for k, v in params.items()
-        }
+        if light:
+            p2 = params
+        else:
+            p2 = {
+                k: (v + zi.astype(v.dtype)
+                    if v.dtype in (jnp.uint8, jnp.int8)
+                    else (v + c * 1e-30
+                          if k.endswith("_s") else v))
+                for k, v in params.items()
+            }
         ins = dict(feeds_j)
         ins["ids"] = ids + zi
         ins["pk0"] = pk0 + c * 1e-30

@@ -409,7 +409,164 @@ def matmul_nbits_w4(tracer, state, nodes, i, env, scope):
     return 1, {node.output[0]: out}
 
 
-DEFAULT_PATTERNS: list = [dql_matmul_dataflow, matmul_nbits_w4]
+def _qmoe_repack(wq):
+    """QMoE expert stack [E, K, N/2] u8 (nibbles adjacent along the OUT
+    axis, low first, zp 8) → the w4 kernel's [E, K/2, N] i8 low/high
+    K-plane layout (recentered signed int4)."""
+    E, K, half_n = wq.shape
+    N = half_n * 2
+    q = np.empty((E, K, N), np.int8)
+    q[..., 0::2] = (wq & 0x0F).astype(np.int8) - 8
+    q[..., 1::2] = (wq >> 4).astype(np.int8) - 8
+    half = K // 2
+    packed = ((q[:, :half] & 0x0F)
+              | (q[:, half:].astype(np.uint8) << 4)).astype(np.int8)
+    return packed
+
+
+def _qmoe_group(K):
+    """Largest kernel-friendly scale group dividing K/2 (QMoE scales are
+    per-output-column — constant along K — so ANY group tiling works)."""
+    half = K // 2
+    for g in (128, 64, 32, 16, 8, 4, 2, 1):
+        if half % g == 0:
+            return g
+    return 1
+
+
+def qmoe_w4(tracer, state, nodes, i, env, scope):
+    """Route com.microsoft::QMoE's DECODE path (rows·k ≤ experts) through
+    the w4a16 Pallas kernel.
+
+    Same rationale as matmul_nbits_w4: XLA fuses the plane-split dequant
+    (ops/moe_ops.py) but runs it on the VPU inside the dot's operand
+    read — measured 251 µs/step at scaled Phi-3.5-MoE decode geometry
+    where the selected experts' packed bytes stream in ~25 µs of HBM
+    time. Here the expert stacks repack ON THE HOST at compile time into
+    the kernel's [K/2, N] plane layout ([E, ...] stacked, still 0.5
+    byte/weight on device); at run time the routed expert indices pick
+    slices by `dynamic_index_in_dim` (a dynamic-slice of the packed
+    bytes — the GatherBlockQuantized discipline) and each (row, slot)
+    runs the kernel's bf16 group-accumulator form. QMoE is symmetric
+    (zp = 8), so the recentering leaves NO zero-point residual.
+
+    Eligibility: TPU (LELE_QMOE_PALLAS=1 forces the route for CPU parity
+    tests via the kernel's guarded jnp fallback; =0 disables), bits=4,
+    no expert biases, static weight/scale stacks, dynamic float input,
+    rows·k ≤ E (prefill keeps the emitter's unrolled masked-accumulate).
+    LELE_NBITS_F32=1 keeps activations f32 (exact w4a32).
+    """
+    node = nodes[i]
+    if node.op_type != "QMoE":
+        return None
+    from ..ops.registry import canon_domain
+
+    if canon_domain(node.domain) != "com.microsoft":
+        return None
+    import os
+
+    flag = os.environ.get("LELE_QMOE_PALLAS", "")
+    if flag == "0":
+        return None
+    if flag != "1":
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return None
+    if int(_node_attr(node, "expert_weight_bits", 4)) != 4:
+        return None
+    k = int(_node_attr(node, "k", 1))
+    act = _node_attr(node, "activation_type", "relu")
+    if isinstance(act, bytes):
+        act = act.decode()
+    ins = list(node.input) + [""] * (11 - len(node.input))
+    x = env.get(ins[0])
+    logits = env.get(ins[1])
+    if x is None or logits is None or _is_static(x):
+        return None
+    if ins[4] or ins[7] or ins[10]:
+        return None  # expert biases: keep the emitter path
+    stacks = []
+    for wi, si in ((2, 3), (5, 6), (8, 9)):
+        if not ins[wi]:
+            stacks.append(None)
+            continue
+        w = env.get(ins[wi])
+        s = env.get(ins[si]) if ins[si] else None
+        if w is None or s is None or not (_is_static(w) and _is_static(s)):
+            return None
+        stacks.append((np.asarray(w), np.asarray(s)))
+    if stacks[0] is None or stacks[1] is None:
+        return None
+    if not np.issubdtype(np.dtype(x.dtype), np.floating):
+        return None
+    E = stacks[0][0].shape[0]
+    hidden = x.shape[-1]
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= int(d)
+    if rows * k > E or any(
+            st is not None and (st[0].dtype != np.uint8 or st[0].ndim != 3)
+            for st in stacks):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.w4_matmul import w4_matmul
+    from ..ops.moe_ops import apply_activation, route_topk
+
+    devs = []
+    for idx, st in enumerate(stacks):
+        if st is None:
+            devs.append(None)
+            continue
+        w, s = st
+        K = w.shape[1]
+        g = _qmoe_group(K)
+        packed = _qmoe_repack(w)
+        sc = np.broadcast_to(
+            s.astype(np.float32)[:, None, :],
+            (E, K // g, s.shape[-1])).copy()
+        devs.append((
+            state.to_device(scope + ins[(2, 5, 8)[idx]] + "::qw4", packed),
+            state.to_device(scope + ins[(2, 5, 8)[idx]] + "::qw4s", sc),
+            g,
+        ))
+
+    weights, experts = route_topk(
+        logits.reshape(rows, E).astype(jnp.float32), k,
+        bool(int(_node_attr(node, "use_sparse_mixer", 0))),
+        bool(int(_node_attr(node, "normalize_routing_weights", 0))))
+    x2 = x.reshape(rows, hidden)
+    xk = (x2.astype(jnp.float32)
+          if os.environ.get("LELE_NBITS_F32", "") == "1"
+          else x2.astype(jnp.bfloat16))
+
+    def mm(h, dev, e):
+        pk = jax.lax.dynamic_index_in_dim(dev[0], e, 0, keepdims=False)
+        sc = jax.lax.dynamic_index_in_dim(dev[1], e, 0, keepdims=False)
+        return w4_matmul(h, pk, sc, group=dev[2])
+
+    row_outs = []
+    for r in range(rows):
+        acc = jnp.zeros((hidden,), jnp.float32)
+        xr = xk[r: r + 1]
+        for s_ in range(k):
+            e = experts[r, s_]
+            h = apply_activation(act, mm(xr, devs[0], e))
+            if devs[2] is not None:
+                h = h * mm(xr, devs[2], e)
+            y = mm(h.astype(xk.dtype), devs[1], e)
+            acc = acc + weights[r, s_].astype(jnp.float32) * y[0]
+        row_outs.append(acc)
+    out = jnp.stack(row_outs).reshape(x.shape).astype(x.dtype)
+    state.pattern_hits["qmoe_w4"] = (
+        state.pattern_hits.get("qmoe_w4", 0) + 1)
+    return 1, {node.output[0]: out}
+
+
+DEFAULT_PATTERNS: list = [dql_matmul_dataflow, matmul_nbits_w4, qmoe_w4]
 
 # Whole-layer SAN-M fusion (compiler/sanm_fuse.py) must run BEFORE the
 # per-linear DQL pattern so it can claim entire transformer layers; the

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     math_ops,
     moe_ops,
     nn_ops,
+    packed_ops,
     qlinear_ops,
     quant_ops,
     search_ops,

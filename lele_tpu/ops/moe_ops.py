@@ -65,12 +65,14 @@ def _sparse_mixer_round(logits, masked):
     return w, ind.astype(jnp.int32)
 
 
-def _route(ctx, logits, n_experts):
-    """→ (weights [rows,k] f32, experts [rows,k] i32)."""
+def route_topk(logits, k, use_sparse_mixer=False, normalize=False):
+    """The MoE routing rule over [rows, E] logits → (weights [rows,k]
+    f32, experts [rows,k] i32). Shared by the op emitters and the
+    compile-time qmoe_w4 pattern."""
     import jax.numpy as jnp
 
-    k = int(ctx.attr("k", 1))
-    if int(ctx.attr("use_sparse_mixer", 0)):
+    n_experts = logits.shape[-1]
+    if use_sparse_mixer:
         if k != 2:
             raise NotImplementedError(
                 f"MoE: use_sparse_mixer requires k=2 (got k={k}) — the "
@@ -86,9 +88,15 @@ def _route(ctx, logits, n_experts):
                 jnp.stack([e1, e2], axis=-1))
     probs = _softmax(logits)
     w, e = jax_top_k(probs, k)
-    if int(ctx.attr("normalize_routing_weights", 0)):
+    if normalize:
         w = w / jnp.sum(w, axis=-1, keepdims=True)
     return w, e.astype(jnp.int32)
+
+
+def _route(ctx, logits, n_experts):
+    return route_topk(logits, int(ctx.attr("k", 1)),
+                      bool(int(ctx.attr("use_sparse_mixer", 0))),
+                      bool(int(ctx.attr("normalize_routing_weights", 0))))
 
 
 def jax_top_k(x, k):
@@ -97,12 +105,9 @@ def jax_top_k(x, k):
     return jax.lax.top_k(x, k)
 
 
-def _activation(ctx, h):
+def apply_activation(act, h):
     import jax
 
-    act = ctx.attr("activation_type", "relu")
-    if isinstance(act, bytes):
-        act = act.decode()
     if act == "relu":
         return jax.numpy.maximum(h, 0)
     if act == "gelu":
@@ -115,6 +120,13 @@ def _activation(ctx, h):
         f"MoE: activation_type={act!r} is not supported (relu/gelu/silu/"
         "identity; gated exports carry the gate as fc3_experts_weights)"
     )
+
+
+def _activation(ctx, h):
+    act = ctx.attr("activation_type", "relu")
+    if isinstance(act, bytes):
+        act = act.decode()
+    return apply_activation(act, h)
 
 
 def _ffn(ctx, x, w1, b1, w2, b2, w3, b3, contract):

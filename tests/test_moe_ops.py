@@ -246,3 +246,65 @@ def test_qmoe_refusals():
     with pytest.raises(Exception, match="expert_weight_bits"):
         _run_qmoe(x, logits, (q1, s1, None), (q2, s2, None), k=2,
                   expert_weight_bits=3)
+
+
+# ------------------------------------------- qmoe_w4 pattern (Pallas route)
+
+
+def test_qmoe_w4_pattern_parity_and_engagement(monkeypatch):
+    """The compile-time qmoe_w4 pattern (decode path through the w4
+    kernel's layout) forced on CPU via LELE_QMOE_PALLAS=1 +
+    LELE_NBITS_F32=1 (exact math through the kernel's guarded jnp
+    fallback): engaged, and output matches the emitter path."""
+    x, logits, w1, b1, w2, b2, w3, b3 = _case(20, rows=2, E=8, hidden=8,
+                                              inter=16, bias=False,
+                                              fc3=True)
+    q1, s1, d1 = quantize_cols(w1, 4)
+    q2, s2, d2 = quantize_cols(w2, 4)
+    q3, s3, d3 = quantize_cols(w3, 4)
+
+    base = _run_qmoe(x, logits, (q1, s1, None), (q2, s2, None),
+                     (q3, s3, None), k=2, activation_type="silu",
+                     use_sparse_mixer=1, expert_weight_bits=4)
+
+    monkeypatch.setenv("LELE_QMOE_PALLAS", "1")
+    monkeypatch.setenv("LELE_NBITS_F32", "1")
+    import optest as ot
+    from lele_tpu.compiler import compile_model
+    from lele_tpu.onnx import OnnxModel
+    from lele_tpu.onnx import builder as ob
+
+    inits = {"w1": q1, "s1": s1, "w2": q2, "s2": s2, "w3": q3, "s3": s3}
+    node = ob.node("QMoE",
+                   ["x", "logits", "w1", "s1", "", "w2", "s2", "", "w3",
+                    "s3"], ["y"], domain="com.microsoft", k=2,
+                   activation_type="silu", use_sparse_mixer=1,
+                   expert_weight_bits=4)
+    bs = ob.build_model_bytes(
+        [node],
+        inputs=[ob.vi_from_array("x", x), ob.vi_from_array("logits",
+                                                           logits)],
+        outputs=[ob.value_info("y", 1, [])],
+        initializers=[ob.tensor_from_array(v, k)
+                      for k, v in inits.items()])
+    cm = compile_model(OnnxModel.from_bytes(bs), strict=True)
+    assert cm.stats.get("pattern_hits", {}).get("qmoe_w4")
+    got = cm.run_np(x=x, logits=logits)[0]
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+    # and vs the float oracle
+    want = np_moe(x, logits, d1, None, d2, None, d3, None, k=2,
+                  act="silu", sparse_mixer=1)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_qmoe_w4_pattern_declines_prefill(monkeypatch):
+    """rows·k > E keeps the emitter's unrolled path (no pattern hit)."""
+    monkeypatch.setenv("LELE_QMOE_PALLAS", "1")
+    x, logits, w1, b1, w2, b2, _, _ = _case(21, rows=16, E=4, hidden=8,
+                                            inter=16, bias=False)
+    q1, s1, d1 = quantize_cols(w1, 4)
+    q2, s2, d2 = quantize_cols(w2, 4)
+    got = _run_qmoe(x, logits, (q1, s1, None), (q2, s2, None), k=2,
+                    activation_type="relu", expert_weight_bits=4)
+    want = np_moe(x, logits, d1, None, d2, None, k=2, act="relu")
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
